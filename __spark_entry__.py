@@ -1,38 +1,596 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator class from SURVEY.md §2 on
+the driver's testdata tables; ``oracle_sql()`` holds the DuckDB-equivalent
+SQL. Aggregates over DOUBLE columns are summed through DECIMAL(18,4) in BOTH
+engines so the result is order-independent and bit-identical (double
+summation order differs between engines/partitionings).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import load_table
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+    interval_join,
+    keep_first,
+    dedup_with_preference,
+    pair_rows,
+    to_wide_matrix,
+    reconcile_counts,
+)
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+    gistic_call,
+    copy_number_to_log2,
+    fingerprint,
+    ws_tokens,
+    stopword_ratio,
+    lang_id,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _dsum(c, alias):
+    """Order-independent double sum: sum through DECIMAL(18,4), emit DOUBLE."""
+    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- aggregation
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan->filter->groupBy/agg (TPC-H Q1 shape). Demonstrates
+    predicate pushdown + partial aggregation (SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas value_counts (vcf_anno.py:430) == groupBy().count()."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_VALUE_COUNTS = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates / sort|uniq (cnv.py:619,692) == dropDuplicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+SQL_DISTINCT_ROWS = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+def q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-detection QA (cnv.py:42-52): keys occurring more than once."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DUP_DETECTION = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------- joins
+
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain with broadcast dims (restore_db.py:115 shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dsum(F.col("c_acctbal"), "sum_acctbal"))
+    )
+
+
+SQL_JOIN_DIMS = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join manifest<-counts shape (vcf_anno.py:426,434)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+SQL_LEFT_JOIN_COUNTS = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list / isin filter (mci:27) == left_semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN filter (vcf_anno.py:468, pedmatch:303) == left_anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-vs-observed reconciliation (cnv.py:686-711): full-outer join
+    of two count tables, null->0, mismatch flag."""
+    o = load_table(spark, sf_dir, "orders")
+    expected = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("expected"))
+    )
+    observed = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    return reconcile_counts(expected, observed, ["custkey"])
+
+
+SQL_RECONCILE_COUNTS = """
+WITH expected AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS expected FROM orders
+  WHERE o_orderstatus = 'O' GROUP BY 1
+), observed AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS observed FROM orders
+  WHERE o_totalprice > 100000 GROUP BY 1
+)
+SELECT COALESCE(e.custkey, ob.custkey) AS custkey,
+       COALESCE(e.expected, 0) AS expected,
+       COALESCE(ob.observed, 0) AS observed,
+       COALESCE(e.expected, 0) <> COALESCE(ob.observed, 0) AS mismatch
+FROM expected e FULL OUTER JOIN observed ob ON e.custkey = ob.custkey
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join == bedtools intersect -wo -f 0.5 (cnv.py:413-436).
+    Interval tables derived deterministically from part (genes) and orders
+    (segments); overlap must cover >= 50% of the gene."""
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    genes = p.select(
+        F.col("p_partkey").alias("gene_id"),
+        F.concat(F.lit("c"), (F.col("p_partkey") % 5).cast("string")).alias("chrom"),
+        ((F.col("p_partkey") * 37) % 100000).alias("start"),
+        (((F.col("p_partkey") * 37) % 100000) + 200 + F.col("p_size") * 11).alias("end"),
+    )
+    segs = o.select(
+        F.col("o_orderkey").alias("seg_id"),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 5).cast("string")).alias("chrom"),
+        ((F.col("o_orderkey") * 13) % 100000).alias("start"),
+        (((F.col("o_orderkey") * 13) % 100000) + 600).alias("end"),
+    )
+    j = interval_join(
+        genes, segs, bin_size=10_000, min_overlap_frac=0.5,
+        left_prefix="g_", right_prefix="s_",
+    )
+    return j.select(
+        F.col("g_gene_id").alias("gene_id"),
+        F.col("s_seg_id").alias("seg_id"),
+        F.col("overlap_bp").cast("long").alias("overlap_bp"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH genes AS (
+  SELECT p_partkey AS gene_id,
+         'c' || CAST(p_partkey % 5 AS VARCHAR) AS chrom,
+         (p_partkey * 37) % 100000 AS g_start,
+         (p_partkey * 37) % 100000 + 200 + p_size * 11 AS g_end
+  FROM part
+), segs AS (
+  SELECT o_orderkey AS seg_id,
+         'c' || CAST(o_orderkey % 5 AS VARCHAR) AS chrom,
+         (o_orderkey * 13) % 100000 AS s_start,
+         (o_orderkey * 13) % 100000 + 600 AS s_end
+  FROM orders
+)
+SELECT gene_id, seg_id,
+       CAST(LEAST(g_end, s_end) - GREATEST(g_start, s_start) AS BIGINT) AS overlap_bp
+FROM genes JOIN segs USING (chrom)
+WHERE LEAST(g_end, s_end) - GREATEST(g_start, s_start) > 0
+  AND LEAST(g_end, s_end) - GREATEST(g_start, s_start) >= 0.5 * (g_end - g_start)
+"""
+
+
+# -------------------------------------------------------------------- windows
+
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_values().drop_duplicates(keep='first') (cnv.py:372) == window
+    top-1: first line of each order by (shipdate, linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return keep_first(
+        li, ["l_orderkey"], [F.col("l_shipdate").asc(), F.col("l_linenumber").asc()]
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_shipdate")
+
+
+SQL_TOP1_PER_GROUP = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) = 1
+"""
+
+
+def q_dedup_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-with-source-preference (mci_clinical_variant_merge.py:263-282):
+    one event per user, 'purchase' rows preferred, then earliest."""
+    e = load_table(spark, sf_dir, "events")
+    pref = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    return dedup_with_preference(
+        e, ["user_id"], pref, [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_id", "event_type", "ts")
+
+
+SQL_DEDUP_PREFERENCE = """
+SELECT user_id, event_id, event_type, ts FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id
+  ORDER BY CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, ts, event_id
+) = 1
+"""
+
+
+def q_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fusion breakend pairing (pedmatch:123-151): consecutive rows per group
+    taken 2-at-a-time via row_number + lead."""
+    e = load_table(spark, sf_dir, "events")
+    paired = pair_rows(
+        e.select("user_id", "event_id", "event_type"),
+        group_col="user_id",
+        order_col="event_id",
+        pair_cols=["event_id", "event_type"],
+    )
+    return paired.select(
+        "user_id", "pair_id", "event_id_1", "event_id_2", "event_type_1", "event_type_2"
+    )
+
+
+SQL_PAIR_ROWS = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS event_id_2,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS event_type_2
+  FROM events
+)
+SELECT user_id, CAST((rn - 1) / 2 AS BIGINT) AS pair_id,
+       event_id AS event_id_1, event_id_2,
+       event_type AS event_type_1, event_type_2
+FROM ordered WHERE rn % 2 = 1 AND event_id_2 IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------- pivot/union
+
+def q_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide matrix pivot (cnv.py:650-684): priority x status counts."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wide = to_wide_matrix(
+        counts, index="o_orderpriority", column="o_orderstatus",
+        value="n", fill=0, column_values=["O", "F", "P"],
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("O").alias("n_open"),
+        F.col("F").alias("n_finished"),
+        F.col("P").alias("n_pending"),
+    )
+
+
+SQL_PIVOT_MATRIX = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_mafs semantics (vcf_anno.py:350-398): union already-schematized
+    parts, then the line-count ledger as one aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A")
+    b = li.filter(F.col("l_returnflag") != "A")
+    return (
+        a.unionByName(b)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), _dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+SQL_UNION_CONCAT = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM (
+  SELECT * FROM lineitem WHERE l_returnflag = 'A'
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_returnflag <> 'A'
+)
+GROUP BY l_returnflag
+"""
+
+
+# -------------------------------------------------------------------- scalars
+
+def q_scalar_gistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GISTIC binning + log2 ratio scalars (cnv.py:465-481, pedmatch:73-87)
+    applied to the events value column."""
+    e = load_table(spark, sf_dir, "events")
+    v = (F.col("value") - 15.0) / 5.0
+    return e.select(
+        "event_id",
+        gistic_call(v).alias("gistic"),
+        copy_number_to_log2(F.col("value")).alias("log2_cn"),
+    )
+
+
+SQL_SCALAR_GISTIC = """
+SELECT event_id,
+       CASE WHEN (value - 15.0) / 5.0 > 2.0 THEN 2
+            WHEN (value - 15.0) / 5.0 > 0.3 THEN 1
+            WHEN (value - 15.0) / 5.0 < -1.0 THEN -2
+            WHEN (value - 15.0) / 5.0 < -0.3 THEN -1
+            ELSE 0 END AS gistic,
+       CASE WHEN value > 0 THEN ROUND(LOG2(value / 2), 4) END AS log2_cn
+FROM events
+"""
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INFO-field regex extraction (pedmatch:118-121,203-205) applied to the
+    events props JSON-ish string."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'k": (\d+)', 1).cast("long").alias("k_val"),
+    )
+
+
+SQL_REGEX_EXTRACT = """
+SELECT event_id, TRY_CAST(regexp_extract(props, 'k": (\\d+)', 1) AS BIGINT) AS k_val
+FROM events
+"""
+
+
+# ------------------------------------------------------------ text / LLM ops
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnest (explode) — the CNV segments[] unnest (cnv.py:207-217) shape,
+    applied to document tokens; plus token frequencies."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+) GROUP BY token
+"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis ops (north star): token count, stopword ratio, heuristic
+    language ID, md5 content fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round(stopword_ratio(F.col("text")), 4).alias("sw_ratio"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+SQL_TEXT_PROFILE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tokens
+  FROM documents
+), counts AS (
+  SELECT doc_id, text, tokens,
+    len(list_filter(tokens, x -> lower(x) IN ('the','a','of','and','to','in','is','that','it','for'))) AS c_en,
+    len(list_filter(tokens, x -> lower(x) IN ('el','la','de','que','y','en','un','es','se','no'))) AS c_es,
+    len(list_filter(tokens, x -> lower(x) IN ('le','la','de','et','un','en','que','est','pour','qui'))) AS c_fr,
+    len(list_filter(tokens, x -> lower(x) IN ('der','die','das','und','ist','von','ein','zu','mit','den'))) AS c_de
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(tokens) > 0 THEN CAST(c_en AS DOUBLE) / len(tokens) ELSE 0.0 END, 4) AS sw_ratio,
+       CASE WHEN GREATEST(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+            WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) THEN 'en'
+            WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) THEN 'es'
+            WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) THEN 'fr'
+            ELSE 'de' END AS lang_guess,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM counts
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch form of the Structured Streaming
+    surface, SURVEY §2.8/§7): hourly counts + value sums per event type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (north star): for the first
+    10 vectors, the 5 nearest neighbours by cosine. Dot products computed as
+    sequential double folds in BOTH engines for bit-identical results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), as_double.alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), as_double.alias("c_emb"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
+    cos = dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings
+), pairs AS (
+  SELECT q_id, c_id,
+    list_reduce(list_transform(list_zip(q_emb, c_emb), x -> x[1] * x[2]), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(q_emb, x -> x * x), (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform(c_emb, x -> x * x), (a, b) -> a + b))) AS cos_sim
+  FROM c, q WHERE q_id <> c_id
+)
+SELECT q_id, c_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "tpch_q1_agg": (q_tpch_q1, SQL_TPCH_Q1),
+    "value_counts": (q_value_counts, SQL_VALUE_COUNTS),
+    "distinct_rows": (q_distinct_rows, SQL_DISTINCT_ROWS),
+    "dup_detection": (q_dup_detection, SQL_DUP_DETECTION),
+    "join_dims_broadcast": (q_join_dims, SQL_JOIN_DIMS),
+    "left_join_counts": (q_left_join_counts, SQL_LEFT_JOIN_COUNTS),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "reconcile_counts": (q_reconcile_counts, SQL_RECONCILE_COUNTS),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "top1_per_group": (q_top1_per_group, SQL_TOP1_PER_GROUP),
+    "dedup_preference": (q_dedup_preference, SQL_DEDUP_PREFERENCE),
+    "pair_rows": (q_pair_rows, SQL_PAIR_ROWS),
+    "pivot_matrix": (q_pivot_matrix, SQL_PIVOT_MATRIX),
+    "union_concat": (q_union_concat, SQL_UNION_CONCAT),
+    "scalar_gistic": (q_scalar_gistic, SQL_SCALAR_GISTIC),
+    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+    "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_tpch_q1(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -1,0 +1,47 @@
+"""Order-explicit dedup operators.
+
+The reference relies on pandas implicit row order for
+``sort_values(...).drop_duplicates(subset, keep='first')``
+(``workflows/cnv.py:372,376``) and for source-preference dedup
+(``workflows/mci_clinical_variant_merge.py:263-282``). Spark has no implicit
+row order, so both become ``row_number()`` windows over an *explicit* key —
+deterministic under any partitioning, which the oracle comparisons require.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def keep_first(
+    df: DataFrame,
+    subset: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """``sort_values(order_by).drop_duplicates(subset, keep='first')``.
+
+    ``order_by`` must be a total order within each ``subset`` group for the
+    result to be deterministic (append a tiebreaker column when in doubt).
+    """
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_with_preference(
+    df: DataFrame,
+    keys: Sequence[str],
+    preference: Column,
+    tiebreak: Sequence[Column | str] = (),
+) -> DataFrame:
+    """Keep one row per ``keys``, preferring rows where ``preference`` sorts
+    first (ascending). Mirrors mci_clinical_variant_merge.py:263-282, where
+    clinically-reported rows (preference 0) win over raw MAF rows
+    (preference 1) on a 7-column variant key."""
+    order = [preference.asc(), *tiebreak]
+    return keep_first(df, keys, order)

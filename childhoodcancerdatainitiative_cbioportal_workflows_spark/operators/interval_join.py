@@ -1,0 +1,81 @@
+"""Binned interval (range) join — the engine's one custom physical strategy.
+
+Replaces the reference's shelled-out ``bedtools intersect -a genes -b segs
+-wo -f 0.5`` (``workflows/cnv.py:413-436``): an overlap join between two
+interval tables, keeping pairs whose overlap covers at least
+``min_overlap_frac`` of the *left* interval, and emitting both rows plus the
+overlap width (bedtools' ``-wo`` column).
+
+Why not a plain non-equi join: Catalyst plans
+``l.chrom==r.chrom AND l.start<r.end AND r.start<l.end`` as a shuffled join
+on ``chrom`` with a per-key nested-loop filter — quadratic per chromosome and
+badly skewed (chr1 >> chrY). At 100 TB that one key explodes.
+
+Strategy (standard genomic binning, cf. Spark range-join literature):
+  1. explode each interval into the fixed-width bins it touches:
+     ``sequence(floor(start/W), floor((end-1)/W))``;
+  2. equi-join on ``(chrom, bin)`` — a normal shuffled/broadcast hash join
+     with fine-grained keys, so skew is bounded by W, AQE handles the rest;
+  3. keep genuinely overlapping pairs;
+  4. de-duplicate *without a shuffle*: a pair that overlaps appears in every
+     shared bin, but only one bin contains the overlap start — keep the pair
+     only where ``bin == floor(greatest(l.start, r.start)/W)``.
+
+Coordinates are half-open ``[start, end)`` (bedtools BED convention after the
+reference's ``start-1`` shift at ``cnv.py:382``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_BIN = 1_000_000  # ~genomic Mb; segments/genes are << 1 Mb typically
+
+
+def _binned(df: DataFrame, chrom: str, start: str, end: str, bin_size: int, prefix: str) -> DataFrame:
+    out = df
+    for c in df.columns:
+        out = out.withColumnRenamed(c, f"{prefix}{c}")
+    s, e = F.col(f"{prefix}{start}"), F.col(f"{prefix}{end}")
+    return out.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(s / F.lit(bin_size)),
+                F.floor((e - F.lit(1)) / F.lit(bin_size)),
+            )
+        ),
+    ).withColumn("_chrom", F.col(f"{prefix}{chrom}"))
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_cols: tuple[str, str, str] = ("chrom", "start", "end"),
+    right_cols: tuple[str, str, str] = ("chrom", "start", "end"),
+    bin_size: int = DEFAULT_BIN,
+    min_overlap_frac: float | None = None,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    overlap_col: str = "overlap_bp",
+) -> DataFrame:
+    """Overlap-join two interval DataFrames; emit all columns (prefixed) plus
+    the overlap width. ``min_overlap_frac`` filters pairs whose overlap is
+    < frac * left interval length (bedtools ``-f``)."""
+    lc, ls, le = left_cols
+    rc, rs, re_ = right_cols
+    lb = _binned(left, lc, ls, le, bin_size, left_prefix)
+    rb = _binned(right, rc, rs, re_, bin_size, right_prefix)
+
+    j = lb.join(rb, on=["_chrom", "_bin"])
+    l_start, l_end = F.col(f"{left_prefix}{ls}"), F.col(f"{left_prefix}{le}")
+    r_start, r_end = F.col(f"{right_prefix}{rs}"), F.col(f"{right_prefix}{re_}")
+    overlap = F.least(l_end, r_end) - F.greatest(l_start, r_start)
+    j = j.filter(overlap > 0)
+    # shuffle-free dedup: keep the pair only in the bin holding overlap start
+    j = j.filter(F.col("_bin") == F.floor(F.greatest(l_start, r_start) / F.lit(bin_size)))
+    j = j.withColumn(overlap_col, overlap)
+    if min_overlap_frac is not None:
+        j = j.filter(F.col(overlap_col) >= F.lit(min_overlap_frac) * (l_end - l_start))
+    return j.drop("_bin", "_chrom")

@@ -1,0 +1,55 @@
+"""Wide gene x sample matrix pivot.
+
+The reference pivots long CNV tables into wide matrices
+(``workflows/cnv.py:650-684``, ``pedmatch-clinical-vcf-workflow.py:258-284``)
+and *catches pandas' ValueError* on duplicate (index, column) pairs
+(``cnv.py:664-666``). Spark's ``groupBy().pivot().agg(first())`` silently
+picks one value instead, so uniqueness is asserted explicitly first.
+
+Scale note (SURVEY §4): a pivot is two jobs (distinct column values, then
+agg) and is bounded by ``spark.sql.pivotMaxValues``. Cohorts (<= thousands of
+samples) are fine; at the 100 TB north star keep the long format canonical
+and emit wide matrices only at the sink edge — this operator IS that edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class DuplicateCellError(ValueError):
+    pass
+
+
+def assert_unique_cells(df: DataFrame, index: str, column: str) -> None:
+    dup = (
+        df.groupBy(index, column)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise DuplicateCellError(
+            f"duplicate ({index}, {column}) pairs — pivot would be ambiguous"
+        )
+
+
+def to_wide_matrix(
+    df: DataFrame,
+    index: str,
+    column: str,
+    value: str,
+    fill=None,
+    check_unique: bool = True,
+    column_values: list | None = None,
+) -> DataFrame:
+    """Long -> wide: rows = index, one column per ``column`` value, cells =
+    ``value``; ``fill`` replaces missing cells (reference fills 'NA'/0).
+    Pass ``column_values`` when known to skip the distinct-values job."""
+    if check_unique:
+        assert_unique_cells(df, index, column)
+    piv = df.groupBy(index).pivot(column, column_values).agg(F.first(value))
+    if fill is not None:
+        piv = piv.na.fill(fill)
+    return piv

@@ -1,0 +1,77 @@
+"""Local replica of the driver's t2 gate: every queries() entry must match
+its oracle_sql() on the same parquet, value-exactly (the driver hashes
+values, so near-enough is not enough)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == np.float32:
+            df[c] = df[c].astype(np.float64)
+        if str(df[c].dtype) in ("Int64", "Int32", "int32", "uint64"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "bool":
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    con = _duck(SF_DIR)
+    odf = con.sql(ORACLES[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns), f"columns differ: {list(s.columns)} vs {list(o.columns)}"
+    assert len(s) == len(o), f"row count {len(s)} vs {len(o)}"
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if sv.dtype.kind == "f":
+            both_nan = np.isnan(sv.astype(float)) & np.isnan(ov.astype(float))
+            eq = (sv == ov) | both_nan
+        else:
+            eq = (pd.isna(s[c]) & pd.isna(o[c])) | (s[c] == o[c])
+            eq = eq.to_numpy()
+        if not eq.all():
+            i = int(np.argmin(eq))
+            raise AssertionError(
+                f"{name}: column {c} mismatch at row {i}: spark={sv[i]!r} oracle={ov[i]!r}"
+            )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns
