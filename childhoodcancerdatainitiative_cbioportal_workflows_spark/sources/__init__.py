@@ -1,0 +1,5 @@
+from .tsv import read_tsv, read_csv_file, write_tsv  # noqa: F401
+from .json_docs import read_cnv_json, CNV_JSON_SCHEMA  # noqa: F401
+from .vcf import read_vcf, VCF_FIXED_COLUMNS  # noqa: F401
+from .excel import read_excel  # noqa: F401
+from .sqldump import parse_sql_dump_counts  # noqa: F401

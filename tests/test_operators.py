@@ -1,0 +1,174 @@
+"""Operator unit tests against independently-computed expectations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.contracts import (
+    CNV_MANIFEST,
+    Contract,
+    ContractViolation,
+    validate,
+)
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+    interval_join,
+    keep_first,
+    dedup_with_preference,
+    pair_rows,
+    to_wide_matrix,
+    reconcile_counts,
+)
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.pivot import (
+    DuplicateCellError,
+)
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Binned interval join == brute-force O(n*m) overlap join, including
+    pairs that span many bins and min-overlap-fraction filtering."""
+    rng = np.random.default_rng(7)
+    chroms = ["chr1", "chr1", "chr2", "chr3"]  # skewed on purpose
+    genes = pd.DataFrame(
+        {
+            "gid": range(200),
+            "chrom": rng.choice(chroms, 200),
+            "start": rng.integers(0, 5_000_000, 200),
+        }
+    )
+    genes["end"] = genes["start"] + rng.integers(1, 2_000_000, 200)  # spans bins
+    segs = pd.DataFrame(
+        {
+            "sid": range(300),
+            "chrom": rng.choice(chroms, 300),
+            "start": rng.integers(0, 5_000_000, 300),
+        }
+    )
+    segs["end"] = segs["start"] + rng.integers(1, 3_000_000, 300)
+
+    out = interval_join(
+        spark.createDataFrame(genes),
+        spark.createDataFrame(segs),
+        bin_size=1_000_000,
+        min_overlap_frac=0.5,
+        left_prefix="g_",
+        right_prefix="s_",
+    ).toPandas()
+
+    m = genes.merge(segs, on="chrom", suffixes=("_g", "_s"))
+    ov = np.minimum(m.end_g, m.end_s) - np.maximum(m.start_g, m.start_s)
+    m["overlap_bp"] = ov
+    exp = m[(ov > 0) & (ov >= 0.5 * (m.end_g - m.start_g))]
+
+    got = set(zip(out.g_gid, out.s_sid, out.overlap_bp))
+    want = set(zip(exp.gid, exp.sid, exp.overlap_bp))
+    assert got == want
+    assert len(out) == len(exp), "no duplicate pairs from multi-bin overlap"
+
+
+def test_keep_first_deterministic_under_repartition(spark):
+    pdf = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2], "v": [3, 1, 2, 9, 8], "tag": list("abcde")}
+    )
+    df = spark.createDataFrame(pdf)
+    for nparts in (1, 7):
+        out = (
+            keep_first(df.repartition(nparts), ["k"], [F.col("v").asc()])
+            .toPandas()
+            .sort_values("k")
+        )
+        assert list(out.tag) == ["b", "e"]
+
+
+def test_dedup_with_preference(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["x", "x", "y", "y"],
+            "src": ["raw", "clinical", "raw", "raw"],
+            "val": [1, 2, 3, 4],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    pref = F.when(F.col("src") == "clinical", 0).otherwise(1)
+    out = dedup_with_preference(df, ["k"], pref, [F.col("val").asc()]).toPandas()
+    out = out.sort_values("k")
+    assert list(out.val) == [2, 3]  # clinical wins for x; lowest val for y
+
+
+def test_pair_rows_odd_group_dropped(spark):
+    pdf = pd.DataFrame(
+        {
+            "fid": ["f1"] * 3 + ["f2"] * 2,  # f1 has an odd trailing row
+            "ord": [1, 2, 3, 1, 2],
+            "gene": ["A", "B", "C", "D", "E"],
+        }
+    )
+    out = pair_rows(
+        spark.createDataFrame(pdf), "fid", "ord", ["gene"]
+    ).toPandas().sort_values("fid")
+    assert list(out.gene_1) == ["A", "D"]
+    assert list(out.gene_2) == ["B", "E"]
+    assert "C" not in set(out.gene_1) | set(out.gene_2)
+
+
+def test_pivot_duplicate_cells_raise(spark):
+    pdf = pd.DataFrame(
+        {"g": ["TP53", "TP53"], "s": ["s1", "s1"], "v": [0.1, 0.2]}
+    )
+    with pytest.raises(DuplicateCellError):
+        to_wide_matrix(spark.createDataFrame(pdf), "g", "s", "v")
+
+
+def test_pivot_fill(spark):
+    pdf = pd.DataFrame(
+        {"g": ["TP53", "EGFR"], "s": ["s1", "s2"], "v": [1.0, 2.0]}
+    )
+    out = (
+        to_wide_matrix(spark.createDataFrame(pdf), "g", "s", "v", fill=0.0)
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+    assert out.loc["TP53", "s1"] == 1.0 and out.loc["TP53", "s2"] == 0.0
+
+
+def test_reconcile_counts(spark):
+    e = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "expected": [2, 1]}))
+    o = spark.createDataFrame(pd.DataFrame({"k": ["b", "c"], "observed": [1, 5]}))
+    out = reconcile_counts(e, o, ["k"]).toPandas().set_index("k").sort_index()
+    assert out.loc["a"].expected == 2 and out.loc["a"].observed == 0
+    assert bool(out.loc["a"].mismatch) and not bool(out.loc["b"].mismatch)
+    assert bool(out.loc["c"].mismatch)
+
+
+def test_contract_validation(spark):
+    good = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sample_id": ["s1", "s2"],
+                "s3_url": ["s3://b/f1", "s3://b/f2"],
+                "file_name": ["f1", "f2"],
+                "md5sum": ["m1", "m2"],
+                "file_size": [10, 20],
+            }
+        )
+    )
+    validate(good, CNV_MANIFEST)  # should not raise
+
+    with pytest.raises(ContractViolation, match="missing"):
+        validate(good.drop("md5sum"), CNV_MANIFEST)
+    dup = good.union(good.limit(1))
+    with pytest.raises(ContractViolation, match="duplicate"):
+        validate(dup, CNV_MANIFEST)
+    withnull = good.withColumn(
+        "sample_id", F.when(F.col("file_size") == 10, None).otherwise(F.col("sample_id"))
+    )
+    with pytest.raises(ContractViolation, match="null"):
+        validate(withnull, CNV_MANIFEST)
+    with pytest.raises(ContractViolation, match="enum"):
+        validate(
+            good.withColumn("sample_type", F.lit("plasma")),
+            Contract(enums={"sample_type": ("tissue", "blood")}),
+        )
