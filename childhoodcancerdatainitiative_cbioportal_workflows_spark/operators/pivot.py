@@ -21,9 +21,15 @@ class DuplicateCellError(ValueError):
     pass
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name so dotted names (seg.mean, loc.start —
+    the cBio formats love them) resolve as single identifiers."""
+    return f"`{name}`" if "." in name and not name.startswith("`") else name
+
+
 def assert_unique_cells(df: DataFrame, index: str, column: str) -> None:
     dup = (
-        df.groupBy(index, column)
+        df.groupBy(df[_q(index)], df[_q(column)])
         .count()
         .filter(F.col("count") > 1)
         .limit(1)
@@ -49,7 +55,11 @@ def to_wide_matrix(
     Pass ``column_values`` when known to skip the distinct-values job."""
     if check_unique:
         assert_unique_cells(df, index, column)
-    piv = df.groupBy(index).pivot(column, column_values).agg(F.first(value))
+    piv = (
+        df.groupBy(df[_q(index)])
+        .pivot(column, column_values)
+        .agg(F.first(df[_q(value)]))
+    )
     if fill is not None:
         piv = piv.na.fill(fill)
     return piv

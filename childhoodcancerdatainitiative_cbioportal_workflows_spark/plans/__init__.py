@@ -1,1 +1,1 @@
-from . import cnv  # noqa: F401
+from . import annotation, clinical_merge, cnv, pedmatch, vcf_anno  # noqa: F401

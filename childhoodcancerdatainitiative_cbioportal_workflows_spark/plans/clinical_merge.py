@@ -1,0 +1,154 @@
+"""Clinical variant merge pipeline (reference:
+``workflows/mci_clinical_variant_merge.py`` clin_anno_merge_flow, mci:302).
+
+Excel prep filter -> API annotation -> merge/dedup into the megaMAF with
+preference to clinically-reported rows. The reference's positional
+``pd.concat(axis=1)`` of API results (mci:214) disappears: the provider
+returns annotation columns from the same mapInPandas batch, so there is no
+row-alignment hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.genomics import strip_chr_prefix_only, strip_dot_zero
+from ..operators.dedup import keep_first
+
+CLIN_PREP_COLS = [
+    "sample.sample_id",
+    "gene_symbol",
+    "transcript",
+    "chromosome",
+    "hgvs_genome",
+    "hgvs_coding",
+    "hgvs_protein",
+    "reported_significance_system",
+    "reported_significance",
+]
+
+MAF_DEDUP_KEYS = [
+    "Tumor_Sample_Barcode",
+    "Hugo_Symbol",
+    "Chromosome",
+    "Start_Position",
+    "End_Position",
+    "Variant_Classification",
+    "HGVSp_Short",
+]
+
+
+def clin_file_prep(
+    clin: DataFrame, maf_samples: DataFrame, reference_genome: str
+) -> DataFrame:
+    """Filter the genetic_analysis sheet to annotatable somatic SNVs and
+    build the API query column (mci:13-49).
+
+    ``maf_samples``: single-column DataFrame of Tumor_Sample_Barcode values
+    (the isin filter at mci:27 becomes a broadcast semi-join)."""
+    samples = maf_samples.toDF("_maf_sample").distinct()
+    out = clin.join(
+        F.broadcast(samples),
+        clin["`sample.sample_id`"] == samples["_maf_sample"],
+        "left_semi",
+    )
+    out = out.filter(
+        (F.col("genomic_source_category") == "Somatic")
+        & (F.col("status") == "Present")
+        & (F.col("test") == "Somatic Disease/Germline Comparator Exome")
+        & (F.col("reported_significance_system") == "AMP/ASCO/CAP")
+    )
+    # the Excel header 'sample.sample_id' becomes plain 'sample_id' here —
+    # dotted names fight Spark's column resolver for no benefit
+    out = out.select(
+        F.col("`sample.sample_id`").alias("sample_id"),
+        *[F.col(c) for c in CLIN_PREP_COLS[1:]],
+    )
+    out = out.withColumn("chromosome", strip_chr_prefix_only(F.col("chromosome")))
+    out = out.withColumn("reference_genome", F.lit(reference_genome))
+    return out.withColumn(
+        "query", F.concat_ws(":", F.col("chromosome"), F.col("hgvs_genome"))
+    )
+
+
+def annotate_clinical_variants(clin: DataFrame, annotator) -> DataFrame:
+    """Annotate via provider, drop failures, rename to MAF columns
+    (mci:162-234)."""
+    annotated = annotator(clin)
+    complete = annotated.filter(
+        F.col("start").isNotNull()
+        & F.col("end").isNotNull()
+        & F.col("variant_type").isNotNull()
+        & F.col("reference_allele").isNotNull()
+        & F.col("variant_allele").isNotNull()
+        & F.col("hgvs_short").isNotNull()
+        & F.col("variant_classification").isNotNull()
+    )
+    return complete.select(
+        F.col("sample_id").alias("Tumor_Sample_Barcode"),
+        F.col("gene_symbol").alias("Hugo_Symbol"),
+        F.col("transcript").alias("RefSeq"),
+        F.col("chromosome").alias("Chromosome"),
+        F.col("start").alias("Start_Position"),
+        F.col("end").alias("End_Position"),
+        F.col("reference_allele").alias("Reference_Allele"),
+        F.col("variant_allele").alias("Tumor_Seq_Allele2"),
+        F.col("variant_classification").alias("Variant_Classification"),
+        F.col("variant_type").alias("Variant_Type"),
+        F.col("hgvs_short").alias("HGVSp_Short"),
+        F.col("reported_significance_system").alias("Reported.Significance System"),
+        F.col("reported_significance").alias("Reported.Significance"),
+        F.col("reference_genome").alias("NCBI_Build"),
+    )
+
+
+def _not_reported(c: F.Column) -> F.Column:
+    return ((c == "Not Reported") | c.isNull()).cast("int")
+
+
+def merge_clinical_variants_to_maf(
+    maf_concat: DataFrame, anno_clin_muts: DataFrame
+) -> tuple[DataFrame, dict]:
+    """Union + dedup-with-preference-to-clinical (mci:236-296).
+
+    pandas sorted both Reported.Significance* columns by the boolean key
+    ``eq('Not Reported') | isna()`` and relied on stable order (maf rows
+    precede clinical rows in the concat) — here that order is an explicit
+    ``_src`` column. Output normalization strips the int-as-float ``.0``
+    artifact exactly as mci:285-289. Returns (df, stats) where stats carries
+    the reference's log-line counts (mci:294)."""
+    maf = maf_concat
+    for c in ("Reported.Significance System", "Reported.Significance"):
+        if c not in maf.columns:
+            maf = maf.withColumn(c, F.lit("Not Reported"))
+    maf = maf.withColumn("_src", F.lit(0))
+    clin = anno_clin_muts.withColumn("_src", F.lit(1))
+    unioned = maf.unionByName(clin, allowMissingColumns=True)
+
+    deduped = keep_first(
+        unioned,
+        MAF_DEDUP_KEYS,
+        [
+            _not_reported(F.col("`Reported.Significance System`")).asc(),
+            _not_reported(F.col("`Reported.Significance`")).asc(),
+            F.col("_src").asc(),
+        ],
+    ).drop("_src")
+
+    deduped = (
+        deduped.withColumn("Entrez_Gene_Id", strip_dot_zero(F.col("Entrez_Gene_Id")))
+        .withColumn("Start_Position", strip_dot_zero(F.col("Start_Position")))
+        .withColumn("End_Position", strip_dot_zero(F.col("End_Position")))
+        .orderBy("Tumor_Sample_Barcode", "Chromosome", "Start_Position")
+    )
+
+    unannotated_rows = maf_concat.count()
+    clin_rows = anno_clin_muts.count()
+    concat_rows = deduped.count()
+    stats = {
+        "raw_maf_rows": unannotated_rows,
+        "merged_rows": concat_rows,
+        "clin_deduped": clin_rows - (concat_rows - unannotated_rows),
+        "clin_added_uniquely": concat_rows - unannotated_rows,
+    }
+    return deduped, stats
