@@ -556,6 +556,211 @@ SELECT q_id, c_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (
 """
 
 
+# ------------------------------------------------------- LLM ops / streaming
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (north star): one row per normalized content fingerprint,
+    keeper = min doc_id."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + sub-word token counting (north star)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+        bpe_ish_token_count,
+        quality_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_DOC_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS sw,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct
+  FROM t
+)
+SELECT doc_id,
+       FLOOR(GREATEST(LEAST(
+           0.25 * LEAST(n / 100.0, 1.0)
+         + 0.25 * distinct_ratio
+         + 0.35 * LEAST(sw * 5, 1.0)
+         + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 1.0 END * 4, 1.0)),
+         1.0), 0.0) * 10000) / 10000 AS quality,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT) AS n_bpe_tokens
+FROM m
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs (north star). Bounded to the
+    first 1000 docs so the shingle self-join stays proportionate in bench."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dup pairs (north star)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        embedding_dup_pairs,
+    )
+
+    return embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+SQL_EMBEDDING_DUPS = """
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_reduce(list_transform(list_zip(a.vec, b.vec), x -> x[1] * x[2]),
+                         (p, q) -> p + q) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM v a, v b
+WHERE a.id < b.id
+  AND ROUND(list_reduce(list_transform(list_zip(a.vec, b.vec), x -> x[1] * x[2]),
+                        (p, q) -> p + q) / (a.nrm * b.nrm), 4) >= 0.45
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified by estimated Jaccard.
+    xxhash64-based — not SQL-expressible in DuckDB, so rows-only check here;
+    correctness is pinned by tests/test_llm_ops.py against true Jaccard."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        minhash_dedup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return minhash_dedup_pairs(d, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-dup pairs by Hamming blocks (rows-only;
+    pinned by tests/test_llm_ops.py)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        simhash_dedup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return simhash_dedup_pairs(d, max_hamming=6, blocks=8)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours (rows-only; recall vs the
+    exact top-k is pinned by tests/test_llm_ops.py)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 50), k=5, num_planes=10, num_tables=4
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30-min inactivity gap (the batch face of
+    the Structured Streaming surface — streaming/events.sessionize)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum(F.col("value"), "sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -580,6 +785,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
+    "minhash_lsh": (q_minhash_lsh, None),
+    "simhash_pairs": (q_simhash, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
 }
 
 

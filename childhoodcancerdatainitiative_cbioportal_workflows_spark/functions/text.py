@@ -30,11 +30,12 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND word/punct
-    boundaries (a cheap proxy for BPE token counts used to budget training
-    data). regexp-based, stays in codegen."""
-    pieces = F.split(text, r"\s+|(?<=\W)(?=\w)|(?<=\w)(?=\W)")
-    return F.size(F.filter(pieces, lambda t: t != ""))
+    """Sub-word-ish token count: word runs and individual punctuation marks
+    count separately (a cheap proxy for BPE token counts used to budget
+    training data). Extraction regex avoids lookarounds so the DuckDB
+    oracle (RE2) can reproduce it."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"), 0)
+    return F.size(pieces)
 
 
 def _match_count(tokens: Column, words: tuple[str, ...]) -> Column:
@@ -61,6 +62,11 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# ASCII punctuation as explicit ranges — identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle), unlike \p{Punct} which differs
+PUNCT_CLASS = "!-/:-@\\[-`{-~"
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: rewards mid-length docs, word
     diversity and stopword presence; penalizes punctuation walls. The exact
@@ -69,22 +75,24 @@ def quality_score(text: Column) -> Column:
     n = F.size(toks).cast("double")
     distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
     sw = stopword_ratio(text)
-    punct = F.length(F.regexp_replace(text, r"[^\p{Punct}]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, f"[^{PUNCT_CLASS}]", "")).cast("double")
     punct_ratio = F.when(F.length(text) > 0, punct / F.length(text)).otherwise(F.lit(1.0))
     len_score = F.least(n / F.lit(100.0), F.lit(1.0))
-    return F.round(
-        F.greatest(
-            F.least(
-                F.lit(0.25) * len_score
-                + F.lit(0.25) * distinct_ratio
-                + F.lit(0.35) * F.least(sw * 5, F.lit(1.0))
-                + F.lit(0.15) * (1 - F.least(punct_ratio * 4, F.lit(1.0))),
-                F.lit(1.0),
-            ),
-            F.lit(0.0),
+    raw = F.greatest(
+        F.least(
+            F.lit(0.25) * len_score
+            + F.lit(0.25) * distinct_ratio
+            + F.lit(0.35) * F.least(sw * 5, F.lit(1.0))
+            + F.lit(0.15) * (1 - F.least(punct_ratio * 4, F.lit(1.0))),
+            F.lit(1.0),
         ),
-        4,
+        F.lit(0.0),
     )
+    # floor-scale, not round: Spark's round() goes through the SHORTEST
+    # decimal repr (BigDecimal.valueOf) while other engines round the binary
+    # value, so terminating decimals like 0.53375 round apart. floor(x*1e4)
+    # is identical wherever the double bits are identical.
+    return F.floor(raw * 10000) / 10000
 
 
 def fingerprint(text: Column) -> Column:
@@ -95,18 +103,23 @@ def fingerprint(text: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined) for Jaccard/MinHash."""
+    """Array of n-word shingles (space-joined) for Jaccard/MinHash. Docs
+    shorter than n words yield an empty array (sequence(1,0) would count
+    DOWN, so the short case needs an explicit guard)."""
     toks = ws_tokens(F.lower(text))
     k = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    idx = F.sequence(F.lit(1), k - F.lit(n - 1))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(k >= n, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
-    """Array of character n-grams over the normalized text."""
+    """Array of character n-grams over the normalized text; shorter texts
+    yield an empty array."""
     norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
     k = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(k - F.lit(n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(norm, i, F.lit(n)))
+    idx = F.sequence(F.lit(1), k - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.substring(norm, i, F.lit(n)))
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))

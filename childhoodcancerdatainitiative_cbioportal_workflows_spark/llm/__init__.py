@@ -1,0 +1,16 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    embedding_dup_pairs,
+)
+from .similarity import cosine_topk, lsh_ann_topk  # noqa: F401
+from .multimodal import (  # noqa: F401
+    MULTIMODAL_SCHEMA,
+    attach_media_metadata,
+    decode_and_featurize,
+)

@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7 P7).
+
+Five dedup families, all shuffle-conscious:
+
+* exact          — hash-groupBy on a normalized fingerprint (one shuffle)
+* MinHash + LSH  — shingle -> K minhashes -> B bands -> bucket self-join on
+                   band hash; candidate pairs verified by true Jaccard.
+                   At 100 TB the band join touches only same-bucket pairs,
+                   never the O(n^2) cross product.
+* SimHash        — 64-bit bit-vote fingerprint; near-dups differ in few bits
+* n-gram Jaccard — explode shingles -> self-join on shingle -> count
+                   intersections (exact, for small/medium corpora or as the
+                   verify stage behind LSH)
+* embedding      — cosine-threshold pairs on a vector column
+
+Hashing uses xxhash64 (JVM built-in, codegen'd). MinHash h_j(x) =
+xxhash64(seed_j, shingle) with per-row min — equivalent to K independent
+permutations for dedup purposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized content; keeper = min id. Single
+    shuffle on the 16-byte fingerprint, map-side partial agg."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — signature[j] = min over shingles of
+    xxhash64(j, shingle). Empty-shingle docs get an empty signature and are
+    excluded from LSH (nothing to compare)."""
+    # Two-stage hashing, both materialized in their own projections:
+    # 1. hash each shingle STRING once (the expensive part);
+    # 2. derive the per-seed hash from that long via xxhash64(seed, base) —
+    #    long-input hashing, no re-tokenization.
+    # Inlining everything into the 64 per-seed lambdas re-tokenizes and
+    # re-hashes strings 64x per row (measured 180s -> ~4s at sf0.1).
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n=shingle_words),
+            lambda s: F.xxhash64(s),
+        ).alias("_base"),
+    )
+    base = F.col("_base")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(base, lambda b: F.xxhash64(j, b))),
+    )
+    return staged.select(
+        "id",
+        F.when(F.size(base) > 0, sig).otherwise(F.array().cast("array<bigint>")).alias(
+            "signature"
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket; docs sharing
+    any (band, bucket) become a candidate pair (id_a < id_b). The self-join
+    shuffles on (band, bucket) — fine-grained keys, no cross product."""
+    assert bands * rows_per_band <= 1024
+    banded = signatures.filter(F.size("signature") > 0).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("signature"), b * rows_per_band + 1, rows_per_band
+                            ).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.toDF("id_a", "band", "bucket")
+    b = banded.toDF("id_b", "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate pairs from LSH, verified by estimated Jaccard = fraction of
+    matching minhashes. Returns (id_a, id_b, est_jaccard >= threshold)."""
+    # persist: the signature table feeds the band join AND both verify sides
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words).persist()
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    sa = sigs.toDF("id_a", "sig_a")
+    sb = sigs.toDF("id_b", "sig_b")
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.size("sig_a")
+    )
+    return joined.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over word shingles: bit i of the fingerprint is the
+    majority vote of shingle-hash bit i. Pure built-ins — per-bit vote =
+    sum over shingle hashes of (bit_i ? +1 : -1); the bit loop unrolls at
+    plan-build time (shift amounts must be Python ints)."""
+    # materialize shingle hashes once; the 64 per-bit votes then fold over a
+    # column reference instead of re-tokenizing+re-hashing per bit
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n=2), lambda s: F.xxhash64(s)
+        ).alias("_hashes"),
+    )
+    hashes = F.col("_hashes")
+
+    def _vote_fn(i):
+        # two-arg merge lambda required by F.aggregate; close over i
+        return lambda vacc, h: vacc + (
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    fp = F.lit(0).cast("bigint")
+    for i in range(num_bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote_fn(i))
+        # two's-complement top bit: 1<<63 is long-min
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp + F.when(vote > 0, F.lit(weight).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return staged.select("id", fp.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
+    pigeonhole block trick: split the 64-bit fingerprint into ``blocks``
+    chunks; any pair within distance max_hamming < blocks shares at least
+    one exact chunk -> self-join on (block_idx, chunk), verify distance.
+    No O(n^2) comparison."""
+    assert max_hamming < blocks
+    fps = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunked = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "bc.blk", "bc.chunk")
+    a = chunked.toDF("id_a", "fp_a", "blk", "chunk")
+    b = chunked.toDF("id_b", "fp_b", "blk", "chunk")
+    pairs = (
+        a.join(b, ["blk", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Distinct-shingle explode -> self-join on shingle -> intersection counts;
+    union = |A| + |B| - |A ∩ B|. The shingle join key is fine-grained, so
+    skew is bounded by shingle frequency (stopword-only shingles are the
+    hot keys — acceptable at corpus scale, or pre-filter top-frequency
+    shingles as a stoplist)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n=n))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.toDF("id_a", "shingle")
+    b = sh.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("id_a", "n_a")
+    sb = sizes.toDF("id_b", "n_b")
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold over all i<j pairs.
+    Brute-force form (exact); for corpus scale route candidates through
+    similarity.lsh_ann_topk buckets first."""
+    as_double = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        as_double.alias("vec"),
+        norm.alias("norm"),
+    )
+    a = v.toDF("id_a", "vec_a", "norm_a")
+    b = v.toDF("id_b", "vec_b", "norm_b")
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (SURVEY §7 P7).
+
+* :func:`cosine_topk` — exact brute force: broadcast the (small) query set
+  against all candidates. The right baseline, and the verify stage for ANN.
+* :func:`lsh_ann_topk` — random-hyperplane LSH: H signed projections ->
+  bucket signature; queries only compare against same-bucket candidates
+  (multi-probe over T hash tables to trade recall/cost). Hyperplanes are a
+  seeded numpy matrix shipped as a broadcast literal — deterministic.
+
+All arithmetic is JVM-side array folds (``zip_with`` + ``aggregate``), no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbours by cosine for each query vector.
+
+    ``queries`` is broadcast — it must be the small side (typical ANN
+    serving shape). Result: (q_id, c_id, cos_sim, rank)."""
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def _bucket_expr(vec, planes: list[list[float]]):
+    """Signature = bits of sign(plane . vec), packed into a long. The plane
+    loop unrolls at plan-build time (shift amounts must be Python ints)."""
+    acc = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        acc = acc + F.when(
+            _dot(p, vec) >= 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def lsh_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 13,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: compare only pairs sharing an LSH bucket in any of
+    ``num_tables`` hash tables. The candidate-side bucket build is one
+    projection pass; the join shuffles on (table, bucket) — at corpus scale
+    this replaces the O(n*q) cross product with bucket-local work.
+
+    Recall is tunable: more tables / fewer planes -> higher recall, bigger
+    buckets."""
+    if dim is None:
+        first = candidates.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"]
+
+    def with_buckets(df, side):
+        out = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"{side}_vec"),
+        )
+        for t in range(num_tables):
+            out = out.withColumn(
+                f"_b{t}",
+                _bucket_expr(
+                    F.col(f"{side}_vec"), _hyperplanes(dim, num_planes, seed + t)
+                ),
+            )
+        # long format: (id, vec, table, bucket)
+        return out.select(
+            f"{side}_id",
+            f"{side}_vec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"), F.col(f"_b{t}").alias("bucket")
+                        )
+                        for t in range(num_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(f"{side}_id", f"{side}_vec", "tb.table", "tb.bucket")
+
+    cb = with_buckets(candidates, "c")
+    qb = with_buckets(queries, "q")
+    pairs = cb.join(qb, ["table", "bucket"]).select(
+        "q_id", "q_vec", "c_id", "c_vec"
+    ).distinct()
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming surface for the events table (SURVEY §2.8/§7 P7).
+
+The reference is batch-only; this is the north-star extension: the same
+windowed aggregation runs identically over ``spark.read`` (batch backfill)
+and ``spark.readStream`` (live), which is the Spark-idiomatic way to keep
+one code path for both. Watermarks bound state for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream over a directory of event files (json/csv/parquet).
+    New files are discovered per micro-batch — the standard landing-zone
+    ingest shape."""
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    return getattr(reader, fmt)(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window: counts + value sum per
+    event_type. Works on either a batch or streaming DataFrame; on a stream
+    the watermark bounds state and drops data later than ``watermark``."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        src.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (built-in session_window — no custom state needed)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,194 @@
+"""LLM-pipeline operator tests: dedup families vs brute-force ground truth,
+similarity search recall, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+    attach_media_metadata,
+    cosine_topk,
+    decode_and_featurize,
+    embedding_dup_pairs,
+    exact_dedup,
+    lsh_ann_topk,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup_pairs,
+)
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.multimodal import (
+    MULTIMODAL_SCHEMA,
+)
+
+WORDS = "the quick brown fox jumps over lazy dog data spark shuffle join scan".split()
+
+
+def _doc(rng, n):
+    return " ".join(rng.choice(WORDS, n))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        rows.append((i, _doc(rng, 60)))
+    # exact duplicates (whitespace/case variants)
+    rows.append((100, rows[0][1]))
+    rows.append((101, "  " + rows[0][1].upper() + " "))
+    # near-duplicate: one word changed
+    base = rows[1][1].split()
+    base[10] = "changed"
+    rows.append((102, " ".join(base)))
+    # empty doc
+    rows.append((103, ""))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_exact_dedup(spark, docs):
+    df, pdf = docs
+    out = exact_dedup(df).toPandas()
+    grp = out[out.n_copies >= 3]
+    assert len(grp) == 1 and grp.keeper_id.iloc[0] == 0  # 0,100,101 collapse
+    assert out.n_copies.sum() == len(pdf)
+
+
+def _true_jaccard(a: str, b: str, n=3):
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(spark, docs):
+    df, pdf = docs
+    out = ngram_jaccard_pairs(df, threshold=0.5).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    # brute force over all pairs
+    want = {}
+    recs = list(pdf.itertuples(index=False))
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            a, b = recs[i], recs[j]
+            jac = _true_jaccard(a.text, b.text)
+            if jac >= 0.5:
+                key = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                want[key] = round(jac, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    df, pdf = docs
+    out = minhash_dedup_pairs(df, threshold=0.5).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    # the doctored near-dup pair (1, 102) must be found (high true Jaccard)
+    assert (1, 102) in pairs
+    # exact dup pair found with est_jaccard 1.0
+    exact = out[(out.id_a == 0) & (out.id_b == 100)]
+    assert len(exact) == 1 and exact.est_jaccard.iloc[0] == 1.0
+    # no wildly-false positives: every reported pair has real jaccard >= 0.3
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    for a, b in pairs:
+        assert _true_jaccard(texts[a], texts[b], n=3) >= 0.3
+
+
+def test_simhash_near_dups(spark, docs):
+    df, pdf = docs
+    fps = simhash(df).toPandas()
+    assert fps.simhash.dtype == np.int64
+    by_id = dict(zip(fps.id, fps.simhash))
+    # identical normalized content -> identical fingerprint
+    assert by_id[0] == by_id[100] == by_id[101]
+    out = simhash_dedup_pairs(df, max_hamming=8, blocks=16).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (0, 100) in pairs and (0, 101) in pairs
+    # near-dup found at small hamming distance
+    assert (1, 102) in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Clustered vectors (the realistic embedding shape LSH is built for):
+    6 clusters x 5 members, small intra-cluster noise."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 16))
+    base = np.vstack(
+        [c + 0.15 * rng.standard_normal((5, 16)) for c in centers]
+    ).astype(np.float32)
+    base[5] = base[4] + rng.standard_normal(16).astype(np.float32) * 0.005  # near-dup
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [list(map(float, v)) for v in base]}
+    )
+    return spark.createDataFrame(pdf), base
+
+
+def _cos_matrix(base):
+    x = base / np.linalg.norm(base, axis=1, keepdims=True)
+    return x @ x.T
+
+
+def test_cosine_topk_exact(spark, vectors):
+    df, base = vectors
+    out = cosine_topk(df, df.filter(F.col("vec_id") < 5), k=3).toPandas()
+    cm = _cos_matrix(base.astype(np.float64))
+    for q in range(5):
+        sims = [(cm[q, c], c) for c in range(30) if c != q]
+        want = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:3]]
+        got = list(out[out.q_id == q].sort_values("rank").c_id)
+        assert got == want, f"query {q}"
+
+
+def test_lsh_ann_recall(spark, vectors):
+    df, base = vectors
+    exact = cosine_topk(df, df, k=3).toPandas()
+    approx = lsh_ann_topk(df, df, k=3, num_planes=4, num_tables=8).toPandas()
+    # recall@3 over all queries; generous buckets -> expect high recall
+    hits = tot = 0
+    for q in range(30):
+        want = set(exact[exact.q_id == q].c_id)
+        got = set(approx[approx.q_id == q].c_id)
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.8
+    # the engineered near-dup must be found
+    assert 5 in set(approx[approx.q_id == 4].c_id)
+
+
+def test_embedding_dup_pairs(spark, vectors):
+    df, base = vectors
+    out = embedding_dup_pairs(df, threshold=0.95).toPandas()
+    assert (4, 5) in {(r.id_a, r.id_b) for r in out.itertuples()}
+    cm = _cos_matrix(base.astype(np.float64))
+    for r in out.itertuples():
+        assert cm[r.id_a, r.id_b] >= 0.949
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, b"\x89PNG fake image bytes", {"mime": "image/png", "width": 4, "height": 4, "duration_ms": None, "source_uri": "s3://m/1.png"}),
+        (2, b"RIFF fake wav bytes", {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 1200, "source_uri": "s3://m/2.wav"}),
+        (3, None, {"mime": "video/mp4", "width": 640, "height": 480, "duration_ms": 5000, "source_uri": "s3://m/3.mp4"}),
+    ]
+    df = spark.createDataFrame(rows, schema=MULTIMODAL_SCHEMA)
+    meta = attach_media_metadata(df).toPandas()
+    assert meta.payload_bytes.tolist()[:2] == [21, 19]
+    feats = decode_and_featurize(df, feat_dim=8).toPandas().sort_values("media_id")
+    assert list(feats.mime) == ["image/png", "audio/wav", "video/mp4"]
+    assert all(len(f) == 8 for f in feats.feature)
+    # deterministic: same payload -> same feature
+    feats2 = decode_and_featurize(df, feat_dim=8).toPandas().sort_values("media_id")
+    assert [list(f) for f in feats.feature] == [list(f) for f in feats2.feature]
+    # content hash matches JVM-side sha1
+    jvm = attach_media_metadata(df).select("media_id", "content_sha1").toPandas()
+    merged = feats.merge(jvm, on="media_id", suffixes=("_py", "_jvm"))
+    nonnull = merged[merged.payload_bytes > 0]
+    assert (nonnull.content_sha1_py == nonnull.content_sha1_jvm).all()

@@ -1,0 +1,117 @@
+"""Structured Streaming tests: the windowed aggregation must produce the
+same result via readStream (file source, micro-batched) as via batch read,
+and late data beyond the watermark must be dropped."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+    read_event_stream,
+    sessionize,
+    windowed_event_counts,
+)
+
+
+def _write_event_files(path, batches):
+    os.makedirs(path, exist_ok=True)
+    for i, batch in enumerate(batches):
+        with open(os.path.join(path, f"b{i}.json"), "w") as f:
+            for e in batch:
+                f.write(json.dumps(e) + "\n")
+
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:55:00", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T01:10:00", "user_id": 2, "event_type": "view", "value": 3.0, "props": "{}"},
+    {"event_id": 4, "ts": "2024-01-01T03:00:00", "user_id": 2, "event_type": "view", "value": 4.0, "props": "{}"},
+]
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    _write_event_files(src, [EVENTS[:2], EVENTS[2:]])
+
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream, window="1 hour", watermark="10 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from win_counts").toPandas()
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(pd.DataFrame(EVENTS)).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    want = windowed_event_counts(batch, window="1 hour").toPandas()
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+    assert len(want_s) == 3  # 00h click (x2 events), 01h view, 03h view
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "events_late")
+    on_time = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T06:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+    ]
+    # arrives after watermark (6h) has passed window 00:00-01:00 + 1h mark
+    late = [
+        {"event_id": 3, "ts": "2024-01-01T00:20:00", "user_id": 1, "event_type": "click", "value": 9.0, "props": "{}"},
+    ]
+    # write only the on-time batch first so the watermark advances before
+    # the late file lands (deterministic micro-batch ordering)
+    _write_event_files(src, [on_time])
+
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")  # append emits only finalized windows
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark now 05:00 (06:00 - 1h)
+        with open(os.path.join(src, "b_late.json"), "w") as f:
+            for e in late:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+        got = spark.sql("select * from late_counts").toPandas()
+    finally:
+        q.stop()
+    w0 = got[got.window_start == pd.Timestamp("2024-01-01 00:00:00")]
+    # the late event (value 9.0) must NOT be counted in the finalized window
+    assert len(w0) == 1 and w0.n.iloc[0] == 1 and w0.sum_value.iloc[0] == 1.0
+
+
+def test_sessionize_batch(spark):
+    events = pd.DataFrame(
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+            {"event_id": 4, "ts": "2024-01-01T00:05:00", "user_id": 2, "event_type": "a", "value": 1.0, "props": "{}"},
+        ]
+    )
+    df = spark.createDataFrame(events).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, gap="30 minutes").toPandas()
+    u1 = out[out.user_id == 1].sort_values("session_start")
+    assert len(u1) == 2  # 00:00-00:10 session, then 02:00 session
+    assert u1.n_events.tolist() == [2, 1]
+    assert len(out[out.user_id == 2]) == 1
