@@ -65,15 +65,22 @@ def _hyperplanes(dim: int, num_planes: int, seed: int):
 
 
 def _bucket_expr(vec, planes: list[list[float]]):
-    """Signature = bits of sign(plane . vec), packed into a long. The plane
-    loop unrolls at plan-build time (shift amounts must be Python ints)."""
-    acc = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        acc = acc + F.when(
-            _dot(p, vec) >= 0, F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return acc
+    """Signature = bits of sign(plane . vec), packed into a long.
+
+    Planes ride as ONE nested-array literal — unrolling them into
+    planes x dim scalar literals bloats the plan (thousands of expression
+    nodes per bucket column) and dominates wall-clock via codegen, not
+    evaluation. Bit weights as exact doubles (2^j <= 2^52) because shift
+    amounts can't be Columns."""
+    planes_lit = F.lit(planes)
+    weights = F.lit([float(1 << j) for j in range(len(planes))])
+    contrib = F.transform(
+        planes_lit,
+        lambda p, j: F.when(
+            _dot(p, vec) >= 0, F.element_at(weights, j + F.lit(1))
+        ).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x).cast("bigint")
 
 
 def lsh_ann_topk(
@@ -99,41 +106,57 @@ def lsh_ann_topk(
         first = candidates.select(F.size(vec_col).alias("d")).first()
         dim = first["d"]
 
+    # all tables' hyperplanes as ONE nested literal (T x P x D); a single
+    # transform emits the (table, bucket) pairs — one expression tree per
+    # side keeps Catalyst resolution and codegen cost flat in num_tables
+    all_planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+    planes_lit = F.lit(all_planes)
+    weights = F.lit([float(1 << j) for j in range(num_planes)])
+
+    def _tables_expr(vec):
+        def bucket(planes_t):
+            contrib = F.transform(
+                planes_t,
+                lambda p, j: F.when(
+                    _dot(p, vec) >= 0, F.element_at(weights, j + F.lit(1))
+                ).otherwise(F.lit(0.0)),
+            )
+            return F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x).cast("bigint")
+
+        return F.transform(
+            planes_lit,
+            lambda planes_t, t: F.struct(
+                t.alias("table"), bucket(planes_t).alias("bucket")
+            ),
+        )
+
     def with_buckets(df, side):
-        out = df.select(
+        staged = df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).cast("array<double>").alias(f"{side}_vec"),
         )
-        for t in range(num_tables):
-            out = out.withColumn(
-                f"_b{t}",
-                _bucket_expr(
-                    F.col(f"{side}_vec"), _hyperplanes(dim, num_planes, seed + t)
-                ),
-            )
-        # long format: (id, vec, table, bucket)
-        return out.select(
+        return staged.select(
             f"{side}_id",
             f"{side}_vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"), F.col(f"_b{t}").alias("bucket")
-                        )
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("tb"),
+            F.explode(_tables_expr(F.col(f"{side}_vec"))).alias("tb"),
         ).select(f"{side}_id", f"{side}_vec", "tb.table", "tb.bucket")
 
     cb = with_buckets(candidates, "c")
     qb = with_buckets(queries, "q")
-    pairs = cb.join(qb, ["table", "bucket"]).select(
-        "q_id", "q_vec", "c_id", "c_vec"
+    # dedup multi-table collisions on the ID pair only — distinct over the
+    # raw vectors would compare 64-element arrays per row
+    id_pairs = cb.drop("c_vec").join(qb.drop("q_vec"), ["table", "bucket"]).select(
+        "q_id", "c_id"
     ).distinct()
     if exclude_self:
-        pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
+        id_pairs = id_pairs.filter(F.col("q_id") != F.col("c_id"))
+    c_vecs = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    pairs = id_pairs.join(c_vecs, "c_id").join(F.broadcast(q_vecs), "q_id")
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
         _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
     )

@@ -1,0 +1,111 @@
+"""Physical-plan assertions (the scale contract: pushdown, broadcast, no
+cartesian blowups) + unit tests for scalar functions not covered by the
+pipeline suites."""
+
+from __future__ import annotations
+
+import io
+import re
+import contextlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+    gtf_attribute,
+    strip_chr,
+    strip_chr_prefix_only,
+    strip_dot_zero,
+    basename,
+)
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources.vcf import (
+    read_vcf_meta_lines,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = _plan(spark, "tpch_q1_agg")
+    assert "LessThanOrEqual(l_shipdate" in p  # predicate reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = m.group(1)
+    assert "l_orderkey" not in cols  # column pruning: unused cols not read
+    assert "l_quantity" in cols
+
+
+def test_dim_joins_broadcast(spark):
+    p = _plan(spark, "join_dims_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The binned interval join must plan as an equi hash/merge join — a
+    BroadcastNestedLoopJoin or CartesianProduct means the binning broke."""
+    p = _plan(spark, "interval_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)
+
+
+def test_semi_anti_plan_shapes(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join")
+    assert "LeftAnti" in _plan(spark, "anti_join")
+
+
+def test_gtf_attribute(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "attrs": [
+                    'gene_id "G1"; gene_type "protein_coding"; gene_name "TP53"; ',
+                    'gene_name "A"; tag "x"; gene_name "B"; ',
+                    'gene_id "G3"; gene_type "lncRNA"; ',
+                ]
+            }
+        )
+    )
+    out = df.select(gtf_attribute(F.col("attrs"), "gene_name").alias("g")).toPandas()
+    assert list(out.g) == ["TP53", "A;B", ""]
+
+
+def test_string_scalars(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "c": ["chr1", "1chr2", "X"],
+                "n": [7157.0, None, 12.05],
+                "p": ["s3://b/dir/f.vcf.gz", "plain", "a/b/c.maf"],
+            }
+        )
+    )
+    out = df.select(
+        strip_chr(F.col("c")).alias("sc"),
+        strip_chr_prefix_only(F.col("c")).alias("sp"),
+        strip_dot_zero(F.col("n")).alias("dz"),
+        basename(F.col("p")).alias("bn"),
+    ).toPandas()
+    assert list(out.sc) == ["1", "12", "X"]        # literal replace anywhere
+    assert list(out.sp) == ["1", "1chr2", "X"]     # prefix-only variant
+    # .0 strip applies to ANY occurrence (mci:285-289 reproduced exactly)
+    assert list(out.dz) == ["7157", "", "125"]
+    assert list(out.bn) == ["f.vcf.gz", "plain", "c.maf"]
+
+
+def test_vcf_meta_lines(spark, tmp_path):
+    p = tmp_path / "m.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n##contig=<ID=chr1>\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\nchr1\t1\t.\tA\tT\t9\tPASS\tDP=1\n"
+    )
+    lines = read_vcf_meta_lines(spark, str(p))
+    assert lines == ["##fileformat=VCFv4.2", "##contig=<ID=chr1>"]
