@@ -761,6 +761,81 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# ----------------------------------------------------- breadth beyond ref
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h window, 30m slide): each event lands
+    in two windows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOWS = """
+WITH slid AS (
+  SELECT e.*, ws.window_start
+  FROM events e, LATERAL (
+    SELECT unnest([
+      CAST(to_timestamp(floor(epoch(e.ts) / 1800) * 1800) AT TIME ZONE 'UTC' AS TIMESTAMP),
+      CAST(to_timestamp(floor(epoch(e.ts) / 1800) * 1800 - 1800) AT TIME ZONE 'UTC' AS TIMESTAMP)
+    ]) AS window_start
+  ) ws
+  WHERE e.ts >= ws.window_start
+    AND e.ts < ws.window_start + INTERVAL 1 HOUR
+)
+SELECT window_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM slid GROUP BY 1, 2
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregation (beyond the reference's surface; a core
+    engine capability — expand-based distinct aggregation)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> total) over customers."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dsum(F.col("c_acctbal"), "sum_acctbal"))
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -793,6 +868,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_pairs": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
+    "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
 }
 
 

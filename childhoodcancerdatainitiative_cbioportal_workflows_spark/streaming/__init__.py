@@ -1,5 +1,6 @@
 from .events import (  # noqa: F401
     EVENTS_SCHEMA,
+    dedup_stream,
     read_event_stream,
     windowed_event_counts,
     sessionize,

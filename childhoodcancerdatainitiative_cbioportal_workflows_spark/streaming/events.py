@@ -65,6 +65,18 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-by-key dedup: drop repeated event_ids within
+    the watermark horizon (state is bounded by the watermark — unbounded
+    streaming dedup would grow state forever). Batch DataFrames get a plain
+    dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

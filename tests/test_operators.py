@@ -113,6 +113,29 @@ def test_pair_rows_odd_group_dropped(spark):
     assert "C" not in set(out.gene_1) | set(out.gene_2)
 
 
+def test_pair_rows_deterministic_under_repartition(spark):
+    """SURVEY §5(d): order-dependent ops must be stable under partitioning."""
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "fid": rng.choice(["f1", "f2", "f3"], 40),
+            "ord": range(40),
+            "gene": [f"G{i}" for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    results = []
+    for nparts in (1, 3, 11):
+        out = (
+            pair_rows(df.repartition(nparts), "fid", "ord", ["gene"])
+            .toPandas()
+            .sort_values(["fid", "pair_id"])
+            .reset_index(drop=True)
+        )
+        results.append(out)
+    assert results[0].equals(results[1]) and results[1].equals(results[2])
+
+
 def test_pivot_duplicate_cells_raise(spark):
     pdf = pd.DataFrame(
         {"g": ["TP53", "TP53"], "s": ["s1", "s1"], "v": [0.1, 0.2]}

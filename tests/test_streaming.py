@@ -100,6 +100,42 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert len(w0) == 1 and w0.n.iloc[0] == 1 and w0.sum_value.iloc[0] == 1.0
 
 
+def test_dedup_stream(spark, tmp_path):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "events_dup")
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "a", "value": 2.0, "props": "{}"},
+    ]
+    b1 = [
+        {"event_id": 2, "ts": "2024-01-01T00:02:00", "user_id": 1, "event_type": "a", "value": 2.0, "props": "{}"},  # dup id
+        {"event_id": 3, "ts": "2024-01-01T00:03:00", "user_id": 1, "event_type": "a", "value": 3.0, "props": "{}"},
+    ]
+    _write_event_files(src, [b0])
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_event_files(src, [])  # noop, dir exists
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for e in b1:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+        got = spark.sql("select event_id from dedup_out").toPandas()
+    finally:
+        q.stop()
+    assert sorted(got.event_id) == [1, 2, 3]  # duplicate id 2 emitted once
+
+
 def test_sessionize_batch(spark):
     events = pd.DataFrame(
         [
