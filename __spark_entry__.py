@@ -763,6 +763,21 @@ FROM s GROUP BY user_id, sid
 
 # ----------------------------------------------------- breadth beyond ref
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field access (the CNV-JSON struct path of cnv.py:204-217 for
+    string-typed JSON columns): get_json_object over the events props."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_json"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k_json FROM events
+"""
+
+
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1h window, 30m slide): each event lands
     in two windows."""
@@ -868,6 +883,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_pairs": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),

@@ -1,5 +1,5 @@
 from .interval_join import interval_join  # noqa: F401
 from .dedup import keep_first, dedup_with_preference  # noqa: F401
 from .pairing import pair_rows  # noqa: F401
-from .pivot import to_wide_matrix, assert_unique_cells  # noqa: F401
+from .pivot import to_wide_matrix, assert_unique_cells, wide_matrix_lines  # noqa: F401
 from .reconcile import reconcile_counts  # noqa: F401

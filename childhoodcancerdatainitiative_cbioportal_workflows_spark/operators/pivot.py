@@ -41,6 +41,41 @@ def assert_unique_cells(df: DataFrame, index: str, column: str) -> None:
         )
 
 
+def wide_matrix_lines(
+    df: DataFrame,
+    index: str,
+    column: str,
+    value: str,
+    column_values: list[str],
+    fill: str = "NA",
+    sep: str = "\t",
+) -> DataFrame:
+    """The 100 TB path for gene x sample matrices (SURVEY §4: pivot width).
+
+    ``groupBy().pivot()`` materializes one Spark column per sample and is
+    bounded by ``spark.sql.pivotMaxValues``; at cohort widths beyond that,
+    the wide TSV is produced as TEXT: one aggregation builds a
+    sample -> value map per gene, one projection formats the row string in
+    the fixed ``column_values`` order. Distributed end to end, no wide
+    schema ever exists; write with ``spark.read...text`` semantics
+    (header prepended by the caller or via union).
+
+    Returns (index, line) — line is the tab-joined row.
+    """
+    q = _q
+    maps = df.groupBy(df[q(index)]).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(df[q(column)], df[q(value)].cast("string")))
+        ).alias("_m")
+    )
+    return maps.select(
+        F.col(q(index)).alias(index),
+        F.concat_ws(sep, F.col(q(index)).cast("string"), *[
+            F.coalesce(F.col("_m").getItem(cv), F.lit(fill)) for cv in column_values
+        ]).alias("line"),
+    )
+
+
 def to_wide_matrix(
     df: DataFrame,
     index: str,

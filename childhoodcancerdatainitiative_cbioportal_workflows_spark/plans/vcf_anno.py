@@ -69,6 +69,20 @@ def annotate_manifest_vcfs(
     return annotator(stamped)
 
 
+def per_file_counts(annotated_maf: DataFrame) -> DataFrame:
+    """The wc-l ledger equivalent (vcf_anno.py:365-395): per-file MAF row
+    counts, with file names rewritten to the annotated-MAF convention so
+    they join the manifest mapping in concat_maf_check."""
+    return (
+        annotated_maf.groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+        .withColumn(
+            "file_name",
+            F.regexp_replace("file_name", r"\.vcf(\.gz)?$", "_annotated.maf"),
+        )
+    )
+
+
 def concat_maf_check(
     concat_maf: DataFrame,
     manifest: DataFrame,

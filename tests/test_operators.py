@@ -157,6 +157,56 @@ def test_pivot_fill(spark):
     assert out.loc["TP53", "s1"] == 1.0 and out.loc["TP53", "s2"] == 0.0
 
 
+def test_wide_matrix_lines_matches_pivot(spark):
+    """The text-path matrix writer (no pivotMaxValues bound) must render the
+    same cells as groupBy().pivot() in the same column order."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        wide_matrix_lines,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "Hugo_Symbol": ["TP53", "TP53", "EGFR"],
+            "sample_id": ["s1", "s2", "s1"],
+            "log2": ["0.5", "-1.2", "2.0"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    samples = ["s1", "s2", "s3"]
+    wide = to_wide_matrix(
+        df, "Hugo_Symbol", "sample_id", "log2", fill="NA", column_values=samples
+    ).toPandas().set_index("Hugo_Symbol")
+    lines = wide_matrix_lines(
+        df, "Hugo_Symbol", "sample_id", "log2", column_values=samples, fill="NA"
+    ).toPandas().set_index("Hugo_Symbol")
+    for gene in ("TP53", "EGFR"):
+        expected = "\t".join([gene] + [str(wide.loc[gene, s]) for s in samples])
+        assert lines.loc[gene, "line"] == expected
+
+
+def test_interval_join_bin_sizes(spark):
+    """Result must be invariant to bin width (intervals >> bin and << bin)."""
+    genes = spark.createDataFrame(
+        pd.DataFrame(
+            {"gid": [1, 2], "chrom": ["c", "c"], "start": [0, 5000], "end": [10000, 5100]}
+        )
+    )
+    segs = spark.createDataFrame(
+        pd.DataFrame(
+            {"sid": [7, 8], "chrom": ["c", "c"], "start": [4000, 9999], "end": [6000, 20000]}
+        )
+    )
+    results = []
+    for bs in (10, 1000, 1_000_000):
+        out = interval_join(
+            genes, segs, bin_size=bs, left_prefix="g_", right_prefix="s_"
+        ).toPandas()
+        results.append(sorted(zip(out.g_gid, out.s_sid, out.overlap_bp)))
+    assert results[0] == results[1] == results[2]
+    assert (1, 7, 2000) in results[0] and (2, 7, 100) in results[0]
+    assert (1, 8, 1) in results[0]
+
+
 def test_reconcile_counts(spark):
     e = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "expected": [2, 1]}))
     o = spark.createDataFrame(pd.DataFrame({"k": ["b", "c"], "observed": [1, 5]}))
