@@ -186,7 +186,8 @@ def simhash_dedup_pairs(
     one exact chunk -> self-join on (block_idx, chunk), verify distance.
     No O(n^2) comparison."""
     assert max_hamming < blocks
-    fps = simhash(df, text_col, id_col)
+    # persist: the fingerprint table feeds both sides of the chunk self-join
+    fps = simhash(df, text_col, id_col).persist()
     width = 64 // blocks
     mask = (1 << width) - 1
     chunked = fps.select(

@@ -3,3 +3,5 @@ from .json_docs import read_cnv_json, CNV_JSON_SCHEMA  # noqa: F401
 from .vcf import read_vcf, VCF_FIXED_COLUMNS  # noqa: F401
 from .excel import read_excel  # noqa: F401
 from .sqldump import parse_sql_dump_counts  # noqa: F401
+from .audit import audit_files, audit_summary  # noqa: F401
+from .http import fetch_to_staging  # noqa: F401

@@ -102,6 +102,42 @@ def test_string_scalars(spark):
     assert list(out.bn) == ["f.vcf.gz", "plain", "c.maf"]
 
 
+def test_audit_files(spark, tmp_path):
+    import hashlib
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources import (
+        audit_files,
+        audit_summary,
+    )
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"alpha")
+    (d / "b.bin").write_bytes(b"beta")
+    (d / "extra.bin").write_bytes(b"x")
+    manifest = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "file_name": ["a.bin", "b.bin", "missing.bin"],
+                "md5sum": [
+                    hashlib.md5(b"alpha").hexdigest(),
+                    hashlib.md5(b"WRONG").hexdigest(),
+                    hashlib.md5(b"z").hexdigest(),
+                ],
+            }
+        )
+    )
+    rep = audit_files(spark, manifest, str(d)).toPandas().set_index("file_name")
+    assert rep.loc["a.bin"].status == "OK"
+    assert rep.loc["b.bin"].status == "MD5_MISMATCH"
+    assert rep.loc["missing.bin"].status == "MISSING"
+    assert rep.loc["extra.bin"].status == "UNEXPECTED"
+    summary = audit_summary(audit_files(spark, manifest, str(d))).toPandas()
+    assert dict(zip(summary.status, summary.n)) == {
+        "OK": 1, "MD5_MISMATCH": 1, "MISSING": 1, "UNEXPECTED": 1,
+    }
+
+
 def test_vcf_meta_lines(spark, tmp_path):
     p = tmp_path / "m.vcf"
     p.write_text(
