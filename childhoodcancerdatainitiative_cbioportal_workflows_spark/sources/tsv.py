@@ -14,7 +14,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 
@@ -71,6 +71,20 @@ def write_tsv(
     out = df.select(*columns) if columns else df
     if na_rep is not None:
         out = out.na.fill(na_rep)
+    # QUOTE_NONE means a separator/newline INSIDE a field has no legal
+    # encoding (Spark would wrap it in NUL quote bytes; the reference's
+    # escapechar='\\' emits backslash+raw-tab, which still breaks naive TSV
+    # consumers). Escape them visibly as \t / \n instead.
+    for f in out.schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            c = F.col(f"`{f.name}`")
+            out = out.withColumn(
+                f.name,
+                F.replace(
+                    F.replace(c, F.lit("\t"), F.lit("\\t")),
+                    F.lit("\n"), F.lit("\\n"),
+                ),
+            )
     writer = (
         out.coalesce(1) if single_file else out
     ).write.mode("overwrite").option("sep", "\t").option("header", "true").option(
