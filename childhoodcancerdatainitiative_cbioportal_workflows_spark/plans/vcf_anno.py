@@ -69,6 +69,22 @@ def annotate_manifest_vcfs(
     return annotator(stamped)
 
 
+def concat_mafs(spark: SparkSession, maf_paths: list[str]) -> DataFrame:
+    """concat_mafs (vcf_anno.py:350-398): the grep-based header-skipping
+    concat becomes one comment-skipping scan over all MAF files +
+    input_file_name tagging. '#' comment lines and per-file header rows are
+    dropped by the reader; unionByName semantics come from the shared
+    schema of a single multi-path scan."""
+    first = (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("comment", "#")
+        .option("inferSchema", "false")
+        .csv(maf_paths)
+    )
+    return first.withColumn("file_name", basename(F.input_file_name()))
+
+
 def per_file_counts(annotated_maf: DataFrame) -> DataFrame:
     """The wc-l ledger equivalent (vcf_anno.py:365-395): per-file MAF row
     counts, with file names rewritten to the annotated-MAF convention so

@@ -113,6 +113,33 @@ def test_annotate_and_check_clean(spark, vcf_fixture):
     assert checks["rerun_manifest"].count() == 0
 
 
+def test_concat_mafs_reader(spark, tmp_path):
+    """Multi-file MAF concat: '#' comments and per-file headers dropped,
+    rows tagged with their source file (the grep -vE '^#|^Hugo_Symbol'
+    semantics of vcf_anno.py:350-398)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.vcf_anno import (
+        concat_mafs,
+        per_file_counts,
+    )
+
+    header = "Hugo_Symbol\tChromosome\tTumor_Sample_Barcode"
+    (tmp_path / "s1_annotated.maf").write_text(
+        f"#version 2.4\n{header}\nTP53\t17\tS1\nEGFR\t7\tS1\n"
+    )
+    (tmp_path / "s2_annotated.maf").write_text(
+        f"#version 2.4\n{header}\nKRAS\t12\tS2\n"
+    )
+    paths = [str(tmp_path / "s1_annotated.maf"), str(tmp_path / "s2_annotated.maf")]
+    maf = concat_mafs(spark, paths)
+    pdf = maf.toPandas()
+    assert len(pdf) == 3
+    assert set(pdf.Tumor_Sample_Barcode) == {"S1", "S2"}
+    assert "Hugo_Symbol" not in set(pdf.Hugo_Symbol)  # no header rows leaked
+    counts = per_file_counts(maf).toPandas().set_index("file_name")
+    assert counts.loc["s1_annotated.maf"].line_count == 2
+    assert counts.loc["s2_annotated.maf"].line_count == 1
+
+
 def test_check_flags_failures_and_nulls(spark, vcf_fixture):
     """Doctored concat MAF: a FAILED annotation on a real chrom (S2) and a
     null-barcode row -> S2 rerun + cleaned MAF drops both."""
