@@ -1,2 +1,2 @@
-from .session import get_spark  # noqa: F401
+from .session import get_spark, load_table  # noqa: F401
 from .contracts import validate, ContractViolation  # noqa: F401

@@ -53,6 +53,22 @@ def read_csv_file(spark: SparkSession, path: str, **kw) -> DataFrame:
     return read_tsv(spark, path, sep=",", **kw)
 
 
+def read_whitespace(
+    spark: SparkSession, path: str, names: list[str]
+) -> DataFrame:
+    """Whitespace-delimited scan — ``pd.read_csv(sep='\\s+')`` over tool
+    output like the ``wc -l`` ledger (vcf_anno.py:416,
+    pedmatch-clinical-vcf-workflow.py:485). Spark's CSV reader has no regex
+    separators, so: text scan + trim + split. All columns string; caller
+    casts."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    out = lines.filter(F.trim(F.col("value")) != "").select(
+        *[parts.getItem(i).alias(n) for i, n in enumerate(names)]
+    )
+    return out
+
+
 def write_tsv(
     df: DataFrame,
     path: str,

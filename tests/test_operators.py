@@ -216,6 +216,44 @@ def test_reconcile_counts(spark):
     assert bool(out.loc["c"].mismatch)
 
 
+def test_salted_aggregate_and_join(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    # heavily skewed key distribution: 'hot' holds 90% of rows
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot"] * 900 + ["cold"] * 100,
+            "v": list(range(900)) + list(range(100)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    agg = salted_aggregate(
+        df, ["k"], {"total": ("v", "sum"), "n": ("v", "count"), "mx": ("v", "max")}
+    ).toPandas().set_index("k")
+    assert agg.loc["hot"].total == sum(range(900)) and agg.loc["hot"].n == 900
+    assert agg.loc["cold"].mx == 99
+
+    dim = spark.createDataFrame(pd.DataFrame({"k": ["hot", "cold"], "label": ["H", "C"]}))
+    joined = salted_join(df, dim, on=["k"]).toPandas()
+    assert len(joined) == 1000  # no row duplication or loss
+    assert set(joined[joined.k == "hot"].label) == {"H"}
+
+
+def test_read_whitespace(spark, tmp_path):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources.tsv import (
+        read_whitespace,
+    )
+
+    p = tmp_path / "wc.txt"
+    p.write_text("  120 /out/a_annotated.maf\n 33   /out/b_annotated.maf\n\n")
+    out = read_whitespace(spark, str(p), ["line_count", "file_name"]).toPandas()
+    assert list(out.line_count) == ["120", "33"]
+    assert out.file_name.iloc[0].endswith("a_annotated.maf")
+
+
 def test_contract_validation(spark):
     good = spark.createDataFrame(
         pd.DataFrame(
