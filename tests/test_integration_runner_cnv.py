@@ -109,6 +109,88 @@ def test_cnv_flow_through_runner(spark, cnv_inputs, tmp_path):
     assert val.filter(F.col("mismatch")).count() < val.count()  # mostly clean
 
 
+def test_pedmatch_flow_through_runner(spark, tmp_path):
+    """Pedmatch composed through the runner: pair -> prep -> fusion/cnv/snv
+    stages with sinks, sharing the loaded-VCF stage."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
+        af_table,
+        cnv_germline_subtract,
+        cnv_prep,
+        fusion_germline_subtract,
+        fusion_prep,
+        pair_patients,
+        prep_clinical_vcf,
+        read_clinical_vcfs,
+        snv_somatic,
+    )
+    import pandas as pd
+
+    FMT = "GT:GQ:DP:MDP:MAF:FRO:QUAL2:FAO:AF:OTHER"
+
+    def fv(gt, dp, fro, fao, af):
+        return f"{gt}:99:{dp}:0:0:{fro}:50:{fao}:{af}:x"
+
+    hdr = "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+    t_rows = [
+        ("chr1", 100, "F7_1", "A", "<SV>", "9", "PASS",
+         "SVTYPE=Fusion;GENE_NAME=AA;EXON_NUM=1;ANNOTATION=a;READ_COUNT=5", FMT, fv("0/1", 30, 5, 25, 0.5)),
+        ("chr1", 200, "F7_2", "A", "<SV>", "9", "PASS",
+         "SVTYPE=Fusion;GENE_NAME=BB;EXON_NUM=2;ANNOTATION=b;READ_COUNT=6", FMT, fv("0/1", 30, 5, 25, 0.5)),
+        ("chr2", 300, "MYC", "A", "<CNV>", "9", "PASS",
+         "SVTYPE=CNV;Amplification;NUMTILES=3;END=4300;RAW_CN=6.0", FMT, fv("0/1", 30, 5, 25, 0.5)),
+        ("chr3", 400, "sv1", "G", "T", "9", "PASS", "DP=x", FMT, fv("0/1", 25, 10, 15, 0.6)),
+    ]
+    n_rows = [("chr3", 400, "sv1", "G", "T", "9", "PASS", "DP=x", FMT, fv("0/0", 20, 10, 0, 0.0))]
+    for fn, rows in (("T.vcf", t_rows), ("N.vcf", n_rows)):
+        with open(tmp_path / fn, "w") as f:
+            f.write(hdr)
+            for r in rows:
+                f.write("\t".join(str(x) for x in r) + "\n")
+    manifest = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("X_tissue", "X", "tissue", "T.vcf"),
+                ("X_blood", "X", "blood", "N.vcf"),
+            ],
+            columns=["sample_id", "participant_id", "sample_type", "file_name"],
+        )
+    )
+
+    def s_pairs(ctx):
+        return pair_patients(manifest)
+
+    def s_vcf(ctx):
+        return prep_clinical_vcf(read_clinical_vcfs(spark, str(tmp_path), manifest))
+
+    def s_fusions(ctx):
+        return fusion_germline_subtract(fusion_prep(ctx["vcf"]), ctx["pairs"])
+
+    def s_cnv(ctx):
+        return cnv_germline_subtract(cnv_prep(ctx["vcf"]), ctx["pairs"])
+
+    def s_snv_af(ctx):
+        return af_table(snv_somatic(ctx["vcf"], ctx["pairs"]))
+
+    stages = [
+        Stage("pairs", s_pairs),
+        Stage("vcf", s_vcf),
+        Stage("fusions", s_fusions, deps=("vcf", "pairs")),
+        Stage("cnv", s_cnv, deps=("vcf", "pairs")),
+        Stage("snv_af", s_snv_af, deps=("vcf", "pairs")),
+    ]
+    runner = PipelineRunner(spark, str(tmp_path / "ped_wd"))
+    r1 = runner.run(stages)
+    assert r1.computed == ["pairs", "vcf", "fusions", "cnv", "snv_af"]
+    assert runner.run(stages).resumed == ["pairs", "vcf", "fusions", "cnv", "snv_af"]
+
+    wd = str(tmp_path / "ped_wd")
+    assert spark.read.parquet(f"{wd}/fusions").count() == 1
+    cnv = spark.read.parquet(f"{wd}/cnv").toPandas()
+    assert list(cnv.Hugo_Symbol) == ["MYC"]
+    af = spark.read.parquet(f"{wd}/snv_af").toPandas()
+    assert len(af) == 1 and af.t_alt_count.iloc[0] == "15"
+
+
 def test_tsv_round_trip(spark, tmp_path):
     df = spark.createDataFrame(
         [("TP53", 1, 0.5, None), ("EG FR", 2, -1.25, "x\ty")],
