@@ -699,6 +699,59 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(d, threshold=0.5)
 
 
+def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with md5 string-min hashing: the oracle-checkable variant
+    — DuckDB reproduces the identical signatures, bands, candidates and
+    estimated Jaccard. Bounded to 300 docs (md5 string hashing is the slow
+    family; the xxhash64 variant is the production path)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        minhash_dedup_pairs_md5,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_dedup_pairs_md5(d, threshold=0.5, num_hashes=32, bands=8)
+
+
+SQL_MINHASH_LSH_MD5 = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END AS shingles
+  FROM t  -- doc bound + 32x8 sizing mirror the Spark side exactly
+), sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           j -> list_aggregate(
+                  list_transform(shingles, s -> md5(j::VARCHAR || '|' || s)),
+                  'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id,
+         b AS band,
+         md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+  FROM sigs, unnest(range(0, 8)) AS u(b)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+             / CAST(len(sa.sig) AS DOUBLE), 4) AS est_jaccard
+FROM cands
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+      / CAST(len(sa.sig) AS DOUBLE) >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + near-dup pairs by Hamming blocks (rows-only;
     pinned by tests/test_llm_ops.py)."""
@@ -880,6 +933,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "minhash_lsh": (q_minhash_lsh, None),
+    "minhash_lsh_md5": (q_minhash_lsh_md5, SQL_MINHASH_LSH_MD5),
     "simhash_pairs": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),

@@ -49,6 +49,15 @@ def get_spark(
     return spark
 
 
+def run_id(spark: SparkSession, fmt: str = "yyyyMMdd_'T'HHmmss") -> str:
+    """Run-stamp string for output naming — the reference's EST timestamp
+    IDs (src/utils.py:13-18). Uses the session clock/timezone so distributed
+    writers in one run share one stamp."""
+    return spark.range(1).select(
+        F.date_format(F.current_timestamp(), fmt).alias("ts")
+    ).first()["ts"]
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as long
     (legacy conf above); we convert back to TimestampType (µs) ourselves."""

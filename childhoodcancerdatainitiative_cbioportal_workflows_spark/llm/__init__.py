@@ -3,6 +3,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_dedup_pairs,
+    minhash_dedup_pairs_md5,
     simhash,
     simhash_dedup_pairs,
     ngram_jaccard_pairs,

@@ -139,6 +139,81 @@ def minhash_dedup_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_dedup_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash+LSH with md5 string-min hashing — slower than the xxhash64
+    family (string hashing + lexicographic mins) but reproducible in ANY
+    engine with md5, which makes the whole LSH construction
+    oracle-checkable against DuckDB. Same banding/verify shape as
+    :func:`minhash_dedup_pairs`."""
+    rows_per_band = num_hashes // bands
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n=shingle_words).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+    sigs = staged.select("id", sig.alias("signature")).persist()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.toDF("id_a", "band", "bucket")
+    b = banded.toDF("id_b", "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.toDF("id_a", "sig_a")
+    sb = sigs.toDF("id_b", "sig_b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.size("sig_a")
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_bits: int = 64
 ) -> DataFrame:

@@ -10,7 +10,7 @@ row-alignment hazard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.genomics import strip_chr_prefix_only, strip_dot_zero
 from ..operators.dedup import keep_first
@@ -102,7 +102,7 @@ def annotate_clinical_variants(clin: DataFrame, annotator) -> DataFrame:
     )
 
 
-def _not_reported(c: F.Column) -> F.Column:
+def _not_reported(c: Column) -> Column:
     return ((c == "Not Reported") | c.isNull()).cast("int")
 
 
