@@ -350,7 +350,11 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold over all i<j pairs.
     Brute-force form (exact); for corpus scale route candidates through
-    similarity.lsh_ann_topk buckets first."""
+    similarity.lsh_ann_topk buckets first.
+
+    Note: an unrolled 64-term element_at chain was tried and measured 4x
+    SLOWER than the array fold (a giant generated method falls off the JIT
+    inlining cliff); the HOF fold is the right shape here."""
     as_double = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(
         F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)

@@ -24,6 +24,14 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# NOTE: an unrolled element_at dot-product chain (64 scalar terms) was
+# benchmarked against the HOF fold for the pairwise workloads here and lost
+# 4x — the giant generated expression falls off the JIT inlining cliff.
+# Keep the array folds; they are the fast shape for vector math in pure
+# Spark SQL. (The next tier up is Arrow-batched numpy, which trades oracle
+# bit-parity for ~20x.)
+
+
 def cosine_topk(
     candidates: DataFrame,
     queries: DataFrame,
