@@ -816,6 +816,52 @@ FROM s GROUP BY user_id, sid
 
 # ----------------------------------------------------- breadth beyond ref
 
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + global top-k (TPC-H Q3 shape): top 10 orders by
+    revenue for one market segment. Exercises join planning + the
+    TakeOrderedAndProject physical top-k (no full sort)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOPK_REVENUE = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field access (the CNV-JSON struct path of cnv.py:204-217 for
     string-typed JSON columns): get_json_object over the events props."""
@@ -937,6 +983,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_pairs": (q_simhash, None),
     "ann_lsh": (q_ann_lsh, None),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "topk_revenue": (q_topk_revenue, SQL_TOPK_REVENUE),
+    "cube_agg": (q_cube_agg, SQL_CUBE_AGG),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),

@@ -5,3 +5,4 @@ from .events import (  # noqa: F401
     windowed_event_counts,
     sessionize,
 )
+from .stateful import running_user_totals  # noqa: F401

@@ -136,6 +136,49 @@ def test_dedup_stream(spark, tmp_path):
     assert sorted(got.event_id) == [1, 2, 3]  # duplicate id 2 emitted once
 
 
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-user state must carry across
+    micro-batches (user 1's count accumulates 2 -> 3)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "events_state")
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 1, "event_type": "a", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 2, "event_type": "a", "value": 5.0, "props": "{}"},
+    ]
+    b1 = [
+        {"event_id": 4, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "a", "value": 4.0, "props": "{}"},
+    ]
+    _write_event_files(src, [b0])
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for e in b1:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+        got = spark.sql("select * from user_totals").toPandas()
+    finally:
+        q.stop()
+    # user 1: batch0 row (n=2, total=3) then batch1 update (n=3, total=7)
+    u1 = got[got.user_id == 1].sort_values("n_events")
+    assert list(u1.n_events) == [2, 3]
+    assert list(u1.total_value) == [3.0, 7.0]
+    u2 = got[got.user_id == 2]
+    assert len(u2) == 1 and u2.n_events.iloc[0] == 1 and u2.total_value.iloc[0] == 5.0
+
+
 def test_sessionize_batch(spark):
     events = pd.DataFrame(
         [
