@@ -102,6 +102,46 @@ def test_string_scalars(spark):
     assert list(out.bn) == ["f.vcf.gz", "plain", "c.maf"]
 
 
+def test_bucketed_join_avoids_shuffle(spark):
+    """Joining two tables bucketed on the join key must plan WITHOUT an
+    Exchange (the co-located join contract)."""
+    import contextlib
+    import io as _io
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources import (
+        read_table,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "b_lineitem",
+        ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        o.select("o_orderkey", "o_totalprice"), "b_orders",
+        ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"],
+    )
+    bl, bo = read_table(spark, "b_lineitem"), read_table(spark, "b_orders")
+    # disable broadcast so the join exercises the bucketed SMJ path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides read pre-bucketed
+        assert j.count() == li.count()  # every lineitem matches its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
 def test_audit_files(spark, tmp_path):
     import hashlib
 
