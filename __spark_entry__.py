@@ -10,7 +10,14 @@ summation order differs between engines/partitionings).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# the driver may load this module by file path; make the sibling package
+# importable regardless of cwd/sys.path
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
