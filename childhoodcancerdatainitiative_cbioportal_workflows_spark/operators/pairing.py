@@ -36,10 +36,15 @@ def pair_rows(
     )
     for c in pair_cols:
         out = out.withColumn(f"{c}{suffixes[1]}", F.lead(c).over(w))
+    # Partner detection must not depend on a nullable payload column: a real
+    # second row whose pair_cols[0] is NULL is still a pair (the reference
+    # emits it with NaN fields). lead over the row number is null iff the
+    # group truly ends here.
+    out = out.withColumn("_partner_rn", F.lead("_rn").over(w))
     # keep the first row of each pair; its lead() columns are the second row
     out = out.filter(F.col("_rn") % 2 == 1)
     for c in pair_cols:
         out = out.withColumnRenamed(c, f"{c}{suffixes[0]}")
     if drop_unpaired:
-        out = out.filter(F.col(f"{pair_cols[0]}{suffixes[1]}").isNotNull())
-    return out.drop("_rn")
+        out = out.filter(F.col("_partner_rn").isNotNull())
+    return out.drop("_rn", "_partner_rn")

@@ -113,6 +113,30 @@ def test_pair_rows_odd_group_dropped(spark):
     assert "C" not in set(out.gene_1) | set(out.gene_2)
 
 
+def test_pair_rows_null_payload_partner_kept(spark):
+    """A genuine pair whose SECOND row has a NULL pair column must survive
+    drop_unpaired: the reference's 2-at-a-time loop
+    (``pedmatch-clinical-vcf-workflow.py:125-151``) emits it with NaN Site2
+    fields. Partner detection must use row position, not a nullable payload."""
+    pdf = pd.DataFrame(
+        {
+            "fid": ["f1", "f1", "f2", "f2", "f3"],
+            "ord": [1, 2, 1, 2, 1],
+            # f1's second row and f2's FIRST row have null gene
+            "gene": ["A", None, None, "D", "E"],
+        }
+    )
+    out = (
+        pair_rows(spark.createDataFrame(pdf), "fid", "ord", ["gene"])
+        .toPandas()
+        .sort_values("fid")
+    )
+    # both complete pairs kept; odd f3 row dropped
+    assert list(out.fid) == ["f1", "f2"]
+    assert out.gene_2.isna().tolist() == [True, False]
+    assert out.gene_1.isna().tolist() == [False, True]
+
+
 def test_pair_rows_deterministic_under_repartition(spark):
     """SURVEY §5(d): order-dependent ops must be stable under partitioning."""
     rng = np.random.default_rng(5)
