@@ -666,23 +666,244 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
 
+# ---- generated-oracle helpers: the md5-derived hash families and the LSH
+# plane literals are deterministic, so the DuckDB SQL below is GENERATED to
+# embed the exact same constants the Spark plans use. Integer constructions
+# (nibble folds, affine hashes, bit votes) are bit-exact across engines;
+# float dot products agree to the last ulp only (DuckDB's list_reduce is a
+# pairwise fold), which sign/round checks tolerate — validated end-to-end by
+# tests/test_oracle_parity.py.
+
+_DUCK_NIBFOLD = (
+    "list_reduce(list_transform(range({a},{b}), i -> "
+    "(CASE WHEN ascii(h[i]) >= 97 THEN ascii(h[i])-87 ELSE ascii(h[i])-48 END)::BIGINT), "
+    "(a,b) -> a*16+b)"
+)
+
+
+def _duck_shingle_cte(n: int, doc_bound: int) -> str:
+    """tokens -> n-word shingle lists (not distinct), mirroring
+    functions.text.word_shingles."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < {doc_bound}
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {n}
+           THEN list_transform(range(1, len(toks) - {n - 2}),
+                               i -> array_to_string(toks[i:i+{n - 1}], ' '))
+           ELSE [] END AS shingles
+  FROM t
+), hx AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
+  FROM sh WHERE len(shingles) > 0
+)"""
+
+
+def _sql_minhash_universal(
+    doc_bound: int, num_hashes: int, bands: int, threshold: float, seed: int
+) -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        minhash_universal_coeffs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        MERSENNE31,
+    )
+
+    a_co, b_co = minhash_universal_coeffs(num_hashes, seed)
+    rpb = num_hashes // bands
+    a_sql = "[" + ",".join(str(x) for x in a_co) + "]::BIGINT[]"
+    b_sql = "[" + ",".join(str(x) for x in b_co) + "]::BIGINT[]"
+    est = (
+        "len(list_filter(list_zip(a.sig, b.sig), p -> p[1] = p[2]))"
+        " / CAST(len(a.sig) AS DOUBLE)"
+    )
+    return f"""{_duck_shingle_cte(3, doc_bound)}, bp AS (
+  SELECT doc_id,
+         list_transform(hs, h -> {_DUCK_NIBFOLD.format(a=1, b=9)} % {MERSENNE31}) AS bps
+  FROM hx
+), co AS (
+  SELECT {a_sql} AS ca, {b_sql} AS cb
+), sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, {num_hashes}),
+           j -> list_aggregate(
+                  list_transform(bps, x -> (ca[j+1] * x + cb[j+1]) % {MERSENNE31}),
+                  'min')) AS sig
+  FROM bp, co
+), banded AS (
+  SELECT doc_id, sig, b AS band,
+         array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',') AS bucket
+  FROM sigs, unnest(range(0, {bands})) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND({est}, 4) AS est_jaccard
+FROM banded a JOIN banded b USING (band, bucket)
+WHERE a.doc_id < b.doc_id AND ROUND({est}, 4) >= {threshold}
+"""
+
+
+def _sql_simhash_md5(doc_bound: int, max_hamming: int, blocks: int) -> str:
+    width = 64 // blocks
+    ham = "len(list_filter(list_zip(a.bits, b.bits), p -> p[1] <> p[2]))"
+    return f"""{_duck_shingle_cte(2, doc_bound)}, pk AS (
+  SELECT doc_id,
+         list_transform(hs, h -> {_DUCK_NIBFOLD.format(a=1, b=9)}) AS los,
+         list_transform(hs, h -> {_DUCK_NIBFOLD.format(a=9, b=17)}) AS his
+  FROM hx
+), bits AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i -> CASE WHEN
+           (CASE WHEN i < 32
+                 THEN list_sum(list_transform(los, v -> ((v >> i) & 1) * 2 - 1))
+                 ELSE list_sum(list_transform(his, v -> ((v >> (i - 32)) & 1) * 2 - 1))
+            END) > 0 THEN 1 ELSE 0 END) AS bits
+  FROM pk
+), ch AS (
+  SELECT doc_id, bits, b AS blk,
+         array_to_string(bits[b*{width}+1 : b*{width}+{width}], '') AS chunk
+  FROM bits, unnest(range(0, {blocks})) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({ham} AS INTEGER) AS hamming
+FROM ch a JOIN ch b USING (blk, chunk)
+WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}
+"""
+
+
+def _duck_plane_lit(plane: list[float]) -> str:
+    return "[" + ",".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
+def _duck_bucket_expr(planes: list[list[float]]) -> str:
+    """Integer bucket = sum of 2^j over planes with non-negative projection;
+    matches the Spark double-weight sum exactly (distinct powers of two)."""
+    terms = [
+        "(CASE WHEN list_reduce(list_transform(list_zip("
+        + _duck_plane_lit(p)
+        + ", vec), x -> x[1]*x[2]), (a,b) -> a+b) >= 0 THEN "
+        + str(1 << j)
+        + " ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_ann_lsh(
+    dim: int, k: int, num_planes: int, num_tables: int, seed: int, q_bound: int
+) -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.similarity import (
+        _hyperplanes,
+    )
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT id, vec, {t} AS t, {_duck_bucket_expr(_hyperplanes(dim, num_planes, seed + t))} AS bucket FROM v"
+        for t in range(num_tables)
+    )
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+cb AS (
+  {arms}
+),
+qb AS (SELECT id, t, bucket FROM cb WHERE id < {q_bound}),
+pairs AS (
+  SELECT DISTINCT qb.id AS q_id, cb.id AS c_id
+  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+  WHERE qb.id <> cb.id
+),
+nv AS (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+sc AS (
+  SELECT q_id, c_id,
+         list_reduce(list_transform(list_zip(qv.vec, cv.vec), x -> x[1]*x[2]),
+                     (a,b) -> a+b) / (qv.nrm * cv.nrm) AS cos
+  FROM pairs JOIN nv cv ON cv.id = pairs.c_id JOIN nv qv ON qv.id = pairs.q_id
+)
+SELECT q_id, c_id, ROUND(cos, 4) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+def _sql_embedding_dups_lsh(
+    dim: int, threshold: float, num_planes: int, num_tables: int, seed: int
+) -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.similarity import (
+        _hyperplanes,
+    )
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT id, vec, {t} AS t, {_duck_bucket_expr(_hyperplanes(dim, num_planes, seed + t))} AS bucket FROM v"
+        for t in range(num_tables)
+    )
+    cos = (
+        "list_reduce(list_transform(list_zip(av.vec, bv.vec), x -> x[1]*x[2]),"
+        " (a,b) -> a+b) / (av.nrm * bv.nrm)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+cb AS (
+  {arms}
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.id < b.id
+),
+nv AS (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
+SELECT id_a, id_b, ROUND({cos}, 4) AS cos_sim
+FROM pairs JOIN nv av ON av.id = pairs.id_a JOIN nv bv ON bv.id = pairs.id_b
+WHERE ROUND({cos}, 4) >= {threshold}
+"""
+
+
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding cosine near-dup pairs (north star)."""
+    """Embedding cosine near-dup pairs routed through random-hyperplane LSH
+    buckets — no cross product anywhere in the plan (the r1 brute-force form
+    was the designated scale-killer; see q_embedding_dups_exact for the
+    bounded exact variant). Oracle SQL embeds the identical plane literals."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        embedding_dup_pairs_lsh,
+    )
+
+    return embedding_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        dim=64,
+        num_planes=5,
+        num_tables=12,
+        seed=29,
+    )
+
+
+SQL_EMBEDDING_DUPS = _sql_embedding_dups_lsh(
+    dim=64, threshold=0.45, num_planes=5, num_tables=12, seed=29
+)
+
+
+def q_embedding_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs on a bounded slice — the verify-stage /
+    ground-truth face of q_embedding_dups (brute force is O(n^2); keep it
+    bounded)."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
         embedding_dup_pairs,
     )
 
-    return embedding_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45
-    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_dup_pairs(emb, threshold=0.45)
 
 
-SQL_EMBEDDING_DUPS = """
+SQL_EMBEDDING_DUPS_EXACT = """
 WITH v AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
          sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                           (a, b) -> a + b)) AS nrm
-  FROM embeddings
+  FROM embeddings WHERE vec_id < 300
 )
 SELECT a.id AS id_a, b.id AS id_b,
        ROUND(list_reduce(list_transform(list_zip(a.vec, b.vec), x -> x[1] * x[2]),
@@ -695,15 +916,26 @@ WHERE a.id < b.id
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, verified by estimated Jaccard.
-    xxhash64-based — not SQL-expressible in DuckDB, so rows-only check here;
-    correctness is pinned by tests/test_llm_ops.py against true Jaccard."""
+    """MinHash+LSH near-dup candidates verified by estimated Jaccard, using
+    classic universal hashing (md5 base hash + affine maps mod 2^31-1) —
+    integer-only, so the DuckDB oracle reproduces signatures, bands,
+    candidates and est_jaccard bit-for-bit at full production sizing
+    (64 hashes x 16 bands). The JVM-only xxhash64 family
+    (llm.dedup.minhash_dedup_pairs) keeps its semantics pinned by
+    tests/test_llm_ops.py against true Jaccard."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
-        minhash_dedup_pairs,
+        minhash_dedup_pairs_universal,
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return minhash_dedup_pairs(d, threshold=0.5)
+    return minhash_dedup_pairs_universal(
+        d, threshold=0.5, num_hashes=64, bands=16, seed=29
+    )
+
+
+SQL_MINHASH_LSH = _sql_minhash_universal(
+    doc_bound=1000, num_hashes=64, bands=16, threshold=0.5, seed=29
+)
 
 
 def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,25 +992,45 @@ WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + near-dup pairs by Hamming blocks (rows-only;
-    pinned by tests/test_llm_ops.py)."""
+    """SimHash near-dup pairs by Hamming pigeonhole blocks, bits derived
+    from md5 hex nibbles packed into two 32-bit halves — integer-only, so
+    the DuckDB oracle reproduces every bit vote. The JVM-only xxhash64
+    variant (llm.dedup.simhash_dedup_pairs) stays pinned by
+    tests/test_llm_ops.py."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
-        simhash_dedup_pairs,
+        simhash_dedup_pairs_md5,
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return simhash_dedup_pairs(d, max_hamming=6, blocks=8)
+    return simhash_dedup_pairs_md5(d, max_hamming=6, blocks=8)
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_md5(doc_bound=1000, max_hamming=6, blocks=8)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbours (rows-only; recall vs the
-    exact top-k is pinned by tests/test_llm_ops.py)."""
+    """LSH-bucketed approximate nearest neighbours. The hyperplanes are a
+    seeded deterministic matrix, so the generated oracle SQL embeds the
+    identical plane literals and reproduces bucketing, candidate pairs and
+    the ranked top-k; recall vs the exact top-k is additionally pinned by
+    tests/test_llm_ops.py."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import lsh_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(
-        emb, emb.filter(F.col("vec_id") < 50), k=5, num_planes=10, num_tables=4
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        k=5,
+        dim=64,
+        num_planes=10,
+        num_tables=4,
+        seed=13,
     )
+
+
+SQL_ANN_LSH = _sql_ann_lsh(
+    dim=64, k=5, num_planes=10, num_tables=4, seed=13, q_bound=50
+)
 
 
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -985,10 +1237,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
-    "minhash_lsh": (q_minhash_lsh, None),
+    "embedding_dups_exact": (q_embedding_dups_exact, SQL_EMBEDDING_DUPS_EXACT),
+    "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "minhash_lsh_md5": (q_minhash_lsh_md5, SQL_MINHASH_LSH_MD5),
-    "simhash_pairs": (q_simhash, None),
-    "ann_lsh": (q_ann_lsh, None),
+    "simhash_pairs": (q_simhash, SQL_SIMHASH_PAIRS),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "topk_revenue": (q_topk_revenue, SQL_TOPK_REVENUE),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),

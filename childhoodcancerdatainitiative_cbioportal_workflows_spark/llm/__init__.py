@@ -4,10 +4,16 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     minhash_dedup_pairs,
     minhash_dedup_pairs_md5,
+    minhash_dedup_pairs_universal,
+    minhash_universal_coeffs,
     simhash,
+    simhash_bits_md5,
     simhash_dedup_pairs,
+    simhash_dedup_pairs_md5,
     ngram_jaccard_pairs,
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    release_plan_caches,
 )
 from .similarity import cosine_topk, lsh_ann_topk  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import fingerprint, word_shingles
 
 
+def _with_caches(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Attach the persisted intermediates a plan depends on. Callers own the
+    cache lifetime: materialize ``out``, then ``release_plan_caches(out)``.
+    (Unpersisting inside the builder would evict before the lazy plan runs;
+    never unpersisting leaks blocks across bench loops / long drivers.)"""
+    out._spark_graft_caches = caches  # type: ignore[attr-defined]
+    return out
+
+
+def release_plan_caches(df: DataFrame) -> None:
+    """Unpersist every cached intermediate attached by the dedup builders."""
+    for c in getattr(df, "_spark_graft_caches", []):
+        c.unpersist()
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct normalized content; keeper = min id. Single
     shuffle on the 16-byte fingerprint, map-side partial agg."""
@@ -134,9 +149,10 @@ def minhash_dedup_pairs(
         )
         / F.size("sig_a")
     )
-    return joined.select(
+    out = joined.select(
         "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
     ).filter(F.col("est_jaccard") >= threshold)
+    return _with_caches(out, [sigs])
 
 
 def minhash_dedup_pairs_md5(
@@ -206,12 +222,253 @@ def minhash_dedup_pairs_md5(
         )
         / F.size("sig_a")
     )
-    return (
+    out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+    return _with_caches(out, [sigs])
+
+
+# ---------------------------------------------------------------- md5-derived
+# Oracle-checkable hash families. xxhash64 is JVM-only, so the production
+# variants above can't be reproduced in DuckDB; these derive all hash bits
+# from md5 hex (available in every engine) through INTEGER-ONLY arithmetic —
+# nibble extraction, base-16 folds, affine universal hashing — which is
+# bit-exact across engines (float folds are not: DuckDB's list_reduce is a
+# pairwise reduction, not a sequential fold).
+
+MERSENNE31 = 2147483647  # 2^31 - 1; universal-hash modulus
+
+
+def _hex_nibble(ch):
+    """Value of one lowercase hex digit. ascii() keeps it integer-only and
+    engine-portable (strpos/locate argument orders differ across engines)."""
+    a = F.ascii(ch)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def _md5_nibbles(h, start: int, count: int):
+    """array<bigint> of hex-digit values h[start..start+count-1] (1-based)."""
+    return F.transform(
+        F.sequence(F.lit(start), F.lit(start + count - 1)),
+        lambda i: _hex_nibble(F.substr(h, i, F.lit(1))).cast("bigint"),
+    )
+
+
+def _nibble_fold(nibs):
+    """Pack a nibble array into one bigint: ((n1*16+n2)*16+n3)... — the same
+    left fold DuckDB's list_reduce performs on integers."""
+    return F.aggregate(nibs, F.lit(0).cast("bigint"), lambda acc, x: acc * 16 + x)
+
+
+def simhash_bits_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
+) -> DataFrame:
+    """(id, bits array<int> of length 64) — SimHash whose shingle hashes are
+    the first 16 md5 hex digits packed into two 32-bit halves. Integer-only,
+    so a DuckDB oracle reproduces every bit. Each derivation step lives in
+    its own projection: HOF arguments are inlined and re-evaluated, so
+    folding 64 votes over an un-staged md5 expression would re-hash every
+    shingle 64x."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n=shingle_n), lambda s: F.md5(s)
+        ).alias("_md5s"),
+    ).filter(F.size("_md5s") > 0)
+    packed = staged.select(
+        "id",
+        F.transform(F.col("_md5s"), lambda h: _nibble_fold(_md5_nibbles(h, 1, 8))).alias(
+            "_lo"
+        ),
+        F.transform(F.col("_md5s"), lambda h: _nibble_fold(_md5_nibbles(h, 9, 8))).alias(
+            "_hi"
+        ),
+    )
+
+    def _vote(col, shift):
+        return F.aggregate(
+            col,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, shift).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bits = []
+    for i in range(64):
+        v = _vote(F.col("_lo"), i) if i < 32 else _vote(F.col("_hi"), i - 32)
+        bits.append(F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+    return packed.select("id", F.array(*bits).alias("bits"))
+
+
+def simhash_dedup_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    blocks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by md5-SimHash Hamming distance, pigeonhole-blocked
+    like :func:`simhash_dedup_pairs`. The bits array rides through the block
+    self-join (bounded corpora; the xxhash variant persists a packed-long
+    fingerprint instead), and the per-pair Hamming distance is deterministic,
+    so multi-block collisions collapse with a plain distinct at the end."""
+    assert max_hamming < blocks and 64 % blocks == 0
+    width = 64 // blocks
+    # persist: the bit-vote table (the expensive md5 + 64-fold stage) feeds
+    # the block self-join and both hamming-verify sides
+    fps = simhash_bits_md5(df, text_col, id_col).persist()
+    chunked = fps.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.array_join(
+                            F.slice("bits", b * width + 1, width).cast("array<string>"),
+                            "",
+                        ).alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "bc.blk", "bc.chunk")
+    cands = (
+        chunked.toDF("id_a", "blk", "chunk")
+        .join(chunked.toDF("id_b", "blk", "chunk"), ["blk", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: x != y),
+            lambda m: m,
+        )
+    )
+    out = (
+        cands.join(fps.toDF("id_a", "bits_a"), "id_a")
+        .join(fps.toDF("id_b", "bits_b"), "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return _with_caches(out, [fps])
+
+
+def minhash_universal_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine coefficients (a_j, b_j) for universal hashing
+    mod 2^31-1; shared verbatim by the Spark plan and the generated oracle
+    SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = [int(x) for x in rng.integers(1, MERSENNE31, num_hashes)]
+    b = [int(x) for x in rng.integers(0, MERSENNE31, num_hashes)]
+    return a, b
+
+
+def minhash_dedup_pairs_universal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 29,
+) -> DataFrame:
+    """MinHash+LSH with classic universal hashing: each shingle is md5-hashed
+    ONCE, packed to a 32-bit base, and the K signature slots come from affine
+    maps h_j = (a_j*base + b_j) mod 2^31-1 — integer-only and engine-portable,
+    unlike the per-seed string hashing of :func:`minhash_dedup_pairs_md5`
+    (K string hashes per shingle) or the JVM-only xxhash64 family. This is
+    both the oracle-checkable AND the production-speed construction.
+
+    Band buckets are the joined signature-slice strings themselves; hashing
+    them buys nothing at these key widths. Signatures ride through the band
+    join and est_jaccard is deterministic per pair, so band-collision
+    duplicates collapse with a final distinct (no second join, no persist)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    a_co, b_co = minhash_universal_coeffs(num_hashes, seed)
+    p = F.lit(MERSENNE31)
+
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), n=shingle_words), lambda s: F.md5(s)
+        ).alias("_md5s"),
+    ).filter(F.size("_md5s") > 0)
+    based = staged.select(
+        "id",
+        F.transform(
+            F.col("_md5s"), lambda h: _nibble_fold(_md5_nibbles(h, 1, 8)) % p
+        ).alias("_bp"),
+    )
+
+    # The seed loop is unrolled in Python: 64 scalar-literal transforms. An
+    # outer transform over sequence(0,63) with element_at(coeff_lit, j+1)
+    # indexing falls out of codegen and measured 10x slower (51 s -> 5 s at
+    # sf0.1) for identical semantics.
+    def _affine(a_j: int, b_j: int):
+        return lambda x: (F.lit(a_j) * x + F.lit(b_j)) % p
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_bp"), _affine(a_co[j], b_co[j])))
+            for j in range(num_hashes)
+        ]
+    )
+    # persist: the signature table feeds the band join and both verify sides
+    sigs = based.select("id", sig.alias("signature")).persist()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.slice("signature", b * rows_per_band + 1, rows_per_band).cast(
+                                "array<string>"
+                            ),
+                            ",",
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cands = (
+        banded.toDF("id_a", "band", "bucket")
+        .join(banded.toDF("id_b", "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.toDF("id_a", "sig_a")
+    sb = sigs.toDF("id_b", "sig_b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.size("sig_a")
+    )
+    out = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return _with_caches(out, [sigs])
 
 
 def simhash(
@@ -291,9 +548,10 @@ def simhash_dedup_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return pairs.withColumn("hamming", ham).filter(
+    out = pairs.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+    return _with_caches(out, [fps])
 
 
 def ngram_jaccard_pairs(
@@ -340,6 +598,98 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int | None = None,
+    num_planes: int = 5,
+    num_tables: int = 12,
+    seed: int = 29,
+) -> DataFrame:
+    """Embedding near-dup pairs routed through random-hyperplane LSH buckets:
+    only pairs sharing a (table, bucket) are cosine-verified, replacing the
+    O(n^2) cross product of :func:`embedding_dup_pairs` with bucket-local
+    work — the scale path for 100 TB corpora. Candidate generation is a
+    single projection + equi-join on (table, bucket); vectors are re-joined
+    onto the deduped id pairs so the wide arrays never ride the bucket
+    shuffle.
+
+    Recall is the LSH collision bound (1-(1-(1-theta/pi)^P)^T): ~0.95+ at
+    true near-dup thresholds (cos >= 0.9, P=8/T=8); at looser thresholds
+    choose fewer planes / more tables (the defaults here target cos ~0.45,
+    recall ~0.77). Keep :func:`embedding_dup_pairs` as the exact
+    verify-stage on bounded slices."""
+    from .similarity import _hyperplanes
+
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    all_planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+    planes_lit = F.lit(all_planes)
+    weights = F.lit([float(1 << j) for j in range(num_planes)])
+    as_double = F.col(vec_col).cast("array<double>")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    tables = F.transform(
+        planes_lit,
+        lambda planes_t, t: F.struct(
+            t.alias("table"),
+            F.aggregate(
+                F.transform(
+                    planes_t,
+                    lambda p, j: F.when(
+                        _dot(p, F.col("vec")) >= 0, F.element_at(weights, j + F.lit(1))
+                    ).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            .cast("bigint")
+            .alias("bucket"),
+        ),
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        as_double.alias("vec"),
+        F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)).alias(
+            "norm"
+        ),
+    )
+    # persist: the T*P projection pass feeds both sides of the bucket join
+    bucketed = (
+        v.select("id", F.explode(tables).alias("tb"))
+        .select("id", "tb.table", "tb.bucket")
+        .persist()
+    )
+    cands = (
+        bucketed.toDF("id_a", "table", "bucket")
+        .join(bucketed.toDF("id_b", "table", "bucket"), ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.toDF("id_a", "vec_a", "norm_a")
+    vb = v.toDF("id_b", "vec_b", "norm_b")
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(dot / (F.col("norm_a") * F.col("norm_b")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    return _with_caches(out, [bucketed])
 
 
 def embedding_dup_pairs(

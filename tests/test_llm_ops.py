@@ -13,12 +13,15 @@ from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
     cosine_topk,
     decode_and_featurize,
     embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
     exact_dedup,
     lsh_ann_topk,
     minhash_dedup_pairs,
+    minhash_dedup_pairs_universal,
     ngram_jaccard_pairs,
     simhash,
     simhash_dedup_pairs,
+    simhash_dedup_pairs_md5,
 )
 from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.multimodal import (
     MULTIMODAL_SCHEMA,
@@ -115,6 +118,30 @@ def test_simhash_near_dups(spark, docs):
     assert (1, 102) in pairs
 
 
+def test_minhash_universal_finds_near_dups(spark, docs):
+    """The oracle-checkable universal-hash MinHash family must find the same
+    engineered dups as the xxhash64 production family."""
+    df, pdf = docs
+    out = minhash_dedup_pairs_universal(df, threshold=0.5).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (1, 102) in pairs
+    exact = out[(out.id_a == 0) & (out.id_b == 100)]
+    assert len(exact) == 1 and exact.est_jaccard.iloc[0] == 1.0
+    texts = dict(zip(pdf.doc_id, pdf.text))
+    for a, b in pairs:
+        assert _true_jaccard(texts[a], texts[b], n=3) >= 0.3
+
+
+def test_simhash_md5_near_dups(spark, docs):
+    """md5-bit SimHash (oracle-checkable) mirrors the xxhash64 family:
+    identical docs at hamming 0, the doctored near-dup found."""
+    df, pdf = docs
+    out = simhash_dedup_pairs_md5(df, max_hamming=8, blocks=16).toPandas()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.itertuples()}
+    assert pairs[(0, 100)] == 0 and pairs[(0, 101)] == 0
+    assert (1, 102) in pairs
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     """Clustered vectors (the realistic embedding shape LSH is built for):
@@ -170,6 +197,27 @@ def test_embedding_dup_pairs(spark, vectors):
     cm = _cos_matrix(base.astype(np.float64))
     for r in out.itertuples():
         assert cm[r.id_a, r.id_b] >= 0.949
+
+
+def test_embedding_dup_pairs_lsh_recall_and_plan(spark, vectors):
+    """The LSH-routed near-dup path: no cross product anywhere in the
+    physical plan (the 100 TB scale requirement), and at true near-dup
+    thresholds it recovers the engineered pair the exact variant finds."""
+    df, base = vectors
+    lsh = embedding_dup_pairs_lsh(df, threshold=0.95, dim=16, seed=29)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    out = lsh.toPandas()
+    got = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (4, 5) in got  # engineered near-dup (cos ~ 1.0)
+    cm = _cos_matrix(base.astype(np.float64))
+    for a, b in got:
+        assert cm[a, b] >= 0.949  # no false positives: every pair verified
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(df, threshold=0.95).toPandas().itertuples()
+    }
+    assert len(got & exact) / len(exact) >= 0.5  # documented recall floor
 
 
 def test_multimodal_plumbing(spark):
