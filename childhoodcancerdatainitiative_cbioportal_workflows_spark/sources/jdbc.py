@@ -13,9 +13,10 @@ mysqldump's ``--single-transaction`` consistency maps to reading all tables
 at one snapshot: pass ``options={"isolationLevel": ...}`` or export from a
 replica; Spark cannot impose cross-table transactionality on its own.
 
-No JDBC driver ships in this container, so these functions are exercised
-for plan/contract shape in tests via their parquet halves; the jdbc calls
-themselves are standard ``DataFrameReader.jdbc`` passthroughs.
+Tested live against embedded Apache Derby (ships in Spark's jars) —
+tests/test_runner_jdbc.py runs a real write.jdbc/read.jdbc round-trip with
+count reconciliation; the parquet/reconcile halves are additionally covered
+driver-free.
 """
 
 from __future__ import annotations
