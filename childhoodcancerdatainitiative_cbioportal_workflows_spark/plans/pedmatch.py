@@ -307,6 +307,27 @@ def snv_somatic(vcf: DataFrame, pairs: DataFrame) -> DataFrame:
     return somatic.withColumn("FILTER", F.lit("PASS"))
 
 
+def write_somatic_vcf(
+    somatic: DataFrame, out_dir: str, tumor_sample_id: str
+) -> dict[str, str]:
+    """Somatic-SNV output files (pedmatch:443-460): the filtered somatic
+    table as ``{id}_somatic_snvs.vcf`` — the reference's ``to_csv`` contract
+    (tab-separated, column-name header row, no ``##`` meta; it feeds Genome
+    Nexus, not bcftools) — plus the ``_backup`` copy kept for filter
+    forensics. Real header-preserving VCF emission is
+    ``sources.vcf.write_vcf``."""
+    import os
+    import shutil
+
+    from ..sources.tsv import write_tsv
+
+    main = os.path.join(out_dir, f"{tumor_sample_id}_somatic_snvs.vcf")
+    backup = os.path.join(out_dir, f"{tumor_sample_id}_somatic_snvs_backup.vcf")
+    write_tsv(somatic, main)
+    shutil.copyfile(main, backup)
+    return {"somatic_vcf": main, "backup": backup}
+
+
 def af_table(somatic: DataFrame) -> DataFrame:
     """Per-variant allele-fraction table (pedmatch:459-462)."""
     return somatic.select(

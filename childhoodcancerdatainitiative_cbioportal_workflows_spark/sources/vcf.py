@@ -9,7 +9,7 @@ columns keep their sample name when the caller passes it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 VCF_FIXED_COLUMNS = ["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"]
@@ -55,3 +55,73 @@ def read_vcf_meta_lines(spark: SparkSession, path: str) -> list[str]:
     when emitting VCFs, pedmatch:329-351). Small, driver-collected."""
     txt = spark.read.text(path)
     return [r.value for r in txt.filter(txt.value.startswith("##")).collect()]
+
+
+# the FT FORMAT declaration the reference splices into the meta block
+# (pedmatch-clinical-vcf-workflow.py:331)
+FT_META_LINE = (
+    '##FORMAT=<ID=FT,Number=1,Type=String,'
+    'Description="Filter status of the variant">'
+)
+
+
+def preserve_filter_as_ft(vcf: DataFrame, sample_cols: list[str]) -> DataFrame:
+    """FILTER -> per-sample FT FORMAT field
+    (``pedmatch-clinical-vcf-workflow.py:326-351``): append ``:FT`` to the
+    FORMAT spec and ``:<FILTER>`` to each sample column, so the original
+    per-variant filter survives a bcftools-merge-style combination. Callers
+    add :data:`FT_META_LINE` to the meta lines they pass to
+    :func:`write_vcf` (the reference splices it blindly at line 100; we
+    append to the ``##`` block — same declaration, robust position)."""
+    out = vcf.withColumn("FORMAT", F.concat_ws(":", F.col("FORMAT"), F.lit("FT")))
+    for s in sample_cols:
+        out = out.withColumn(s, F.concat_ws(":", F.col(f"`{s}`"), F.col("FILTER")))
+    return out
+
+
+def write_vcf(
+    df: DataFrame,
+    path: str,
+    meta_lines: list[str],
+    columns: list[str] | None = None,
+    na_rep: str = ".",
+) -> str:
+    """VCF sink: ``##`` meta lines + ``#CHROM...`` header + tab-separated
+    records, one file (the contract every VCF consumer — tabix, bcftools,
+    IGV — expects). The read side drops both header forms via
+    ``comment='#'``, so emission re-attaches them here; records are written
+    distributed then stitched under the header. ``.gz`` paths emit the
+    header as its own gzip member (member concatenation is valid gzip)."""
+    import glob
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    cols = columns or df.columns
+    out = df.select(*[F.col(f"`{c}`").cast("string") for c in cols]).na.fill(na_rep)
+    header_txt = "\n".join([*meta_lines, "#" + "\t".join(cols)]) + "\n"
+    gz = path.endswith(".gz")
+    tmp = tempfile.mkdtemp(prefix="vcf_sink_")
+    staged = os.path.join(tmp, "out")
+    writer = (
+        out.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "false")
+        .option("emptyValue", na_rep)
+        .option("quote", "\u0000")  # QUOTE_NONE, like the TSV contract
+    )
+    if gz:
+        writer = writer.option("compression", "gzip")
+    writer.csv(staged)
+    part = glob.glob(os.path.join(staged, "part-*"))[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "wb") as dst:
+        dst.write(
+            gzip.compress(header_txt.encode()) if gz else header_txt.encode()
+        )
+        with open(part, "rb") as src:
+            shutil.copyfileobj(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return path
