@@ -560,18 +560,47 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Distinct-shingle explode -> self-join on shingle -> intersection counts;
     union = |A| + |B| - |A ∩ B|. The shingle join key is fine-grained, so
-    skew is bounded by shingle frequency (stopword-only shingles are the
-    hot keys — acceptable at corpus scale, or pre-filter top-frequency
-    shingles as a stoplist)."""
+    skew is bounded by shingle frequency — stopword-only shingles are the
+    hot keys, and one shingle shared by k docs contributes k^2 join rows to
+    a single reducer.
+
+    ``max_doc_freq`` is the stoplist: shingles appearing in more than that
+    many documents are dropped BEFORE the self-join (bounding every join
+    key to max_doc_freq^2 pairs), and Jaccard is computed over the filtered
+    shingle space on both sides of the ratio — a document's size shrinks by
+    exactly its dropped shingles, so stopword-boilerplate overlap stops
+    inflating similarity. The number of dropped shingles is logged. At
+    corpus scale this is the difference between a bounded reducer and one
+    straggler owning ('the of the')^2."""
+    import logging
+
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n=n))).alias("shingle"),
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+            .persist()
+        )
+        n_hot = hot.count()  # materializes the (small) stoplist for reuse
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_pairs: stoplist dropped %d shingles with doc-freq > %d",
+            n_hot,
+            max_doc_freq,
+        )
+        # re-select: the USING join moves the key column first, and the
+        # pair-join below renames positionally
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").select("id", "shingle")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")
@@ -595,9 +624,10 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold).select(
+    result = out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
+    return _with_caches(result, [hot]) if max_doc_freq is not None else result
 
 
 def embedding_dup_pairs_lsh(

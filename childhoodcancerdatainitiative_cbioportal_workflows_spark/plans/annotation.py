@@ -44,14 +44,15 @@ class LookupAnnotator:
         self.keys = keys
 
     def __call__(self, variants: DataFrame) -> DataFrame:
-        value_cols = [c for c in self.lookup.columns if c not in self.keys]
-        probe = F.broadcast(self.lookup)
+        # explicit match marker: deriving SUCCESS from the nullness of a
+        # value column misreports a matched row whose first value is
+        # legitimately NULL (e.g. Entrez_Gene_Id absent) as FAILED
+        probe = F.broadcast(self.lookup.withColumn("_matched", F.lit(True)))
         out = variants.join(probe, on=self.keys, how="left")
-        status = F.when(
-            F.col(value_cols[0]).isNull() if value_cols else F.lit(False),
-            F.lit("FAILED"),
-        ).otherwise(F.lit("SUCCESS"))
-        return out.withColumn("Annotation_Status", status)
+        status = F.when(F.col("_matched").isNotNull(), F.lit("SUCCESS")).otherwise(
+            F.lit("FAILED")
+        )
+        return out.withColumn("Annotation_Status", status).drop("_matched")
 
 
 def match_consequence(

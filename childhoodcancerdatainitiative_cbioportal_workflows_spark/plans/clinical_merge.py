@@ -142,9 +142,26 @@ def merge_clinical_variants_to_maf(
         .orderBy("Tumor_Sample_Barcode", "Chromosome", "Start_Position")
     )
 
-    unannotated_rows = maf_concat.count()
-    clin_rows = anno_clin_muts.count()
-    concat_rows = deduped.count()
+    # one traversal of the union DAG for all three log counts (the naive
+    # three .count() calls recompute the un-cached union/dedup tree 3x):
+    # per-key partial counts, then one global agg — group count == deduped
+    # rows, per-source sums == pre-dedup side counts
+    totals = (
+        unioned.groupBy(*[F.col(f"`{k}`") for k in MAF_DEDUP_KEYS])
+        .agg(
+            F.count(F.when(F.col("_src") == 0, 1)).alias("_maf_n"),
+            F.count(F.when(F.col("_src") == 1, 1)).alias("_clin_n"),
+        )
+        .agg(
+            F.sum("_maf_n").alias("maf_rows"),
+            F.sum("_clin_n").alias("clin_rows"),
+            F.count(F.lit(1)).alias("dedup_rows"),
+        )
+        .first()
+    )
+    unannotated_rows = totals["maf_rows"]
+    clin_rows = totals["clin_rows"]
+    concat_rows = totals["dedup_rows"]
     stats = {
         "raw_maf_rows": unannotated_rows,
         "merged_rows": concat_rows,

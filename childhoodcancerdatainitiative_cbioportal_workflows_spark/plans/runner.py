@@ -52,7 +52,15 @@ class PipelineRunner:
         return os.path.join(self.workdir, name)
 
     def _complete(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._sink(name), "_SUCCESS"))
+        # probe through Hadoop's FileSystem, not os.path: workdir may be
+        # S3/HDFS (the 100 TB deployment), where a driver-local exists()
+        # always says no and resume silently never triggers
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(self._sink(name), "_SUCCESS")
+        )
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs.exists(path)
 
     def run(self, stages: list[Stage], force_from: str | None = None) -> RunReport:
         report = RunReport()

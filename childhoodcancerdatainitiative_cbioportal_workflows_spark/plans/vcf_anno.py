@@ -115,9 +115,12 @@ def concat_maf_check(
     ``misformatted`` (null/empty barcode rows), ``cleaned_maf`` (rerun +
     misformatted rows removed), ``rerun_manifest``."""
     # manifest file_url -> expected annotated-MAF file name (vcf_anno.py:425)
+    # same pattern as per_file_counts — an uncompressed .vcf manifest entry
+    # must rewrite identically on both sides or its ledger join misses and
+    # the sample is spuriously routed to rerun
     mf = manifest.withColumn(
         "file_name",
-        F.regexp_replace(basename(F.col("file_url")), r"\.vcf\.gz$", "_annotated.maf"),
+        F.regexp_replace(basename(F.col("file_url")), r"\.vcf(\.gz)?$", "_annotated.maf"),
     )
     ledger = mf.join(per_file_counts, "file_name", "left").withColumnRenamed(
         "line_count", "line_count_individual"

@@ -26,12 +26,19 @@ def read_tsv(
     header: bool | None = None,
     comment: str | None = None,
     sep: str = "\t",
+    infer_schema: bool = False,
 ) -> DataFrame:
     """pandas read_csv equivalents:
     - header row (default): ``pd.read_csv(path, sep='\\t')``
     - ``names=[...]``: headerless with given names (``cnv.py:650``)
     - ``comment='#'``: skip meta lines (``vcf_anno.py:278``)
-    gzip transparent via the codec, as with the shelled-out gunzip."""
+    gzip transparent via the codec, as with the shelled-out gunzip.
+
+    Pass ``schema`` (see ``core.schemas`` for the format registry) wherever
+    the format is known: schema inference is a second full scan of the data
+    (2x ingest cost at 100 TB), so it is OPT-IN via ``infer_schema=True``
+    and the no-schema default types every column string — mirroring the
+    reference's ``dtype=str`` MAF reads."""
     reader = spark.read.option("sep", sep)
     if comment:
         reader = reader.option("comment", comment)
@@ -39,9 +46,13 @@ def read_tsv(
         reader = reader.schema(schema)
         reader = reader.option("header", str(bool(header)).lower())
     elif names is not None:
-        reader = reader.option("header", "false").option("inferSchema", "true")
+        reader = reader.option("header", "false").option(
+            "inferSchema", str(infer_schema).lower()
+        )
     else:
-        reader = reader.option("header", "true").option("inferSchema", "true")
+        reader = reader.option("header", "true").option(
+            "inferSchema", str(infer_schema).lower()
+        )
     df = reader.csv(path)
     if names is not None and schema is None:
         df = df.toDF(*names)

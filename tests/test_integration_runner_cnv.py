@@ -198,7 +198,8 @@ def test_tsv_round_trip(spark, tmp_path):
     )
     out = str(tmp_path / "rt.tsv")
     write_tsv(df, out, columns=["gene", "k", "v", "note"], na_rep="NA")
-    back = read_tsv(spark, out).toPandas().sort_values("k")
+    # inference is opt-in (scan cost); this generic read-back wants types
+    back = read_tsv(spark, out, infer_schema=True).toPandas().sort_values("k")
     assert list(back.gene) == ["TP53", "EG FR"]
     assert list(back.v) == [0.5, -1.25]
     assert back.note.iloc[0] == "NA"       # null sentinel round-trips

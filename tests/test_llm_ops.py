@@ -118,6 +118,27 @@ def test_simhash_near_dups(spark, docs):
     assert (1, 102) in pairs
 
 
+def test_ngram_stoplist_bounds_skew(spark):
+    """Adversarial stopword corpus: every doc shares the same boilerplate
+    shingles (one hot join key owning |D|^2 rows without a stoplist). With
+    max_doc_freq set, boilerplate drops out: boilerplate-only pairs vanish
+    and Jaccard is computed over the filtered shingle space, matching a
+    brute force over the same space."""
+    boiler = "the of and to in is that it for as"  # shared by every doc
+    rows = [(i, f"{boiler} unique{i} token{i} filler{i} suffix{i}") for i in range(30)]
+    rows.append((100, rows[0][1]))  # true near-dup beyond the boilerplate
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    naive = ngram_jaccard_pairs(df, n=3, threshold=0.5).toPandas()
+    # boilerplate alone pushes unrelated docs over threshold: skew AND noise
+    assert len(naive) > 1
+
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.5, max_doc_freq=5).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    assert set(pairs) == {(0, 100)}  # only the genuine duplicate survives
+    assert pairs[(0, 100)] == 1.0  # identical over the filtered space
+
+
 def test_minhash_universal_finds_near_dups(spark, docs):
     """The oracle-checkable universal-hash MinHash family must find the same
     engineered dups as the xxhash64 production family."""

@@ -113,6 +113,58 @@ def test_annotate_and_check_clean(spark, vcf_fixture):
     assert checks["rerun_manifest"].count() == 0
 
 
+def test_uncompressed_vcf_manifest_reconciles(spark):
+    """An uncompressed .vcf manifest entry must rewrite to the same
+    annotated-MAF name as per_file_counts does, or the ledger join misses
+    and the sample is spuriously routed to rerun."""
+    manifest = spark.createDataFrame(
+        pd.DataFrame({"sample": ["S1"], "file_url": ["s3://b/f1.vcf"], "md5sum": ["x"]})
+    )
+    maf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "Tumor_Sample_Barcode": ["S1", "S1"],
+                "file_name": ["f1.vcf"] * 2,
+                "Chromosome": ["1", "2"],
+                "Annotation_Status": ["SUCCESS", "SUCCESS"],
+            }
+        )
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.vcf_anno import (
+        per_file_counts,
+    )
+
+    checks = concat_maf_check(maf, manifest, per_file_counts(maf))
+    ledger = checks["ledger"].toPandas().set_index("sample")
+    assert not bool(ledger.loc["S1"].mismatch)
+    assert checks["rerun_manifest"].count() == 0
+
+
+def test_lookup_annotator_null_value_column_is_success(spark):
+    """A matched lookup row whose FIRST value column is legitimately NULL
+    (e.g. Entrez_Gene_Id absent) must still report SUCCESS — match is
+    decided by an explicit marker, not value nullness."""
+    lookup = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "Chromosome": ["1"],
+                "Entrez_Gene_Id": [None],
+                "Hugo_Symbol": ["TP53"],
+            }
+        )
+    )
+    variants = spark.createDataFrame(
+        pd.DataFrame({"Chromosome": ["1", "9"], "extra": ["a", "b"]})
+    )
+    out = (
+        LookupAnnotator(lookup, keys=["Chromosome"])(variants)
+        .toPandas()
+        .set_index("Chromosome")
+    )
+    assert out.loc["1"].Annotation_Status == "SUCCESS"
+    assert out.loc["9"].Annotation_Status == "FAILED"
+
+
 def test_concat_mafs_reader(spark, tmp_path):
     """Multi-file MAF concat: '#' comments and per-file headers dropped,
     rows tagged with their source file (the grep -vE '^#|^Hugo_Symbol'
