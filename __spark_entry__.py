@@ -1033,6 +1033,128 @@ SQL_ANN_LSH = _sql_ann_lsh(
 )
 
 
+def _ivf_centroid_ids(n_pool: int = 500, k: int = 16, seed: int = 7) -> list[int]:
+    """Deterministic coarse-quantizer sample, valid at every SF (ids 0..499
+    exist from sf0.001 up); shared by the Spark plan and the oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return sorted(int(x) for x in rng.choice(n_pool, size=k, replace=False))
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate nearest neighbours: inverted lists under a
+    deterministic sampled coarse quantizer, nprobe-list probing. The
+    centroid id sample is seeded, so the oracle rebuilds the identical
+    index."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import ivf_flat_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_flat_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        centroid_ids=_ivf_centroid_ids(),
+        k=5,
+        nprobe=4,
+    )
+
+
+def _sql_ann_ivf(k: int, nprobe: int, q_bound: int) -> str:
+    ids = ",".join(str(i) for i in _ivf_centroid_ids())
+    acos = (
+        "list_reduce(list_transform(list_zip(nv.vec, nc.cvec), x -> x[1]*x[2]),"
+        " (a,b) -> a+b) / (nv.nrm * nc.cnrm)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+nv AS (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+nc AS (SELECT id AS cid, vec AS cvec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS cnrm
+       FROM v WHERE id IN ({ids})),
+assign AS (
+  SELECT nv.id, nc.cid,
+         row_number() OVER (PARTITION BY nv.id ORDER BY {acos} DESC, nc.cid) AS rn
+  FROM nv CROSS JOIN nc
+),
+cand_lists AS (SELECT id, cid AS list_id FROM assign WHERE rn = 1),
+qprobe AS (SELECT id AS q_id, cid AS list_id FROM assign
+           WHERE id < {q_bound} AND rn <= {nprobe}),
+pairs AS (
+  SELECT DISTINCT q_id, cl.id AS c_id
+  FROM qprobe JOIN cand_lists cl USING (list_id)
+  WHERE cl.id <> q_id
+),
+sc AS (
+  SELECT q_id, c_id,
+         list_reduce(list_transform(list_zip(qv.vec, cv.vec), x -> x[1]*x[2]),
+                     (a,b) -> a+b) / (qv.nrm * cv.nrm) AS cos
+  FROM pairs JOIN nv cv ON cv.id = pairs.c_id JOIN nv qv ON qv.id = pairs.q_id
+)
+SELECT q_id, c_id, ROUND(cos, 4) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF = _sql_ann_ivf(k=5, nprobe=4, q_bound=50)
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components (min-label
+    propagation, an iterative driver loop of join+agg rounds) over the
+    n-gram Jaccard near-dup pairs. The DuckDB oracle walks the same graph
+    with a recursive CTE — component labels are canonical (min id), so the
+    results are engine-comparable."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return dedup_components(ngram_jaccard_pairs(d, threshold=0.5))
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), walk AS (
+  SELECT s AS id, s AS comp FROM e
+  UNION
+  SELECT e.s AS id, walk.comp FROM e JOIN walk ON e.d = walk.id
+)
+SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+"""
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user, 30-min inactivity gap (the batch face of
     the Structured Streaming surface — streaming/events.sessionize)."""
@@ -1236,12 +1358,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "embedding_dups_exact": (q_embedding_dups_exact, SQL_EMBEDDING_DUPS_EXACT),
     "minhash_lsh": (q_minhash_lsh, SQL_MINHASH_LSH),
     "minhash_lsh_md5": (q_minhash_lsh_md5, SQL_MINHASH_LSH_MD5),
     "simhash_pairs": (q_simhash, SQL_SIMHASH_PAIRS),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "topk_revenue": (q_topk_revenue, SQL_TOPK_REVENUE),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),

@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    dedup_components,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -15,7 +16,7 @@ from .dedup import (  # noqa: F401
     embedding_dup_pairs_lsh,
     release_plan_caches,
 )
-from .similarity import cosine_topk, lsh_ann_topk  # noqa: F401
+from .similarity import cosine_topk, ivf_flat_topk, lsh_ann_topk  # noqa: F401
 from .multimodal import (  # noqa: F401
     MULTIMODAL_SCHEMA,
     attach_media_metadata,

@@ -630,6 +630,60 @@ def ngram_jaccard_pairs(
     return _with_caches(result, [hot]) if max_doc_freq is not None else result
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster canonicalization: connected components over a
+    near-dup pair list -> (id, component) with component = min id reachable,
+    so every duplicate cluster gets one canonical keeper regardless of which
+    dedup family (exact / MinHash / SimHash / embedding) produced the pairs.
+
+    Min-label propagation: each node repeatedly takes the minimum label in
+    its neighborhood until fixpoint — one join + one partial-aggregated
+    groupBy per round, converging in O(component diameter) rounds (near-dup
+    clusters are shallow; web-scale components use the same shape with
+    large-star/small-star rewiring). Per-round persists truncate
+    recomputation; the returned plan owns only the final frame. Labels are
+    canonical (min id), so results are engine-comparable — the DuckDB
+    oracle walks the same graph with a recursive CTE."""
+    edges_dir = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges_dir.union(
+            edges_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp")).persist()
+    )
+    edges.count()  # materialize once; reused every round
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), F.col("comp"))
+            .union(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            neighbor_min.join(labels.withColumnRenamed("comp", "_old"), "id")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = neighbor_min
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels.select(F.col("id"), F.col("comp").alias("component"))
+    return _with_caches(out, [labels])
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",

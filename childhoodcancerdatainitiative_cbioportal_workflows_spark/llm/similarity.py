@@ -91,6 +91,77 @@ def _bucket_expr(vec, planes: list[list[float]]):
     return F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x).cast("bigint")
 
 
+def ivf_flat_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroid_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat approximate top-k: an inverted-file index whose coarse
+    quantizer is a DETERMINISTIC sample of the corpus itself
+    (``centroid_ids``) — no k-means iterations, so the whole construction
+    is reproducible in any engine (the trained-centroid variant drops in by
+    swapping the centroid table). Every vector joins its nearest centroid's
+    list (one broadcast join over n x K comparisons); a query probes its
+    ``nprobe`` nearest lists and scores only those lists' members. At
+    corpus scale the probe join replaces O(n*q) scoring with
+    list-local work, and the K-way assignment pass is embarrassingly
+    parallel.
+
+    Returns (q_id, c_id, cos_sim, rank), rank by cosine desc / id asc."""
+    v = candidates.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cents = v.filter(F.col("id").isin([int(i) for i in centroid_ids])).select(
+        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    ccos = _dot(F.col("vec"), F.col("cvec")) / (
+        _norm(F.col("vec")) * _norm(F.col("cvec"))
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
+    assign = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_ccos", ccos)
+        .withColumn("_rn", F.row_number().over(w_assign))
+    )
+    cand_lists = assign.filter(F.col("_rn") == 1).select("id", F.col("cid").alias("list_id"))
+    qd = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    qprobe = (
+        qd.crossJoin(F.broadcast(cents))
+        .withColumn("_ccos", ccos)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("id").alias("q_id"), F.col("cid").alias("list_id"))
+    )
+    pairs = (
+        qprobe.join(cand_lists, "list_id")
+        .select("q_id", F.col("id").alias("c_id"))
+        .distinct()
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
+    cv = v.toDF("c_id", "c_vec")
+    qv = qd.toDF("q_id", "q_vec")
+    cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        pairs.join(cv, "c_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+    )
+
+
 def lsh_ann_topk(
     candidates: DataFrame,
     queries: DataFrame,

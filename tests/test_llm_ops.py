@@ -118,6 +118,25 @@ def test_simhash_near_dups(spark, docs):
     assert (1, 102) in pairs
 
 
+def test_dedup_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain (needs >1 round), a 2-node
+    island, and a triangle all resolve to min-id components."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60), (70, 80), (80, 90), (70, 90)],
+        ["id_a", "id_b"],
+    )
+    out = {r.id: r.component for r in dedup_components(pairs).collect()}
+    assert out == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        50: 50, 60: 50,
+        70: 70, 80: 70, 90: 70,
+    }
+
+
 def test_ngram_stoplist_bounds_skew(spark):
     """Adversarial stopword corpus: every doc shares the same boilerplate
     shingles (one hot join key owning |D|^2 rows without a stoplist). With
@@ -218,6 +237,27 @@ def test_embedding_dup_pairs(spark, vectors):
     cm = _cos_matrix(base.astype(np.float64))
     for r in out.itertuples():
         assert cm[r.id_a, r.id_b] >= 0.949
+
+
+def test_ivf_flat_recall(spark, vectors):
+    """IVF with a sampled coarse quantizer: generous nprobe recovers the
+    exact top-k on the clustered fixture, and the engineered near-dup is
+    found."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import ivf_flat_topk
+
+    df, base = vectors
+    exact = cosine_topk(df, df, k=3).toPandas()
+    approx = ivf_flat_topk(
+        df, df, centroid_ids=[0, 5, 10, 15, 20, 25], k=3, nprobe=3
+    ).toPandas()
+    hits = tot = 0
+    for q in range(30):
+        want = set(exact[exact.q_id == q].c_id)
+        got = set(approx[approx.q_id == q].c_id)
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.8
+    assert 5 in set(approx[approx.q_id == 4].c_id)
 
 
 def test_embedding_dup_pairs_lsh_recall_and_plan(spark, vectors):
