@@ -580,6 +580,60 @@ FROM documents GROUP BY 1
 """
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprinting with content-defined
+    (mod-p) sampling — integer-only Horner folds, reproduced bit-for-bit by
+    the oracle."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        ROLLING_MOD,
+        with_rolling_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    staged = with_rolling_fingerprints(d, hashes_col="_hashes", kept_col="_kept")
+    checksum = (
+        F.aggregate(F.col("_kept"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+        % ROLLING_MOD
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_hashes").cast("bigint").alias("n_grams"),
+        F.size("_kept").cast("bigint").alias("n_kept"),
+        checksum.alias("fp_checksum"),
+        # try_element_at: ANSI mode makes element_at THROW on empty arrays
+        F.coalesce(F.try_element_at("_kept", F.lit(1)), F.lit(-1)).alias("fp_min"),
+    )
+
+
+SQL_ROLLING_FINGERPRINT = """
+WITH nrm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+  FROM documents WHERE doc_id < 500
+), cd AS (
+  SELECT doc_id, s,
+         list_transform(range(1, length(s) + 1), i -> ascii(s[i])::BIGINT) AS codes
+  FROM nrm
+), hs AS (
+  SELECT doc_id,
+         CASE WHEN length(s) >= 8
+           THEN list_transform(range(1, length(s) - 6),
+                  i -> list_reduce(codes[i:i+7], (a,b) -> (a*257 + b) % 2147483647))
+           ELSE [] END AS hashes
+  FROM cd
+), k AS (
+  SELECT doc_id, hashes,
+         list_sort(list_distinct(list_filter(hashes, h -> h % 64 = 0))) AS kept
+  FROM hs
+)
+SELECT doc_id,
+       len(hashes)::BIGINT AS n_grams,
+       len(kept)::BIGINT AS n_kept,
+       (COALESCE(list_sum(kept), 0) % 2147483647)::BIGINT AS fp_checksum,
+       COALESCE(kept[1], -1)::BIGINT AS fp_min
+FROM k
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + sub-word token counting (north star)."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
@@ -1357,6 +1411,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),

@@ -115,6 +115,71 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+ROLLING_MOD = 2147483647  # 2^31 - 1
+ROLLING_BASE = 257
+
+
+def _normalized(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def char_codes(text: Column) -> Column:
+    """Per-character codepoints of the normalized text (array<bigint>).
+    STAGE THIS IN ITS OWN PROJECTION before folding windows over it: HOF
+    arguments are inlined, so referencing this expression inside a per-gram
+    lambda re-evaluates the whole array per gram — O(len^2 * window),
+    measured in minutes on kilobyte documents."""
+    norm = _normalized(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(F.substr(norm, i, F.lit(1))).cast("bigint"),
+    )
+
+
+def rolling_hashes_from_codes(codes: Column, window: int = 8) -> Column:
+    """Rabin-Karp rolling fingerprint stream over a STAGED ``char_codes``
+    column: polynomial hash (Horner fold, base 257 mod 2^31-1) of every
+    ``window``-char gram. Integer-only, so external engines reproduce it
+    bit-for-bit. Empty array when the text is shorter than the window
+    (sequence() counts down otherwise — guarded)."""
+    n_grams = F.size(codes) - F.lit(window - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.slice(codes, i, window),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * ROLLING_BASE + c) % F.lit(ROLLING_MOD),
+        ),
+    )
+    return F.when(n_grams >= 1, hashes).otherwise(F.array().cast("array<bigint>"))
+
+
+def selected_from_hashes(hashes: Column, keep_mod: int = 64) -> Column:
+    """Content-defined fingerprint sample over a STAGED hash-stream column:
+    keep hashes ≡ 0 mod ``keep_mod`` (deterministic ~1/keep_mod sampling
+    that survives insertions/deletions elsewhere in the document — the
+    property winnowing schemes rely on). Distinct + sorted -> canonical."""
+    return F.array_sort(F.array_distinct(F.filter(hashes, lambda h: h % keep_mod == 0)))
+
+
+def with_rolling_fingerprints(
+    df,
+    text_col: str = "text",
+    window: int = 8,
+    keep_mod: int = 64,
+    hashes_col: str = "rolling_hashes",
+    kept_col: str = "fingerprints",
+):
+    """DataFrame-level fingerprinting with each derivation staged in its own
+    projection (codes -> hash stream -> kept sample), the shape that keeps
+    the work O(len * window) per document."""
+    staged = df.withColumn("_rk_codes", char_codes(F.col(text_col)))
+    staged = staged.withColumn(
+        hashes_col, rolling_hashes_from_codes(F.col("_rk_codes"), window)
+    ).drop("_rk_codes")
+    return staged.withColumn(kept_col, selected_from_hashes(F.col(hashes_col), keep_mod))
+
+
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Array of character n-grams over the normalized text; shorter texts
     yield an empty array."""

@@ -174,15 +174,18 @@ def minhash_dedup_pairs_md5(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n=shingle_words).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
+
+    # seed loop unrolled in Python (scalar literals): the outer transform
+    # over sequence(0, K-1) with a Column seed falls out of codegen — same
+    # cliff measured 10x on the universal variant
+    def _seed_min(j: int):
+        return F.array_min(
             F.transform(
-                F.col("_sh"),
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+                F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
             )
-        ),
-    )
+        )
+
+    sig = F.array(*[_seed_min(j) for j in range(num_hashes)])
     sigs = staged.select("id", sig.alias("signature")).persist()
     banded = sigs.select(
         "id",
@@ -630,11 +633,35 @@ def ngram_jaccard_pairs(
     return _with_caches(result, [hot]) if max_doc_freq is not None else result
 
 
+def _driver_union_find(rows, spark) -> DataFrame:
+    """Union-find with path compression, min id as root — identical output
+    to the distributed propagation, without per-round Spark jobs."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {v for pair in rows for v in pair}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(out, "id bigint, component bigint")
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components over a
     near-dup pair list -> (id, component) with component = min id reachable,
@@ -648,8 +675,17 @@ def dedup_components(
     large-star/small-star rewiring). Per-round persists truncate
     recomputation; the returned plan owns only the final frame. Labels are
     canonical (min id), so results are engine-comparable — the DuckDB
-    oracle walks the same graph with a recursive CTE."""
+    oracle walks the same graph with a recursive CTE.
+
+    The PAIR graph is tiny relative to the corpus (it holds near-dups, not
+    documents), so below ``small_graph_threshold`` edges the labeling runs
+    as driver-side union-find — one Spark job to gather the pairs instead
+    of per-round jobs, same canonical output. The distributed loop is the
+    path for corpus-scale duplicate graphs."""
     edges_dir = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    head = edges_dir.take(small_graph_threshold + 1)
+    if len(head) <= small_graph_threshold:
+        return _driver_union_find([(r.src, r.dst) for r in head], pairs.sparkSession)
     edges = (
         edges_dir.union(
             edges_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -661,6 +697,10 @@ def dedup_components(
         edges.select("src").distinct().select(F.col("src").alias("id"), F.col("src").alias("comp")).persist()
     )
     edges.count()  # materialize once; reused every round
+    # convergence via the label-sum invariant: labels only ever decrease
+    # (min-propagation), so sum(comp) strictly drops until fixpoint — one
+    # tiny agg over the cached frame per round instead of a join + count
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -670,15 +710,12 @@ def dedup_components(
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        changed = (
-            neighbor_min.join(labels.withColumnRenamed("comp", "_old"), "id")
-            .filter(F.col("comp") != F.col("_old"))
-            .count()
-        )
+        new_sum = neighbor_min.agg(F.sum("comp")).first()[0]
         labels.unpersist()
         labels = neighbor_min
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     out = labels.select(F.col("id"), F.col("comp").alias("component"))
     return _with_caches(out, [labels])

@@ -129,12 +129,18 @@ def test_dedup_components_chain_and_islands(spark):
         [(10, 20), (20, 30), (30, 40), (50, 60), (70, 80), (80, 90), (70, 90)],
         ["id_a", "id_b"],
     )
-    out = {r.id: r.component for r in dedup_components(pairs).collect()}
-    assert out == {
+    want = {
         10: 10, 20: 10, 30: 10, 40: 10,
         50: 50, 60: 50,
         70: 70, 80: 70, 90: 70,
     }
+    # union-find fast path and the distributed propagation loop must agree
+    fast = {r.id: r.component for r in dedup_components(pairs).collect()}
+    dist = {
+        r.id: r.component
+        for r in dedup_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert fast == want and dist == want
 
 
 def test_ngram_stoplist_bounds_skew(spark):
@@ -279,6 +285,29 @@ def test_embedding_dup_pairs_lsh_recall_and_plan(spark, vectors):
         for r in embedding_dup_pairs(df, threshold=0.95).toPandas().itertuples()
     }
     assert len(got & exact) / len(exact) >= 0.5  # documented recall floor
+
+
+def test_rolling_fingerprints_shift_invariant(spark):
+    """Content-defined sampling: fingerprints selected by h % p == 0 are
+    positions in the CONTENT, not the file — prepending text leaves the
+    original document's selected fingerprints intact (the winnowing
+    property block-offset schemes lack)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        with_rolling_fingerprints,
+    )
+
+    rng = np.random.default_rng(17)
+    body = " ".join(rng.choice(WORDS, 400))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [body, "inserted prefix words " + body]})
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in with_rolling_fingerprints(df).select("doc_id", "fingerprints").collect()
+    }
+    assert fps[1], "selection must be non-empty on a 400-word doc"
+    # every fingerprint of the body (minus the first window's worth) survives
+    assert len(fps[1] & fps[2]) / len(fps[1]) >= 0.95
 
 
 def test_multimodal_plumbing(spark):
