@@ -77,6 +77,52 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension snapshot — the canonical lookup-table pattern. The
+    static side is broadcast, so the stream never shuffles for the join;
+    works identically on a batch DataFrame for backfill."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def upsert_to_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str = "ts",
+    checkpoint: str | None = None,
+):
+    """Keyed latest-wins upsert sink via ``foreachBatch``: per micro-batch,
+    merge the batch with the existing snapshot and keep the newest row per
+    key (order by ``order_col`` desc). Parquet has no transactional merge,
+    so the rewrite is read-union-overwrite — correct for a single writer
+    (enforced by checkpointing); swap the body for MERGE INTO on a
+    transactional table format (Iceberg/Delta) without touching callers.
+    Returns the started StreamingQuery."""
+    from pyspark.sql import Window
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+            merged = existing.unionByName(batch, allowMissingColumns=True)
+        except Exception:  # first batch: nothing to merge yet
+            merged = batch
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # materialize before overwriting the directory being read
+        latest.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

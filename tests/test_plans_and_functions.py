@@ -63,6 +63,22 @@ def test_semi_anti_plan_shapes(spark):
     assert "LeftAnti" in _plan(spark, "anti_join")
 
 
+def test_llm_scan_pushdown(spark):
+    """The doc_id bounds on the LLM queries must reach the parquet scan as
+    pushed filters — at 100 TB an unpushed bound reads the whole corpus."""
+    for q in ("minhash_lsh", "rolling_fingerprint", "simhash_pairs"):
+        p = _plan(spark, q)
+        assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", p), q
+
+
+def test_new_ann_plans_no_cartesian(spark):
+    """ann_ivf's only wide comparison is the broadcast centroid assignment
+    (16-row side); embedding_dups must have no cross product at all."""
+    assert "CartesianProduct" not in _plan(spark, "ann_ivf")
+    emb = _plan(spark, "embedding_dups")
+    assert "CartesianProduct" not in emb and "BroadcastNestedLoopJoin" not in emb
+
+
 def test_gtf_attribute(spark):
     df = spark.createDataFrame(
         pd.DataFrame(

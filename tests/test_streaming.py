@@ -194,3 +194,63 @@ def test_sessionize_batch(spark):
     assert len(u1) == 2  # 00:00-00:10 session, then 02:00 session
     assert u1.n_events.tolist() == [2, 1]
     assert len(out[out.user_id == 2]) == 1
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        enrich_stream,
+    )
+
+    src = str(tmp_path / "enrich_in")
+    _write_event_files(src, [EVENTS[:2], EVENTS[2:]])
+    dim = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 2], "segment": ["a", "b"]})
+    )
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from enriched").toPandas()
+    finally:
+        q.stop()
+    assert len(got) == 4 and set(got.segment) == {"a", "b"}
+    assert got[got.user_id == 1].segment.eq("a").all()
+
+
+def test_upsert_sink_latest_wins(spark, tmp_path):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        upsert_to_parquet,
+    )
+
+    src = str(tmp_path / "upsert_in")
+    sink = str(tmp_path / "snapshot")
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "v0", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "v0", "value": 1.0, "props": "{}"},
+    ]
+    b1 = [  # event 1 re-emitted with a newer ts: must replace, not append
+        {"event_id": 1, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "v1", "value": 9.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T01:00:00", "user_id": 3, "event_type": "v0", "value": 1.0, "props": "{}"},
+    ]
+    _write_event_files(src, [b0])
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = upsert_to_parquet(
+        stream, sink, keys=["event_id"], checkpoint=str(tmp_path / "ckpt_upsert")
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for e in b1:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.read.parquet(sink).toPandas().sort_values("event_id")
+    assert snap.event_id.tolist() == [1, 2, 3]  # keyed upsert, no dup rows
+    assert snap[snap.event_id == 1].event_type.iloc[0] == "v1"  # latest wins
