@@ -136,6 +136,7 @@ def minhash_dedup_pairs(
     matching minhashes. Returns (id_a, id_b, est_jaccard >= threshold)."""
     # persist: the signature table feeds the band join AND both verify sides
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words).persist()
+    sigs.count()  # eager: an unmaterialized cache is recomputed by EVERY consumer branch
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sa = sigs.toDF("id_a", "sig_a")
     sb = sigs.toDF("id_b", "sig_b")
@@ -187,6 +188,7 @@ def minhash_dedup_pairs_md5(
 
     sig = F.array(*[_seed_min(j) for j in range(num_hashes)])
     sigs = staged.select("id", sig.alias("signature")).persist()
+    sigs.count()  # eager materialization (see minhash_dedup_pairs)
     banded = sigs.select(
         "id",
         F.explode(
@@ -322,6 +324,7 @@ def simhash_dedup_pairs_md5(
     # persist: the bit-vote table (the expensive md5 + 64-fold stage) feeds
     # the block self-join and both hamming-verify sides
     fps = simhash_bits_md5(df, text_col, id_col).persist()
+    fps.count()  # eager: 4 plan branches consume this (2 chunk sides + 2 verify sides)
     chunked = fps.select(
         "id",
         F.explode(
@@ -426,8 +429,10 @@ def minhash_dedup_pairs_universal(
             for j in range(num_hashes)
         ]
     )
-    # persist: the signature table feeds the band join and both verify sides
+    # persist: the signature table feeds the band join and both verify sides;
+    # materialize eagerly or every consumer branch recomputes it concurrently
     sigs = based.select("id", sig.alias("signature")).persist()
+    sigs.count()
     banded = sigs.select(
         "id",
         F.explode(
@@ -523,6 +528,7 @@ def simhash_dedup_pairs(
     assert max_hamming < blocks
     # persist: the fingerprint table feeds both sides of the chunk self-join
     fps = simhash(df, text_col, id_col).persist()
+    fps.count()  # eager materialization (see simhash_dedup_pairs_md5)
     width = 64 // blocks
     mask = (1 << width) - 1
     chunked = fps.select(
@@ -727,9 +733,10 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     dim: int | None = None,
-    num_planes: int = 5,
+    num_planes: int | None = 5,
     num_tables: int = 12,
     seed: int = 29,
+    target_bucket_size: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs routed through random-hyperplane LSH buckets:
     only pairs sharing a (table, bucket) are cosine-verified, replacing the
@@ -743,11 +750,22 @@ def embedding_dup_pairs_lsh(
     true near-dup thresholds (cos >= 0.9, P=8/T=8); at looser thresholds
     choose fewer planes / more tables (the defaults here target cos ~0.45,
     recall ~0.77). Keep :func:`embedding_dup_pairs` as the exact
-    verify-stage on bounded slices."""
+    verify-stage on bounded slices.
+
+    ``num_planes=None`` derives P from the corpus: with FIXED planes the
+    bucket count is constant, so random-collision candidates grow O(n^2/2^P)
+    — the quadratic creeps back at scale. P = log2(n/target_bucket_size)
+    keeps expected bucket occupancy (and so candidates-per-row) flat as n
+    grows; costs one count() job."""
+    import math
+
     from .similarity import _hyperplanes
 
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if num_planes is None:
+        n = df.count()
+        num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
     all_planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
     planes_lit = F.lit(all_planes)
     weights = F.lit([float(1 << j) for j in range(num_planes)])
@@ -789,6 +807,7 @@ def embedding_dup_pairs_lsh(
         .select("id", "tb.table", "tb.bucket")
         .persist()
     )
+    bucketed.count()  # eager: both join sides consume the projection pass
     cands = (
         bucketed.toDF("id_a", "table", "bucket")
         .join(bucketed.toDF("id_b", "table", "bucket"), ["table", "bucket"])

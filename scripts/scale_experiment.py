@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Scale-stress experiment: measure how the LLM dedup/ANN operators scale
+with corpus size on iid synthetic data (seeded, matching the testdata
+shape), and report the per-op scaling exponent alpha in t ~ n^alpha.
+
+Near-linear (alpha ~ 1) means the plan survives a 100x scale-up; alpha ~ 2
+means a hidden all-pairs blowup. Run standalone:
+
+    python scripts/scale_experiment.py [--out /tmp/scale]
+
+Results append a markdown table to stdout; SCALE_NOTES.md records one run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_documents(n: int, seed: int) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(5000)])
+    texts = [" ".join(rng.choice(vocab, rng.integers(50, 200))) for _ in range(n)]
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def synth_embeddings(n: int, dim: int, seed: int) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float64)
+    return pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(v) for v in vecs]}
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/scale")
+    args = ap.parse_args()
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+        get_spark,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        embedding_dup_pairs_lsh,
+        exact_dedup,
+        minhash_dedup_pairs_universal,
+        release_plan_caches,
+        simhash_dedup_pairs_md5,
+    )
+
+    spark = get_spark("scale-experiment")
+    spark.range(1).write.format("noop").mode("overwrite").save()  # warm
+
+    def materialize(name, n, maker):
+        # write pre-partitioned: a single-file corpus scans as ONE task and
+        # serializes the per-doc hashing — real corpora arrive in thousands
+        # of splits, so the experiment should too
+        path = os.path.join(args.out, f"{name}_{n}.parquet")
+        if not os.path.exists(path):
+            spark.createDataFrame(maker(n)).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(path)
+        return spark.read.parquet(path)
+
+    ops = {}  # op -> list of (n, seconds, rows)
+
+    def bench(op, n, df_fn, warm=False):
+        df = df_fn()
+        t0 = time.time()
+        rows = df.count()
+        dt = time.time() - t0
+        release_plan_caches(df)
+        if warm:  # first invocation pays whole-stage codegen compilation
+            return
+        ops.setdefault(op, []).append((n, dt, rows))
+        print(f"# {op} n={n}: {dt:.2f}s rows={rows}", flush=True)
+
+    warm_docs = materialize("documents", 1_000, lambda k: synth_documents(k, seed=3))
+    bench("exact_dedup", 0, lambda: exact_dedup(warm_docs), warm=True)
+    bench("minhash_universal", 0, lambda: minhash_dedup_pairs_universal(warm_docs), warm=True)
+    bench("simhash_md5", 0, lambda: simhash_dedup_pairs_md5(warm_docs), warm=True)
+    warm_emb = materialize("embeddings", 1_000, lambda k: synth_embeddings(k, 64, seed=5))
+    bench(
+        "embedding_dups_lsh(auto-P)",
+        0,
+        lambda: embedding_dup_pairs_lsh(warm_emb, threshold=0.45, num_planes=None),
+        warm=True,
+    )
+
+    for n in (5_000, 20_000):
+        docs = materialize("documents", n, lambda k: synth_documents(k, seed=3))
+        bench("exact_dedup", n, lambda: exact_dedup(docs))
+        bench("minhash_universal", n, lambda: minhash_dedup_pairs_universal(docs))
+        bench("simhash_md5", n, lambda: simhash_dedup_pairs_md5(docs))
+
+    for n in (2_000, 8_000, 32_000):
+        emb = materialize("embeddings", n, lambda k: synth_embeddings(k, 64, seed=5))
+        bench(
+            "embedding_dups_lsh(auto-P)",
+            n,
+            lambda: embedding_dup_pairs_lsh(emb, threshold=0.45, num_planes=None),
+        )
+
+    print("\n| op | sizes | times (s) | scaling exponent |")
+    print("|---|---|---|---|")
+    for op, rows in ops.items():
+        ns = [r[0] for r in rows]
+        ts = [r[1] for r in rows]
+        alpha = math.log(ts[-1] / ts[0]) / math.log(ns[-1] / ns[0])
+        print(
+            f"| {op} | {ns} | {[round(t, 2) for t in ts]} | {alpha:.2f} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
