@@ -18,7 +18,10 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import cosine_topk, ivf_flat_topk, lsh_ann_topk  # noqa: F401
 from .multimodal import (  # noqa: F401
+    FRAME_SCHEMA,
     MULTIMODAL_SCHEMA,
     attach_media_metadata,
     decode_and_featurize,
+    resize_images,
+    sample_frames,
 )

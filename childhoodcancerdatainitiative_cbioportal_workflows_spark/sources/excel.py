@@ -120,6 +120,18 @@ def read_xlsx_rows(path: str, sheet_name: str | int = 0) -> tuple[list[str], lis
     return header, dense[1:]
 
 
+def excel_serial_to_date(col):
+    """Excel stores dates as serial day numbers (day 1 = 1900-01-01, with
+    the fictitious 1900-02-29 at serial 60 inherited from Lotus 1-2-3).
+    Convert a numeric serial column to a DATE: serials > 59 shift by one
+    extra day to skip the phantom leap day."""
+    from pyspark.sql import functions as F
+
+    base = F.to_date(F.lit("1899-12-31"))
+    adj = F.when(col > 59, col.cast("long") - 2).otherwise(col.cast("long") - 1)
+    return F.date_add(base, adj.cast("int") + 1)
+
+
 def read_excel(
     spark: SparkSession,
     path: str,

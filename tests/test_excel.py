@@ -133,6 +133,23 @@ def test_read_excel_dataframe(spark, workbook):
     assert rows["S3"]["gene_symbol"] is None
 
 
+def test_excel_serial_to_date(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources.excel import (
+        excel_serial_to_date,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1,), (59,), (61,), (45658,)], ["serial"])
+    out = {
+        r.serial: str(r.d)
+        for r in df.select("serial", excel_serial_to_date(F.col("serial")).alias("d")).collect()
+    }
+    assert out[1] == "1900-01-01"
+    assert out[59] == "1900-02-28"
+    assert out[61] == "1900-03-01"  # phantom 1900-02-29 skipped
+    assert out[45658] == "2025-01-01"
+
+
 def test_pedmatch_manifest_from_xlsx(spark, tmp_path):
     """The pedmatch workflow's entry: first-sheet Excel manifest ->
     pair_patients tissue/blood pairing."""

@@ -310,6 +310,36 @@ def test_rolling_fingerprints_shift_invariant(spark):
     assert len(fps[1] & fps[2]) / len(fps[1]) >= 0.95
 
 
+def test_frame_sampling_and_resize(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        resize_images,
+        sample_frames,
+    )
+
+    rows = [
+        (1, b"vid-bytes", {"mime": "video/mp4", "width": 640, "height": 480, "duration_ms": 3500, "source_uri": "s3://m/v.mp4"}),
+        (2, b"img-bytes", {"mime": "image/png", "width": 100, "height": 80, "duration_ms": None, "source_uri": "s3://m/i.png"}),
+    ]
+    df = spark.createDataFrame(rows, schema=MULTIMODAL_SCHEMA)
+
+    frames = sample_frames(df, every_ms=1000, max_frames=16).toPandas()
+    # 3500ms at 1000ms spacing -> frames at 0,1000,2000,3000; image emits none
+    assert frames.media_id.unique().tolist() == [1]
+    assert frames.frame_idx.tolist() == [0, 1, 2, 3]
+    assert frames.ts_ms.tolist() == [0, 1000, 2000, 3000]
+    frames2 = sample_frames(df, every_ms=1000, max_frames=2).toPandas()
+    assert len(frames2) == 2  # max_frames cap
+    # deterministic frame payloads (stub decode is content-addressed)
+    again = sample_frames(df, every_ms=1000, max_frames=16).toPandas()
+    assert [bytes(b) for b in frames.frame_payload] == [bytes(b) for b in again.frame_payload]
+
+    resized = resize_images(df, 32, 32).toPandas().set_index("media_id")
+    assert resized.loc[2].meta["width"] == 32 and resized.loc[2].meta["height"] == 32
+    assert resized.loc[1].meta["width"] == 640  # video untouched
+    assert bytes(resized.loc[2].payload) != b"img-bytes"  # payload rewritten
+    assert bytes(resized.loc[1].payload) == b"vid-bytes"
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, b"\x89PNG fake image bytes", {"mime": "image/png", "width": 4, "height": 4, "duration_ms": None, "source_uri": "s3://m/1.png"}),
