@@ -25,8 +25,11 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    # warm the JVM/codegen path once so q1 doesn't pay session startup
-    next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the JVM/codegen paths so the first measured query of each shape
+    # doesn't pay session startup or whole-stage-codegen compilation:
+    # scan+agg (tpch_q1) and the HOF/text family (doc_quality)
+    for warm in ("tpch_q1_agg", "doc_quality"):
+        qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
         release_plan_caches,
