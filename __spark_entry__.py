@@ -580,6 +580,32 @@ FROM documents GROUP BY 1
 """
 
 
+def q_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-100 token frequencies (explode ->
+    count), the classic first pass of tokenizer/vocab budgeting. Total
+    order (count desc, token asc) makes the LIMIT deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+SQL_TOKEN_FREQUENCY = """
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash document fingerprinting with content-defined
     (mod-p) sampling — integer-only Horner folds, reproduced bit-for-bit by
@@ -1412,6 +1438,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+    "token_frequency": (q_token_frequency, SQL_TOKEN_FREQUENCY),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
