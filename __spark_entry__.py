@@ -21,7 +21,10 @@ if _REPO_DIR not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import load_table
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+    load_table,
+    spread,
+)
 from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
     interval_join,
     keep_first,
@@ -457,7 +460,7 @@ SELECT token, COUNT(*) AS n FROM (
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis ops (north star): token count, stopword ratio, heuristic
     language ID, md5 content fingerprint."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
@@ -667,7 +670,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
@@ -825,9 +828,27 @@ WHERE a.doc_id < b.doc_id AND ROUND({est}, 4) >= {threshold}
 """
 
 
-def _sql_simhash_md5(doc_bound: int, max_hamming: int, blocks: int) -> str:
+def _sql_simhash_md5(doc_bound: int, max_hamming: int, blocks: int, combo_m: int) -> str:
+    """Mirrors llm.dedup.simhash_dedup_pairs_md5's multi-index pigeonhole
+    construction: packed per-block chunks, one join key per combination of
+    combo_m chunks, bit_count(xor) Hamming verify on the packed 32-bit
+    halves — integer-only, bit-exact across engines."""
+    import itertools
+
     width = 64 // blocks
-    ham = "len(list_filter(list_zip(a.bits, b.bits), p -> p[1] <> p[2]))"
+    combos = list(itertools.combinations(range(blocks), combo_m))
+
+    def _key_expr(c: tuple[int, ...]) -> str:
+        e = f"chunks[{c[0] + 1}]"
+        for b in c[1:]:
+            e = f"({e}) * {1 << width} + chunks[{b + 1}]"
+        return e
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp_lo, fp_hi, {ci} AS combo, {_key_expr(c)} AS bkey FROM pz"
+        for ci, c in enumerate(combos)
+    )
+    ham = "bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))"
     return f"""{_duck_shingle_cte(2, doc_bound)}, pk AS (
   SELECT doc_id,
          list_transform(hs, h -> {_DUCK_NIBFOLD.format(a=1, b=9)}) AS los,
@@ -841,14 +862,20 @@ def _sql_simhash_md5(doc_bound: int, max_hamming: int, blocks: int) -> str:
                  ELSE list_sum(list_transform(his, v -> ((v >> (i - 32)) & 1) * 2 - 1))
             END) > 0 THEN 1 ELSE 0 END) AS bits
   FROM pk
-), ch AS (
-  SELECT doc_id, bits, b AS blk,
-         array_to_string(bits[b*{width}+1 : b*{width}+{width}], '') AS chunk
-  FROM bits, unnest(range(0, {blocks})) AS u(b)
+), pz AS (
+  SELECT doc_id,
+         list_reduce(bits[1:32]::BIGINT[], (a,b) -> a*2+b) AS fp_lo,
+         list_reduce(bits[33:64]::BIGINT[], (a,b) -> a*2+b) AS fp_hi,
+         list_transform(range(0, {blocks}),
+           b -> list_reduce(bits[b*{width}+1 : b*{width}+{width}]::BIGINT[],
+                            (a,c) -> a*2+c)) AS chunks
+  FROM bits
+), keyed AS (
+  {arms}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST({ham} AS INTEGER) AS hamming
-FROM ch a JOIN ch b USING (blk, chunk)
+FROM keyed a JOIN keyed b USING (combo, bkey)
 WHERE a.doc_id < b.doc_id AND {ham} <= {max_hamming}
 """
 
@@ -955,14 +982,19 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.45,
         dim=64,
-        num_planes=5,
+        num_planes=8,
         num_tables=12,
         seed=29,
     )
 
 
+# num_planes 8 (r2: 5): 2^5 buckets/table held ~650k candidate pairs at
+# n=2000 (a third of the cross product — quadratic creep); 2^8 cuts that
+# ~7x while true near-dup recall (cos >= 0.9) stays ~0.98 over 12 tables.
+# The library's num_planes=None auto-P derives this from n; the registered
+# query pins it so the generated oracle shares the constants.
 SQL_EMBEDDING_DUPS = _sql_embedding_dups_lsh(
-    dim=64, threshold=0.45, num_planes=5, num_tables=12, seed=29
+    dim=64, threshold=0.45, num_planes=8, num_tables=12, seed=29
 )
 
 
@@ -1072,20 +1104,24 @@ WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs by Hamming pigeonhole blocks, bits derived
-    from md5 hex nibbles packed into two 32-bit halves — integer-only, so
-    the DuckDB oracle reproduces every bit vote. The JVM-only xxhash64
-    variant (llm.dedup.simhash_dedup_pairs) stays pinned by
-    tests/test_llm_ops.py."""
+    """SimHash near-dup pairs by multi-index Hamming pigeonhole blocks
+    (combinations of combo_m=2 chunks as join keys — a 2^16 key space per
+    combo instead of the old fixed 2^8, so random-collision candidates
+    shrink ~256x), bits derived from md5 hex nibbles packed into two 32-bit
+    halves — integer-only, so the DuckDB oracle reproduces every bit vote,
+    combo key and bit_count(xor) Hamming distance. combo_m is pinned here
+    so the generated oracle shares the constants; the library auto-derives
+    it from corpus size when unset. The JVM-only xxhash64 variant
+    (llm.dedup.simhash_dedup_pairs) stays pinned by tests/test_llm_ops.py."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
         simhash_dedup_pairs_md5,
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return simhash_dedup_pairs_md5(d, max_hamming=6, blocks=8)
+    return simhash_dedup_pairs_md5(d, max_hamming=6, blocks=8, combo_m=2)
 
 
-SQL_SIMHASH_PAIRS = _sql_simhash_md5(doc_bound=1000, max_hamming=6, blocks=8)
+SQL_SIMHASH_PAIRS = _sql_simhash_md5(doc_bound=1000, max_hamming=6, blocks=8, combo_m=2)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,6 +49,20 @@ def get_spark(
     return spark
 
 
+def spread(df, min_partitions: int | None = None):
+    """Fan a narrow input out to the cluster before a compute-heavy per-row
+    stage (shingle hashing, bit votes, vector projections). At corpus scale
+    inputs arrive in thousands of splits and this is a no-op; a bench-scale
+    single-file scan otherwise pins the whole stage to ONE task (the testdata
+    parquet is one row group, so no scan-split parallelism is possible) and
+    32 cores serialize behind it. The repartition shuffles only the small
+    input and never changes results."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def run_id(spark: SparkSession, fmt: str = "yyyyMMdd_'T'HHmmss") -> str:
     """Run-stamp string for output naming — the reference's EST timestamp
     IDs (src/utils.py:13-18). Uses the session clock/timezone so distributed

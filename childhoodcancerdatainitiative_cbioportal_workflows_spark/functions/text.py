@@ -173,7 +173,9 @@ def with_rolling_fingerprints(
     """DataFrame-level fingerprinting with each derivation staged in its own
     projection (codes -> hash stream -> kept sample), the shape that keeps
     the work O(len * window) per document."""
-    staged = df.withColumn("_rk_codes", char_codes(F.col(text_col)))
+    from ..core.session import spread
+
+    staged = spread(df).withColumn("_rk_codes", char_codes(F.col(text_col)))
     staged = staged.withColumn(
         hashes_col, rolling_hashes_from_codes(F.col("_rk_codes"), window)
     ).drop("_rk_codes")

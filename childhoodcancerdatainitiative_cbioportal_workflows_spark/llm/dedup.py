@@ -20,8 +20,12 @@ permutations for dedup purposes.
 
 from __future__ import annotations
 
+import itertools
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
+from ..core.session import spread
 from ..functions.text import fingerprint, word_shingles
 
 
@@ -68,7 +72,7 @@ def minhash_signatures(
     #    long-input hashing, no re-tokenization.
     # Inlining everything into the 64 per-seed lambdas re-tokenizes and
     # re-hashes strings 64x per row (measured 180s -> ~4s at sf0.1).
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), n=shingle_words),
@@ -171,7 +175,7 @@ def minhash_dedup_pairs_md5(
     oracle-checkable against DuckDB. Same banding/verify shape as
     :func:`minhash_dedup_pairs`."""
     rows_per_band = num_hashes // bands
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), n=shingle_words).alias("_sh"),
     ).filter(F.size("_sh") > 0)
@@ -277,7 +281,7 @@ def simhash_bits_md5(
     its own projection: HOF arguments are inlined and re-evaluated, so
     folding 64 votes over an un-staged md5 expression would re-hash every
     shingle 64x."""
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), n=shingle_n), lambda s: F.md5(s)
@@ -307,62 +311,113 @@ def simhash_bits_md5(
     return packed.select("id", F.array(*bits).alias("bits"))
 
 
+def _bit_fold(bits_slice):
+    """Pack a 0/1 int array into one bigint (left fold ``acc*2 + b``) —
+    bit-identical to DuckDB's ``list_reduce`` over the same slice."""
+    return F.aggregate(
+        bits_slice, F.lit(0).cast("bigint"), lambda acc, x: acc * 2 + x
+    )
+
+
+def simhash_combo_m(
+    n: int, blocks: int, max_hamming: int, target_bucket_size: int = 16
+) -> int:
+    """Derive the multi-index combination size m from the corpus size: the
+    smallest m whose key space 2^(m*width) keeps expected bucket occupancy
+    near ``target_bucket_size`` (the same move as embedding LSH's auto-P),
+    capped at ``blocks - max_hamming`` (the pigeonhole correctness bound)."""
+    width = 64 // blocks
+    m_max = blocks - max_hamming
+    need_bits = math.log2(max(n, 2) / max(target_bucket_size, 1))
+    return max(1, min(m_max, math.ceil(max(need_bits, 1.0) / width)))
+
+
 def simhash_dedup_pairs_md5(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 6,
     blocks: int = 8,
+    combo_m: int | None = None,
+    target_bucket_size: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by md5-SimHash Hamming distance, pigeonhole-blocked
-    like :func:`simhash_dedup_pairs`. The bits array rides through the block
-    self-join (bounded corpora; the xxhash variant persists a packed-long
-    fingerprint instead), and the per-pair Hamming distance is deterministic,
-    so multi-block collisions collapse with a plain distinct at the end."""
+    """Near-dup pairs by md5-SimHash Hamming distance using multi-index
+    pigeonhole blocking: the 64 fingerprint bits split into ``blocks``
+    chunks, and every combination of ``combo_m`` chunks becomes one join
+    key — C(blocks, m) keys per doc over a 2^(m*width) value space. A pair
+    within Hamming <= max_hamming damages at most max_hamming chunks,
+    leaving >= blocks - max_hamming clean, so it always shares a fully
+    clean combo while random collisions shrink by 2^((m-1)*width): the key
+    space WIDENS with m instead of being pinned at blocks * 2^width (the
+    old shape whose collision candidates grew O(n^2 / 2048)).
+
+    ``combo_m=None`` auto-derives m from a corpus count()
+    (:func:`simhash_combo_m`); pass it explicitly to pin oracle constants.
+
+    The fingerprint rides the self-join packed as two 32-bit halves
+    (``fp_lo``/``fp_hi``, bigints) and pairs verify via bit_count(xor) —
+    no 64-int bits array in the shuffle and no verify re-joins. Integer
+    arithmetic only, so a DuckDB oracle reproduces every bit vote, combo
+    key and Hamming distance bit-for-bit."""
     assert max_hamming < blocks and 64 % blocks == 0
     width = 64 // blocks
-    # persist: the bit-vote table (the expensive md5 + 64-fold stage) feeds
-    # the block self-join and both hamming-verify sides
-    fps = simhash_bits_md5(df, text_col, id_col).persist()
-    fps.count()  # eager: 4 plan branches consume this (2 chunk sides + 2 verify sides)
-    chunked = fps.select(
+    if combo_m is None:
+        combo_m = simhash_combo_m(df.count(), blocks, max_hamming, target_bucket_size)
+    assert 1 <= combo_m <= blocks - max_hamming and combo_m * width <= 62
+    combos = list(itertools.combinations(range(blocks), combo_m))
+
+    bits_df = simhash_bits_md5(df, text_col, id_col)
+    packed = bits_df.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.array_join(
-                            F.slice("bits", b * width + 1, width).cast("array<string>"),
-                            "",
-                        ).alias("chunk"),
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("bc"),
-    ).select("id", "bc.blk", "bc.chunk")
-    cands = (
-        chunked.toDF("id_a", "blk", "chunk")
-        .join(chunked.toDF("id_b", "blk", "chunk"), ["blk", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        _bit_fold(F.slice("bits", 1, 32)).alias("fp_lo"),
+        _bit_fold(F.slice("bits", 33, 32)).alias("fp_hi"),
+        *[
+            _bit_fold(F.slice("bits", b * width + 1, width)).alias(f"_c{b}")
+            for b in range(blocks)
+        ],
     )
-    ham = F.size(
-        F.filter(
-            F.zip_with(F.col("bits_a"), F.col("bits_b"), lambda x, y: x != y),
-            lambda m: m,
+
+    def _combo_key(combo: tuple[int, ...]):
+        key = F.col(f"_c{combo[0]}")
+        for b in combo[1:]:
+            key = key * (1 << width) + F.col(f"_c{b}")
+        return key
+
+    # persist: the bit-vote + packing pass feeds both self-join sides
+    keyed = (
+        packed.select(
+            "id",
+            "fp_lo",
+            "fp_hi",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(ci).alias("combo"), _combo_key(c).alias("bkey")
+                        )
+                        for ci, c in enumerate(combos)
+                    ]
+                )
+            ).alias("ck"),
         )
+        .select("id", "fp_lo", "fp_hi", "ck.combo", "ck.bkey")
+        .persist()
+    )
+    keyed.count()  # eager: an unmaterialized cache is recomputed per consumer branch
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     )
     out = (
-        cands.join(fps.toDF("id_a", "bits_a"), "id_a")
-        .join(fps.toDF("id_b", "bits_b"), "id_b")
+        keyed.toDF("id_a", "lo_a", "hi_a", "combo", "bkey")
+        .join(keyed.toDF("id_b", "lo_b", "hi_b", "combo", "bkey"), ["combo", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+        .distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return _with_caches(out, [fps])
+    return _with_caches(out, [keyed])
 
 
 def minhash_universal_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
@@ -403,7 +458,7 @@ def minhash_dedup_pairs_universal(
     a_co, b_co = minhash_universal_coeffs(num_hashes, seed)
     p = F.lit(MERSENNE31)
 
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), n=shingle_words), lambda s: F.md5(s)
@@ -488,7 +543,7 @@ def simhash(
     plan-build time (shift amounts must be Python ints)."""
     # materialize shingle hashes once; the 64 per-bit votes then fold over a
     # column reference instead of re-tokenizing+re-hashing per bit
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), n=2), lambda s: F.xxhash64(s)
@@ -519,39 +574,54 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    combo_m: int | None = None,
+    target_bucket_size: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
-    pigeonhole block trick: split the 64-bit fingerprint into ``blocks``
-    chunks; any pair within distance max_hamming < blocks shares at least
-    one exact chunk -> self-join on (block_idx, chunk), verify distance.
-    No O(n^2) comparison."""
-    assert max_hamming < blocks
-    # persist: the fingerprint table feeds both sides of the chunk self-join
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using
+    multi-index pigeonhole blocking (see :func:`simhash_dedup_pairs_md5`):
+    the 64-bit fingerprint splits into ``blocks`` chunks, and every
+    combination of ``combo_m`` chunks joins as one key — any pair within
+    distance max_hamming keeps >= blocks - max_hamming chunks clean and so
+    shares a fully-clean combo. ``combo_m=None`` auto-derives from corpus
+    size (at the defaults blocks=4 / max_hamming=3 the cap forces m=1, the
+    classic one-chunk construction). The packed fingerprint rides the join;
+    verify is a bit_count(xor). No O(n^2) comparison anywhere."""
+    assert max_hamming < blocks and 64 % blocks == 0
+    width = 64 // blocks
+    if combo_m is None:
+        combo_m = simhash_combo_m(df.count(), blocks, max_hamming, target_bucket_size)
+    assert 1 <= combo_m <= blocks - max_hamming and combo_m * width <= 62
+    combos = list(itertools.combinations(range(blocks), combo_m))
+    mask = (1 << width) - 1
+    # persist: the fingerprint pass feeds both sides of the combo self-join
     fps = simhash(df, text_col, id_col).persist()
     fps.count()  # eager materialization (see simhash_dedup_pairs_md5)
-    width = 64 // blocks
-    mask = (1 << width) - 1
-    chunked = fps.select(
+
+    def _chunk(b: int):
+        return F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+
+    def _combo_key(combo: tuple[int, ...]):
+        key = _chunk(combo[0])
+        for b in combo[1:]:
+            key = key * (1 << width) + _chunk(b)
+        return key
+
+    keyed = fps.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(blocks)
+                    F.struct(F.lit(ci).alias("combo"), _combo_key(c).alias("bkey"))
+                    for ci, c in enumerate(combos)
                 ]
             )
-        ).alias("bc"),
-    ).select("id", "simhash", "bc.blk", "bc.chunk")
-    a = chunked.toDF("id_a", "fp_a", "blk", "chunk")
-    b = chunked.toDF("id_b", "fp_b", "blk", "chunk")
+        ).alias("ck"),
+    ).select("id", "simhash", "ck.combo", "ck.bkey")
+    a = keyed.toDF("id_a", "fp_a", "combo", "bkey")
+    b = keyed.toDF("id_b", "fp_b", "combo", "bkey")
     pairs = (
-        a.join(b, ["blk", "chunk"])
+        a.join(b, ["combo", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "fp_a", "fp_b")
         .distinct()
@@ -589,7 +659,7 @@ def ngram_jaccard_pairs(
     straggler owning ('the of the')^2."""
     import logging
 
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n=n))).alias("shingle"),
     )
@@ -688,10 +758,16 @@ def dedup_components(
     as driver-side union-find — one Spark job to gather the pairs instead
     of per-round jobs, same canonical output. The distributed loop is the
     path for corpus-scale duplicate graphs."""
-    edges_dir = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    head = edges_dir.take(small_graph_threshold + 1)
-    if len(head) <= small_graph_threshold:
-        return _driver_union_find([(r.src, r.dst) for r in head], pairs.sparkSession)
+    # persist + count, THEN branch: a take(threshold+1) here re-runs the
+    # whole upstream dedup pipeline once per limit scale-up wave (1, 4, 16
+    # ... partitions) — measured 3x the pipeline cost at 32 partitions.
+    # One counted cache pass feeds whichever path runs.
+    edges_dir = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
+    n_edges = edges_dir.count()
+    if n_edges <= small_graph_threshold:
+        rows = [(r.src, r.dst) for r in edges_dir.collect()]
+        out = _driver_union_find(rows, pairs.sparkSession)
+        return _with_caches(out, [edges_dir])
     edges = (
         edges_dir.union(
             edges_dir.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -724,7 +800,7 @@ def dedup_components(
         prev_sum = new_sum
     edges.unpersist()
     out = labels.select(F.col("id"), F.col("comp").alias("component"))
-    return _with_caches(out, [labels])
+    return _with_caches(out, [labels, edges_dir])
 
 
 def embedding_dup_pairs_lsh(
@@ -757,9 +833,7 @@ def embedding_dup_pairs_lsh(
     — the quadratic creeps back at scale. P = log2(n/target_bucket_size)
     keeps expected bucket occupancy (and so candidates-per-row) flat as n
     grows; costs one count() job."""
-    import math
-
-    from .similarity import _hyperplanes
+    from .similarity import _hyperplanes, _planes_lit
 
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
@@ -767,7 +841,7 @@ def embedding_dup_pairs_lsh(
         n = df.count()
         num_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
     all_planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
-    planes_lit = F.lit(all_planes)
+    planes_lit = _planes_lit(all_planes)
     weights = F.lit([float(1 << j) for j in range(num_planes)])
     as_double = F.col(vec_col).cast("array<double>")
 
@@ -794,7 +868,7 @@ def embedding_dup_pairs_lsh(
             .alias("bucket"),
         ),
     )
-    v = df.select(
+    v = spread(df).select(
         F.col(id_col).alias("id"),
         as_double.alias("vec"),
         F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)).alias(

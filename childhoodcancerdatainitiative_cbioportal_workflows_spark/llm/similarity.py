@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..core.session import spread
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -44,7 +46,7 @@ def cosine_topk(
 
     ``queries`` is broadcast — it must be the small side (typical ANN
     serving shape). Result: (q_id, c_id, cos_sim, rank)."""
-    c = candidates.select(
+    c = spread(candidates).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
     )
     q = queries.select(
@@ -72,6 +74,29 @@ def _hyperplanes(dim: int, num_planes: int, seed: int):
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
+def _planes_lit(planes):
+    """Nested plane tensor as ONE JVM-parsed SQL array literal.
+
+    ``F.lit`` on a deeply nested Python list pays one py4j round trip per
+    scalar — measured 2.1 s of pure driver time for a 12x5x64 tensor, on
+    EVERY query build. A single ``F.expr("array(array(...)))")`` string
+    parses in milliseconds. Plain-decimal reprs get the ``D`` suffix so each
+    element parses as the exact IEEE double its repr() round-trips to
+    (scientific-notation reprs are already double literals); generated
+    DuckDB oracles inline the same reprs, so bit-parity is preserved."""
+
+    def _d(x: float) -> str:
+        r = repr(float(x))
+        return r if ("e" in r or "E" in r) else r + "D"
+
+    def _arr(xs) -> str:
+        if isinstance(xs[0], (int, float)):
+            return "array(" + ",".join(_d(x) for x in xs) + ")"
+        return "array(" + ",".join(_arr(x) for x in xs) + ")"
+
+    return F.expr(_arr(planes))
+
+
 def _bucket_expr(vec, planes: list[list[float]]):
     """Signature = bits of sign(plane . vec), packed into a long.
 
@@ -80,7 +105,7 @@ def _bucket_expr(vec, planes: list[list[float]]):
     nodes per bucket column) and dominates wall-clock via codegen, not
     evaluation. Bit weights as exact doubles (2^j <= 2^52) because shift
     amounts can't be Columns."""
-    planes_lit = F.lit(planes)
+    planes_lit = _planes_lit(planes)
     weights = F.lit([float(1 << j) for j in range(len(planes))])
     contrib = F.transform(
         planes_lit,
@@ -113,7 +138,7 @@ def ivf_flat_topk(
     parallel.
 
     Returns (q_id, c_id, cos_sim, rank), rank by cosine desc / id asc."""
-    v = candidates.select(
+    v = spread(candidates).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     cents = v.filter(F.col("id").isin([int(i) for i in centroid_ids])).select(
@@ -189,7 +214,7 @@ def lsh_ann_topk(
     # transform emits the (table, bucket) pairs — one expression tree per
     # side keeps Catalyst resolution and codegen cost flat in num_tables
     all_planes = [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
-    planes_lit = F.lit(all_planes)
+    planes_lit = _planes_lit(all_planes)
     weights = F.lit([float(1 << j) for j in range(num_planes)])
 
     def _tables_expr(vec):
@@ -210,6 +235,10 @@ def lsh_ann_topk(
         )
 
     def with_buckets(df, side):
+        # candidate side: the T*P projection pass is the expensive stage —
+        # fan a narrow scan out before it (no-op on well-split inputs)
+        if side == "c":
+            df = spread(df)
         staged = df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).cast("array<double>").alias(f"{side}_vec"),
