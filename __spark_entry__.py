@@ -749,6 +749,56 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
 """
 
 
+def q_ngram_jaccard_stoplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-Jaccard near-dup pairs with the doc-frequency stoplist ON —
+    the skew-bounded production shape: shingles appearing in more than
+    max_doc_freq documents are dropped BEFORE the self-join, so every join
+    key is bounded to max_doc_freq^2 pairs (without it one boilerplate
+    shingle shared by k docs lands k^2 rows on a single reducer). Jaccard
+    is computed over the filtered shingle space on both sides of the
+    ratio; the DuckDB oracle mirrors the doc-freq filter."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=5)
+
+
+SQL_NGRAM_JACCARD_STOPLIST = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 1000
+), sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+), hot AS (  -- doc-freq stoplist, mirrors ngram_jaccard_pairs(max_doc_freq=5)
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 5
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+"""
+
+
 # ---- generated-oracle helpers: the md5-derived hash families and the LSH
 # plane literals are deterministic, so the DuckDB SQL below is GENERATED to
 # embed the exact same constants the Spark plans use. Integer constructions
@@ -1476,6 +1526,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
     "token_frequency": (q_token_frequency, SQL_TOKEN_FREQUENCY),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard_stoplist": (q_ngram_jaccard_stoplist, SQL_NGRAM_JACCARD_STOPLIST),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "embedding_dups": (q_embedding_dups, SQL_EMBEDDING_DUPS),
     "embedding_dups_exact": (q_embedding_dups_exact, SQL_EMBEDDING_DUPS_EXACT),

@@ -115,6 +115,17 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def has_min_tokens(text: Column, n: int) -> Column:
+    """True when the doc has >= n whitespace tokens — equivalent to
+    ``size(word_shingles(text, n)) > 0`` but WITHOUT materializing shingles:
+    use it as the empty-doc guard in hash pipelines. Catalyst pushes filters
+    below repartitions, so a guard written over the shingle/md5 expression
+    re-runs the whole expensive pipeline serially on the unspread input
+    (observed in the minhash plan: the md5 fold appeared inside a Filter
+    under the round-robin exchange)."""
+    return F.size(ws_tokens(F.lower(text))) >= n
+
+
 ROLLING_MOD = 2147483647  # 2^31 - 1
 ROLLING_BASE = 257
 

@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.session import spread
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint, has_min_tokens, word_shingles
 
 
 def _with_caches(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
@@ -175,10 +175,17 @@ def minhash_dedup_pairs_md5(
     oracle-checkable against DuckDB. Same banding/verify shape as
     :func:`minhash_dedup_pairs`."""
     rows_per_band = num_hashes // bands
-    staged = spread(df).select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n=shingle_words).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    # guard on the cheap token count, not the shingle array: shingle-array
+    # predicates get pushed below the spread repartition and re-run the
+    # pipeline serially on the unspread input
+    staged = (
+        spread(df)
+        .filter(has_min_tokens(F.col(text_col), shingle_words))
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), n=shingle_words).alias("_sh"),
+        )
+    )
 
     # seed loop unrolled in Python (scalar literals): the outer transform
     # over sequence(0, K-1) with a Column seed falls out of codegen — same
@@ -281,12 +288,18 @@ def simhash_bits_md5(
     its own projection: HOF arguments are inlined and re-evaluated, so
     folding 64 votes over an un-staged md5 expression would re-hash every
     shingle 64x."""
-    staged = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), n=shingle_n), lambda s: F.md5(s)
-        ).alias("_md5s"),
-    ).filter(F.size("_md5s") > 0)
+    # cheap token-count guard (see minhash_dedup_pairs_md5): an _md5s-size
+    # predicate pushes below the repartition and md5-hashes serially
+    staged = (
+        spread(df)
+        .filter(has_min_tokens(F.col(text_col), shingle_n))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_shingles(F.col(text_col), n=shingle_n), lambda s: F.md5(s)
+            ).alias("_md5s"),
+        )
+    )
     packed = staged.select(
         "id",
         F.transform(F.col("_md5s"), lambda h: _nibble_fold(_md5_nibbles(h, 1, 8))).alias(
@@ -452,18 +465,30 @@ def minhash_dedup_pairs_universal(
     Band buckets are the joined signature-slice strings themselves; hashing
     them buys nothing at these key widths. Signatures ride through the band
     join and est_jaccard is deterministic per pair, so band-collision
-    duplicates collapse with a final distinct (no second join, no persist)."""
+    duplicates collapse with a final distinct — no verify re-joins and no
+    persist: the two join sides are the same canonical subplan, so the
+    banded shuffle is built once and read twice (ReusedExchange,
+    plan-asserted in tests), which also computes the md5+affine signature
+    stage exactly once. Trade-off vs the verify-join shape (still used by
+    :func:`minhash_dedup_pairs_md5`): the band shuffle carries the K-long
+    signature (~bands x K x 8 B per doc) instead of slim band keys, in
+    exchange for zero cluster-wide cache residency and two fewer join
+    stages — the right call when signatures are a few hundred bytes."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     a_co, b_co = minhash_universal_coeffs(num_hashes, seed)
     p = F.lit(MERSENNE31)
 
-    staged = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), n=shingle_words), lambda s: F.md5(s)
-        ).alias("_md5s"),
-    ).filter(F.size("_md5s") > 0)
+    staged = (
+        spread(df)
+        .filter(has_min_tokens(F.col(text_col), shingle_words))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                word_shingles(F.col(text_col), n=shingle_words), lambda s: F.md5(s)
+            ).alias("_md5s"),
+        )
+    )
     based = staged.select(
         "id",
         F.transform(
@@ -484,12 +509,10 @@ def minhash_dedup_pairs_universal(
             for j in range(num_hashes)
         ]
     )
-    # persist: the signature table feeds the band join and both verify sides;
-    # materialize eagerly or every consumer branch recomputes it concurrently
-    sigs = based.select("id", sig.alias("signature")).persist()
-    sigs.count()
+    sigs = based.select("id", sig.alias("signature"))
     banded = sigs.select(
         "id",
+        "signature",
         F.explode(
             F.array(
                 *[
@@ -506,16 +529,7 @@ def minhash_dedup_pairs_universal(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
-    cands = (
-        banded.toDF("id_a", "band", "bucket")
-        .join(banded.toDF("id_b", "band", "bucket"), ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sigs.toDF("id_a", "sig_a")
-    sb = sigs.toDF("id_b", "sig_b")
+    ).select("id", "signature", "bb.band", "bb.bucket")
     est = (
         F.size(
             F.filter(
@@ -525,13 +539,23 @@ def minhash_dedup_pairs_universal(
         )
         / F.size("sig_a")
     )
-    out = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+    # shuffle_hash hint: left alone Catalyst broadcasts one side (the banded
+    # frame estimates small), which computes the signature stage TWICE and
+    # ships it through the driver; with both sides shuffling on (band,
+    # bucket) the two identical child plans collapse into one exchange
+    # (ReusedExchange) — the signature stage runs exactly once, no persist.
+    return (
+        banded.toDF("id_a", "sig_a", "band", "bucket")
+        .hint("shuffle_hash")
+        .join(
+            banded.toDF("id_b", "sig_b", "band", "bucket").hint("shuffle_hash"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
-    return _with_caches(out, [sigs])
 
 
 def simhash(

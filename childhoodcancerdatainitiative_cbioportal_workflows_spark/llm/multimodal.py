@@ -2,10 +2,11 @@
 
 Media (image/audio/video) ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side contract — schema, partition sizing, Arrow
-batch shape, UDF signature — is real and tested; the codec itself is a
-deterministic stub behind ``decode_and_featurize`` because decode libraries
-(PIL/ffmpeg/torchaudio) are not in this container. Swap ``_decode_stub``
-for a real decoder without touching the plan.
+batch shape, UDF signature — is real and tested; the codecs are
+import-guarded: where PIL / soundfile exist the real decode path runs,
+otherwise a clearly-marked deterministic stub keeps the plan testable
+(neither library ships in this container; tests for the real path are
+skip-marked accordingly).
 """
 
 from __future__ import annotations
@@ -15,6 +16,16 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+try:  # real image codec where available; stub fallback otherwise
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - absent in this container
+    _PILImage = None
+
+try:  # real audio codec where available
+    import soundfile as _soundfile
+except ImportError:  # pragma: no cover - absent in this container
+    _soundfile = None
 
 MULTIMODAL_SCHEMA = T.StructType(
     [
@@ -46,6 +57,18 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _meta_dict(meta) -> dict | None:
+    """Arrow hands the meta struct to Python as a dict, collect() as a Row,
+    and MULTIMODAL_SCHEMA declares it nullable — normalize all three.
+    (isinstance(None, dict) is False, so a dict/Row two-way dispatch sends
+    NULL metas into Row attribute access and raises.)"""
+    if meta is None:
+        return None
+    if isinstance(meta, dict):
+        return dict(meta)
+    return meta.asDict()
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap metadata derivable without decoding: byte size + content hash
     (JVM-side, used for exact media dedup before any expensive decode)."""
@@ -55,15 +78,42 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
 
 
 def _decode_stub(payload: bytes, mime: str, feat_dim: int) -> list[float]:
-    """Deterministic fake feature vector (stands in for decode+embed).
-
-    Real implementation decodes the payload (PIL for image/*, soundfile for
-    audio/*, frame-sampling for video/*) and runs a feature extractor; both
-    are unavailable in this container. NotImplementedError would also be
-    acceptable per the build contract; a deterministic fake keeps the plan
-    shape testable end-to-end."""
+    """Deterministic fake feature vector (stands in for decode+embed when no
+    codec library is importable). NotImplementedError would also satisfy the
+    build contract; a deterministic fake keeps the plan testable end-to-end."""
     h = hashlib.sha1(payload or b"").digest()
     return [((h[i % len(h)] / 255.0) - 0.5) for i in range(feat_dim)]
+
+
+def _decode_features(payload: bytes, mime: str, feat_dim: int) -> list[float]:
+    """Real decode where a codec is importable, stub otherwise.
+
+    image/*: PIL decode -> grayscale -> resize to feat_dim px -> centered
+    [-0.5, 0.5] pixel features. audio/*: soundfile decode -> feat_dim
+    mean-pooled windows of the first channel. Anything else (or a corrupt
+    payload) falls back to the deterministic stub."""
+    mime = mime or ""
+    try:
+        if _PILImage is not None and mime.startswith("image/"):
+            from io import BytesIO
+
+            img = _PILImage.open(BytesIO(payload)).convert("L").resize((feat_dim, 1))
+            return [px / 255.0 - 0.5 for px in img.getdata()]
+        if _soundfile is not None and mime.startswith("audio/"):
+            from io import BytesIO
+
+            data, _rate = _soundfile.read(BytesIO(payload))
+            mono = data if getattr(data, "ndim", 1) == 1 else data[:, 0]
+            if len(mono) == 0:
+                return [0.0] * feat_dim
+            step = max(1, len(mono) // feat_dim)
+            return [
+                float(mono[i * step : (i + 1) * step].mean()) if i * step < len(mono) else 0.0
+                for i in range(feat_dim)
+            ]
+    except Exception:  # corrupt payload: deterministic fallback, not a crash
+        pass
+    return _decode_stub(payload, mime, feat_dim)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -86,10 +136,10 @@ def sample_frames(
     """Video frame sampling: one input row fans out to <= ``max_frames``
     frame rows at ``every_ms`` spacing — the 1:N mapInPandas shape (a
     Python-side generate/explode). Frame count derives from
-    ``meta.duration_ms``; non-video rows produce no frames. The frame
-    decode is a deterministic stub (ffmpeg absent in this container): a
-    real decoder replaces ``_frame_stub`` only — schema, fan-out and Arrow
-    batching stay as tested."""
+    ``meta.duration_ms``; non-video rows (including NULL meta) produce no
+    frames. The frame decode is a deterministic stub (no ffmpeg in this
+    container): a real decoder replaces ``_frame_stub`` only — schema,
+    fan-out and Arrow batching stay as tested."""
     import pandas as pd
 
     def _frame_stub(payload: bytes, idx: int) -> bytes:
@@ -99,9 +149,10 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                meta = getattr(r, "meta")
-                mime = (meta or {}).get("mime") if isinstance(meta, dict) else meta["mime"]
-                dur = (meta or {}).get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]
+                meta = _meta_dict(getattr(r, "meta"))
+                if meta is None:
+                    continue
+                mime, dur = meta.get("mime"), meta.get("duration_ms")
                 if not mime or not mime.startswith("video/") or not dur:
                     continue
                 payload = getattr(r, payload_col)
@@ -122,36 +173,51 @@ def sample_frames(
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """PIL resize where importable; deterministic stub bytes otherwise (or
+    on a corrupt payload)."""
+    if _PILImage is not None:
+        try:
+            from io import BytesIO
+
+            img = _PILImage.open(BytesIO(payload))
+            fmt = img.format or "PNG"
+            buf = BytesIO()
+            img.resize((target_w, target_h)).save(buf, format=fmt)
+            return buf.getvalue()
+        except Exception:
+            pass
+    return hashlib.sha1((payload or b"") + b"resize").digest()
+
+
 def resize_images(
     df: DataFrame,
     target_w: int,
     target_h: int,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Image resize: 1:1 mapInPandas over image/* rows; other mimes pass
-    through untouched. The pixel work is a deterministic stub (PIL absent);
-    the real implementation swaps ``_resize_stub`` for PIL's
-    ``Image.resize`` — the plan (schema preserved, meta width/height
-    rewritten) is what this pins."""
+    """Image resize: 1:1 mapInPandas over image/* rows; other mimes (and
+    NULL-meta rows) pass through untouched. Column-wise vectorized inside
+    each Arrow batch — a boolean mime mask selects the rows to rewrite; no
+    per-row DataFrame.apply. Pixel work is PIL where importable, else a
+    deterministic stub; meta width/height are rewritten either way."""
     import pandas as pd
-
-    def _resize_stub(payload: bytes) -> bytes:
-        return hashlib.sha1((payload or b"") + b"resize").digest()
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = pdf.copy()
-
-            def fix(row):
-                meta = row["meta"]
-                m = dict(meta) if isinstance(meta, dict) else meta.asDict()
-                if m.get("mime", "").startswith("image/"):
-                    m["width"], m["height"] = target_w, target_h
-                    row[payload_col] = _resize_stub(row[payload_col])
-                row["meta"] = m
-                return row
-
-            yield out.apply(fix, axis=1)
+            metas = out["meta"].map(_meta_dict)
+            is_img = metas.map(
+                lambda m: bool(m and str(m.get("mime") or "").startswith("image/"))
+            )
+            out.loc[is_img, payload_col] = out.loc[is_img, payload_col].map(
+                lambda p: _resize_payload(p, target_w, target_h)
+            )
+            out["meta"] = [
+                {**m, "width": target_w, "height": target_h} if flag else m
+                for m, flag in zip(metas, is_img)
+            ]
+            yield out
 
     return df.mapInPandas(run, schema=df.schema)
 
@@ -165,33 +231,30 @@ def decode_and_featurize(
     """mapInPandas decode/feature-extract: Arrow-batched, one Python worker
     per partition, bounded by spark.sql.execution.arrow.maxRecordsPerBatch
     so huge payload batches cannot blow worker memory. Repartition upstream
-    by byte-budget, not row count, when payloads are large."""
+    by byte-budget, not row count, when payloads are large. Decode is the
+    import-guarded real path (:func:`_decode_features`) with the stub as
+    fallback."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
+            mimes = pdf["meta"].map(
+                lambda m: (_meta_dict(m) or {}).get("mime")
+            )
             out = pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "mime": pdf["meta"].map(
-                        lambda m: (m or {}).get("mime") if isinstance(m, dict) else m["mime"]
-                    ),
+                    "mime": mimes,
                     "payload_bytes": pdf[payload_col].map(
                         lambda p: len(p) if p is not None else 0
                     ),
                     "content_sha1": pdf[payload_col].map(
                         lambda p: hashlib.sha1(p or b"").hexdigest()
                     ),
-                    "feature": pdf.apply(
-                        lambda r: _decode_stub(
-                            r[payload_col],
-                            (r["meta"] or {}).get("mime")
-                            if isinstance(r["meta"], dict)
-                            else r["meta"]["mime"],
-                            feat_dim,
-                        ),
-                        axis=1,
-                    ),
+                    "feature": [
+                        _decode_features(p, m, feat_dim)
+                        for p, m in zip(pdf[payload_col], mimes)
+                    ],
                 }
             )
             yield out

@@ -145,4 +145,13 @@ def read_excel(
     header, data = read_xlsx_rows(path, sheet_name)
     pdf = pd.DataFrame(data, columns=header)
     pdf = pdf.where(pdf.notna(), None)
+    # createDataFrame cannot merge mixed-typed object columns (a chromosome
+    # column holding 17 and 'X' — typical clinical workbooks — raises
+    # 'Can not merge type LongType and StringType'): coerce any object
+    # column with heterogeneous value types to str, preserving None.
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            kinds = {type(v) for v in pdf[c] if v is not None}
+            if len(kinds) > 1:
+                pdf[c] = pdf[c].map(lambda v: None if v is None else str(v))
     return spark.createDataFrame(pdf)

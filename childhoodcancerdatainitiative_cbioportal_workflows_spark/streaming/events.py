@@ -103,10 +103,18 @@ def upsert_to_parquet(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
+        # probe existence through Hadoop's FileSystem (like
+        # plans/runner._complete) instead of catching read errors: a bare
+        # except would treat ANY failure (transient IO, corrupt footer,
+        # permissions) as "first batch" and overwrite the snapshot with
+        # only the current micro-batch — silent loss of every previously
+        # upserted key. Real read errors must propagate and fail the batch.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             existing = spark.read.parquet(path)
             merged = existing.unionByName(batch, allowMissingColumns=True)
-        except Exception:  # first batch: nothing to merge yet
+        else:  # first batch: nothing to merge yet
             merged = batch
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
         latest = (

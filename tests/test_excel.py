@@ -133,6 +133,30 @@ def test_read_excel_dataframe(spark, workbook):
     assert rows["S3"]["gene_symbol"] is None
 
 
+def test_read_excel_mixed_typed_column(spark, tmp_path):
+    """A chromosome-style column mixing real ints and strings (17 vs 'X')
+    must surface as strings (None preserved) instead of raising Spark's
+    'Can not merge type LongType and StringType'."""
+    path = str(tmp_path / "mixed.xlsx")
+    write_xlsx(
+        path,
+        {
+            "s": [
+                ["sample", "chromosome", "count"],
+                ["S1", 17, 3],
+                ["S2", "X", 4],
+                ["S3", None, 5],
+            ]
+        },
+    )
+    df = read_excel(spark, path)
+    rows = {r["sample"]: r for r in df.collect()}
+    assert rows["S1"]["chromosome"] == "17"
+    assert rows["S2"]["chromosome"] == "X"
+    assert rows["S3"]["chromosome"] is None
+    assert rows["S3"]["count"] == 5  # homogeneous numeric column stays numeric
+
+
 def test_excel_serial_to_date(spark):
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources.excel import (
         excel_serial_to_date,

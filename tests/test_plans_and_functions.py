@@ -71,6 +71,19 @@ def test_llm_scan_pushdown(spark):
         assert re.search(r"PushedFilters: \[[^\]]*LessThan\(doc_id", p), q
 
 
+def test_minhash_ride_through_single_join(spark):
+    """minhash_lsh carries signatures through the band self-join: exactly
+    one join in the plan (no verify re-joins), and at runtime the two
+    identical banded sides collapse into one exchange (ReusedExchange) so
+    the md5+affine signature stage runs once without any persist."""
+    df = entrymod.queries()["minhash_lsh"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)\b", p)) == 1
+    df.collect()  # exchange reuse is finalized by adaptive execution
+    fin = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in fin
+
+
 def test_new_ann_plans_no_cartesian(spark):
     """ann_ivf's only wide comparison is the broadcast centroid assignment
     (16-row side); embedding_dups must have no cross product at all."""
