@@ -1103,7 +1103,7 @@ SQL_MINHASH_LSH = _sql_minhash_universal(
 def q_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with md5 string-min hashing: the oracle-checkable variant
     — DuckDB reproduces the identical signatures, bands, candidates and
-    estimated Jaccard. Bounded to 300 docs (md5 string hashing is the slow
+    estimated Jaccard. Bounded to 200 docs (md5 string hashing is the slow
     family; the xxhash64 variant is the production path)."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
         minhash_dedup_pairs_md5,

@@ -26,6 +26,14 @@ class Contract:
     unique: tuple[str, ...] = ()
     # column -> allowed values (pedmatch sample_type in {tissue, blood})
     enums: dict = field(default_factory=dict)
+    # Whether the no_null check also rejects empty strings. The reference's
+    # pandas ``isnull()`` (cnv.py:38-40) does NOT flag '' — but its TSV
+    # manifests arrive through read_csv, where an empty field IS NaN, so
+    # '' never reaches the check there. Spark's csv reader keeps '' as ''
+    # unless nullValue is set; treating '' as null here restores the same
+    # effective gate. Set False for strict reference parity on sources
+    # where '' is a legitimate value.
+    empty_is_null: bool = True
 
 
 def validate(df: DataFrame, contract: Contract) -> DataFrame:
@@ -33,6 +41,10 @@ def validate(df: DataFrame, contract: Contract) -> DataFrame:
 
     Mirrors reference semantics: missing column (cnv.py:33-36), null in a
     required column (cnv.py:38-40), duplicated unique column (cnv.py:42-52).
+    Deviation: with the default ``empty_is_null=True`` the no-null check also
+    rejects ``''`` (see :class:`Contract` for why that matches the reference's
+    read_csv-mediated behavior); pass ``empty_is_null=False`` for a pure
+    ``isnull()`` check.
     """
     missing = [c for c in contract.required if c not in df.columns]
     if missing:
@@ -40,10 +52,15 @@ def validate(df: DataFrame, contract: Contract) -> DataFrame:
 
     null_checks = [c for c in contract.no_null if c in df.columns]
     if null_checks:
+        def _is_bad(c: str):
+            if contract.empty_is_null:
+                return F.col(c).isNull() | (F.col(c) == "")
+            return F.col(c).isNull()
+
         # one job for all columns: count nulls per column, stop at any > 0
         agg = df.select(
             *[
-                F.sum(F.when(F.col(c).isNull() | (F.col(c) == ""), 1).otherwise(0)).alias(c)
+                F.sum(F.when(_is_bad(c), 1).otherwise(0)).alias(c)
                 for c in null_checks
             ]
         ).first()

@@ -307,3 +307,23 @@ def test_contract_validation(spark):
             good.withColumn("sample_type", F.lit("plasma")),
             Contract(enums={"sample_type": ("tissue", "blood")}),
         )
+
+
+def test_contract_empty_string_semantics(spark):
+    """Pin both empty-string modes: the default treats '' as null (matching
+    the reference's read_csv-mediated isnull), empty_is_null=False is the
+    strict isnull() that lets '' through."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"sample_id": ["s1", ""], "other": [1, 2]})
+    )
+    with pytest.raises(ContractViolation, match="null/empty"):
+        validate(df, Contract(no_null=("sample_id",)))
+    # strict isnull(): '' is a value, passes
+    validate(df, Contract(no_null=("sample_id",), empty_is_null=False))
+    # a true null fails in both modes
+    withnull = df.withColumn(
+        "sample_id",
+        F.when(F.col("other") == 2, None).otherwise(F.col("sample_id")),
+    )
+    with pytest.raises(ContractViolation, match="null"):
+        validate(withnull, Contract(no_null=("sample_id",), empty_is_null=False))

@@ -1,0 +1,108 @@
+"""SQL-dump scan: both mysqldump dialects must reconcile to identical
+counts, and unattributable INSERT statements are surfaced, not dropped
+(reference parses line-by-line at src/utils.py:328-383 and drops them)."""
+
+from __future__ import annotations
+
+import pytest
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources.sqldump import (
+    UNPARSEABLE,
+    parse_sql_dump_counts,
+)
+
+EXTENDED = """\
+-- MySQL dump 10.13
+CREATE TABLE `patients` (
+  `id` int NOT NULL,
+  `name` varchar(64)
+);
+INSERT INTO `patients` VALUES (1,'a'),(2,'b'),(3,'c');
+INSERT INTO `patients` VALUES (4,'d'),(5,'e');
+CREATE TABLE `samples` (
+  `id` int NOT NULL
+);
+INSERT INTO `samples` VALUES (1),(2);
+CREATE TABLE `empty_tbl` (
+  `id` int NOT NULL
+);
+"""
+
+# --skip-extended-insert: one tuple per INSERT statement
+SKIP_EXTENDED = """\
+-- MySQL dump 10.13
+CREATE TABLE `patients` (
+  `id` int NOT NULL,
+  `name` varchar(64)
+);
+INSERT INTO `patients` VALUES (1,'a');
+INSERT INTO `patients` VALUES (2,'b');
+INSERT INTO `patients` VALUES (3,'c');
+INSERT INTO `patients` VALUES (4,'d');
+INSERT INTO `patients` VALUES (5,'e');
+CREATE TABLE `samples` (
+  `id` int NOT NULL
+);
+INSERT INTO `samples` VALUES (1);
+INSERT INTO `samples` VALUES (2);
+CREATE TABLE `empty_tbl` (
+  `id` int NOT NULL
+);
+"""
+
+# pretty-printed multi-line tuple list (phpMyAdmin-style), no backticks
+MULTILINE = """\
+CREATE TABLE patients (
+  id int NOT NULL,
+  name varchar(64)
+);
+INSERT INTO patients (id, name) VALUES
+(1, 'a'),
+(2, 'b'),
+(3, 'c'),
+(4, 'd'),
+(5, 'e');
+CREATE TABLE samples (id int);
+INSERT INTO samples VALUES
+(1),
+(2);
+CREATE TABLE empty_tbl (id int);
+"""
+
+EXPECTED = {"patients": 5, "samples": 2, "empty_tbl": 0}
+
+
+def _counts(spark, path):
+    return {
+        r["table_name"]: r["n_rows"]
+        for r in parse_sql_dump_counts(spark, path).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "name,text", [("ext", EXTENDED), ("skip", SKIP_EXTENDED), ("multi", MULTILINE)]
+)
+def test_dialects_reconcile(spark, tmp_path, name, text):
+    p = tmp_path / f"dump_{name}.sql"
+    p.write_text(text)
+    assert _counts(spark, str(p)) == EXPECTED
+
+
+def test_unparseable_inserts_counted(spark, tmp_path):
+    bad = EXTENDED + "INSERT INTO `broken` SET id=1;\nINSERT INTO ;\n"
+    p = tmp_path / "dump_bad.sql"
+    p.write_text(bad)
+    got = {
+        r["table_name"]: (r["n_rows"], r["n_stmts"])
+        for r in parse_sql_dump_counts(spark, str(p)).collect()
+    }
+    assert got[UNPARSEABLE] == (0, 2)
+    assert got["patients"] == (5, 2)
+    # and the strict view omits the bucket without changing real tables
+    strict = {
+        r["table_name"]: r["n_rows"]
+        for r in parse_sql_dump_counts(
+            spark, str(p), include_unparseable=False
+        ).collect()
+    }
+    assert strict == EXPECTED
