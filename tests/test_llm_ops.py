@@ -143,6 +143,50 @@ def test_dedup_components_chain_and_islands(spark):
     assert fast == want and dist == want
 
 
+def test_star_contraction_property(spark):
+    """Large-star/small-star contraction vs driver union-find on random
+    graphs AND the pathological chain (diameter = n): labels agree exactly
+    and rounds stay O(log n) — the chain is the case plain min-label
+    propagation degenerates on (n rounds)."""
+    import math
+    import random
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _driver_union_find,
+        star_contraction,
+    )
+
+    rng = random.Random(29)
+    cases = []
+    # random sparse graphs over shuffled (non-contiguous) id spaces
+    for trial in range(3):
+        n = 60 + 30 * trial
+        ids = rng.sample(range(10_000), n)
+        edges = [
+            tuple(rng.sample(ids, 2)) for _ in range(int(n * 1.3))
+        ]
+        cases.append((f"random{trial}", edges, n))
+    # pathological chain: 10-20-30-...; diameter n, worst case for
+    # propagation, must still close in O(log n) star rounds
+    chain_n = 256
+    chain_ids = [10 * (i + 1) for i in range(chain_n)]
+    cases.append(
+        ("chain", list(zip(chain_ids, chain_ids[1:])), chain_n)
+    )
+
+    for name, edges, n in cases:
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        labels, rounds = star_contraction(df)
+        got = {r.id: r.component for r in labels.collect()}
+        want = {
+            r.id: r.component
+            for r in _driver_union_find(edges, spark).collect()
+        }
+        assert got == want, f"{name}: labels diverge from union-find"
+        bound = int(math.log2(n)) + 2
+        assert rounds <= bound, f"{name}: {rounds} rounds > O(log n) bound {bound}"
+
+
 def test_ngram_stoplist_bounds_skew(spark):
     """Adversarial stopword corpus: every doc shares the same boilerplate
     shingles (one hot join key owning |D|^2 rows without a stoplist). With
