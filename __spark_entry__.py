@@ -1268,6 +1268,81 @@ SELECT q_id, c_id, ROUND(cos, 4) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM 
 SQL_ANN_IVF = _sql_ann_ivf(k=5, nprobe=4, q_bound=50)
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat under the TRAINED coarse quantizer: k-means|| centroids
+    checked in as literals (llm/ivf_centroids.py, trained offline by
+    scripts/train_ivf_centroids.py on the SF-stable vec_id<500 pool), so
+    the index follows corpus density instead of a uniform id sample. The
+    same literals inline into the oracle SQL — identical assignment,
+    probing and ranking in both engines."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ivf_flat_topk_trained,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.ivf_centroids import (
+        TRAINED_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_flat_topk_trained(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        centroids=TRAINED_CENTROIDS,
+        k=5,
+        nprobe=4,
+    )
+
+
+def _sql_ann_ivf_trained(k: int, nprobe: int, q_bound: int) -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.ivf_centroids import (
+        TRAINED_CENTROIDS,
+    )
+
+    cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(TRAINED_CENTROIDS)
+    )
+    acos = (
+        "list_reduce(list_transform(list_zip(nv.vec, nc.cvec), x -> x[1]*x[2]),"
+        " (a,b) -> a+b) / (nv.nrm * nc.cnrm)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+nv AS (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+nc AS (SELECT cid, cvec,
+       sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm
+       FROM (VALUES
+  {cent_rows}) AS c(cid, cvec)),
+assign AS (
+  SELECT nv.id, nc.cid,
+         row_number() OVER (PARTITION BY nv.id ORDER BY {acos} DESC, nc.cid) AS rn
+  FROM nv CROSS JOIN nc
+),
+cand_lists AS (SELECT id, cid AS list_id FROM assign WHERE rn = 1),
+qprobe AS (SELECT id AS q_id, cid AS list_id FROM assign
+           WHERE id < {q_bound} AND rn <= {nprobe}),
+pairs AS (
+  SELECT DISTINCT q_id, cl.id AS c_id
+  FROM qprobe JOIN cand_lists cl USING (list_id)
+  WHERE cl.id <> q_id
+),
+sc AS (
+  SELECT q_id, c_id,
+         list_reduce(list_transform(list_zip(qv.vec, cv.vec), x -> x[1]*x[2]),
+                     (a,b) -> a+b) / (qv.nrm * cv.nrm) AS cos
+  FROM pairs JOIN nv cv ON cv.id = pairs.c_id JOIN nv qv ON qv.id = pairs.q_id
+)
+SELECT q_id, c_id, ROUND(cos, 4) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT q_id, c_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF_TRAINED = _sql_ann_ivf_trained(k=5, nprobe=4, q_bound=50)
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster canonicalization: connected components (min-label
     propagation, an iterative driver loop of join+agg rounds) over the
@@ -1535,6 +1610,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_pairs": (q_simhash, SQL_SIMHASH_PAIRS),
     "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_trained": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "topk_revenue": (q_topk_revenue, SQL_TOPK_REVENUE),
     "cube_agg": (q_cube_agg, SQL_CUBE_AGG),

@@ -16,7 +16,13 @@ from .dedup import (  # noqa: F401
     embedding_dup_pairs_lsh,
     release_plan_caches,
 )
-from .similarity import cosine_topk, ivf_flat_topk, lsh_ann_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_flat_topk,
+    ivf_flat_topk_trained,
+    lsh_ann_topk,
+    train_ivf_centroids,
+)
 from .multimodal import (  # noqa: F401
     FRAME_SCHEMA,
     MULTIMODAL_SCHEMA,

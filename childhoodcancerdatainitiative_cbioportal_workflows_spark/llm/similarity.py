@@ -144,6 +144,23 @@ def ivf_flat_topk(
     cents = v.filter(F.col("id").isin([int(i) for i in centroid_ids])).select(
         F.col("id").alias("cid"), F.col("vec").alias("cvec")
     )
+    qd = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return _ivf_topk_core(v, qd, cents, k, nprobe, exclude_self)
+
+
+def _ivf_topk_core(
+    v: DataFrame,
+    qd: DataFrame,
+    cents: DataFrame,
+    k: int,
+    nprobe: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVF probe/score plan over a (cid, cvec) quantizer table —
+    the quantizer source (corpus sample vs trained k-means) is the only
+    thing the public faces differ on."""
     ccos = _dot(F.col("vec"), F.col("cvec")) / (
         _norm(F.col("vec")) * _norm(F.col("cvec"))
     )
@@ -154,9 +171,6 @@ def ivf_flat_topk(
         .withColumn("_rn", F.row_number().over(w_assign))
     )
     cand_lists = assign.filter(F.col("_rn") == 1).select("id", F.col("cid").alias("list_id"))
-    qd = queries.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
-    )
     qprobe = (
         qd.crossJoin(F.broadcast(cents))
         .withColumn("_ccos", ccos)
@@ -185,6 +199,76 @@ def ivf_flat_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
     )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 29,
+    max_iter: int = 20,
+    round_decimals: int | None = 6,
+) -> list[list[float]]:
+    """Coarse-quantizer training: seeded k-means (kmeans|| init) over the
+    corpus, returning centroid vectors sorted lexicographically so the
+    centroid-id assignment is stable regardless of Spark's cluster-index
+    order (k-means cluster numbering is not deterministic across
+    partitionings; the vectors themselves are, once rounded).
+
+    ``round_decimals`` truncates each coordinate so the centroids embed as
+    compact literals and any last-ulp aggregation-order jitter disappears —
+    quantizer quality is unaffected (coarse assignment only needs ~2-3
+    significant digits). Returns plain Python lists, ready for
+    :func:`ivf_flat_topk_trained` and for inlining into oracle SQL."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, initMode="k-means||").fit(feats)
+    cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    if round_decimals is not None:
+        cents = [[round(x, round_decimals) for x in c] for c in cents]
+    return sorted(cents)
+
+
+def ivf_flat_topk_trained(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat top-k under a TRAINED coarse quantizer: ``centroids`` are
+    k-means centers (see :func:`train_ivf_centroids`) shipped as one
+    JVM-parsed nested literal — the index-build pass is a centroid-table
+    broadcast exactly like the sampled variant, but the lists now follow
+    the corpus's real density, which is what recovers recall on clustered
+    corpora (a uniform id-sample quantizer collapses dense regions into
+    few giant lists and probes waste work).
+
+    Training is an offline index-build step; this function only consumes
+    its artifact, so query plans stay deterministic and oracle-checkable
+    (the same literals inline into generated SQL)."""
+    spark = candidates.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid bigint, cvec array<double>",
+        )
+    )
+    v = spread(candidates).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    qd = queries.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return _ivf_topk_core(v, qd, cents, k, nprobe, exclude_self)
 
 
 def lsh_ann_topk(

@@ -310,6 +310,56 @@ def test_ivf_flat_recall(spark, vectors):
     assert 5 in set(approx[approx.q_id == 4].c_id)
 
 
+def test_ivf_trained_beats_sampled(spark):
+    """Trained k-means quantizer vs uniform id-sample quantizer on a
+    skew-clustered corpus: random id sampling lands nearly all centroids
+    in the dominant cluster, so minority-cluster queries probe the wrong
+    lists; trained centroids follow density and recover recall."""
+    import numpy as np
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ivf_flat_topk,
+        ivf_flat_topk_trained,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((6, 16)) * 3.0
+    sizes = [200, 24, 16, 12, 8, 8]
+    parts = [
+        centers[i] + 0.2 * rng.standard_normal((s, 16)) for i, s in enumerate(sizes)
+    ]
+    base = np.vstack(parts)
+    n = base.shape[0]
+    perm = rng.permutation(n)  # shuffle so id order carries no cluster info
+    base = base[perm]
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [list(map(float, v)) for v in base]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter(F.col("vec_id") < 40)
+
+    def recall(approx, exact):
+        hits = tot = 0
+        for q in exact.q_id.unique():
+            want = set(exact[exact.q_id == q].c_id)
+            got = set(approx[approx.q_id == q].c_id)
+            hits += len(want & got)
+            tot += len(want)
+        return hits / tot
+
+    exact = cosine_topk(df, queries, k=5).toPandas()
+    sampled_ids = sorted(int(x) for x in rng.choice(n, size=8, replace=False))
+    sampled = ivf_flat_topk(
+        df, queries, centroid_ids=sampled_ids, k=5, nprobe=2
+    ).toPandas()
+    cents = train_ivf_centroids(df, k=8, seed=29)
+    trained = ivf_flat_topk_trained(df, queries, cents, k=5, nprobe=2).toPandas()
+    r_sampled, r_trained = recall(sampled, exact), recall(trained, exact)
+    assert r_trained > r_sampled, (r_trained, r_sampled)
+    assert r_trained >= 0.9, r_trained
+
+
 def test_embedding_dup_pairs_lsh_recall_and_plan(spark, vectors):
     """The LSH-routed near-dup path: no cross product anywhere in the
     physical plan (the 100 TB scale requirement), and at true near-dup
