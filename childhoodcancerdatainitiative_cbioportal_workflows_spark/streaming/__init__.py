@@ -2,7 +2,9 @@ from .events import (  # noqa: F401
     EVENTS_SCHEMA,
     dedup_stream,
     enrich_stream,
+    merge_provider,
     read_event_stream,
+    upsert_sink,
     upsert_to_parquet,
     windowed_event_counts,
     sessionize,
