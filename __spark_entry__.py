@@ -369,6 +369,76 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment: md5-nibble hash
+    bucket of doc_id (llm/sampling.py) — stable across reruns and
+    re-partitioning, reproducible in any engine (vs rand()/df.sample).
+    Returns the full per-document assignment so the oracle checks every
+    bucket and label."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import dataset_split
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        hash_bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dataset_split(d)
+        .select(
+            "doc_id",
+            hash_bucket(F.col("doc_id")).alias("bucket"),
+            "split",
+        )
+    )
+
+
+_NIBFOLD_SPLIT = (
+    "list_reduce(list_transform(range(1,9), i -> "
+    "(CASE WHEN ascii(h[i]) >= 97 THEN ascii(h[i])-87 ELSE ascii(h[i])-48 END)::BIGINT), "
+    "(a,b) -> a*16+b)"
+)
+
+SQL_DATASET_SPLIT = f"""
+WITH hx AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents
+), b AS (
+  SELECT doc_id, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency-bounded vocabulary build (llm/sampling.py
+    build_vocab): distinct (doc, token) -> one-shuffle df count -> band
+    filter (min_df=5, max_df=50%) -> contiguous vocab ids by (df desc,
+    token)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import build_vocab
+
+    d = load_table(spark, sf_dir, "documents")
+    return build_vocab(d, min_df=5, max_df_frac=0.5)
+
+
+SQL_VOCAB_BUILD = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, t.token
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS t(token)
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+)
+SELECT token, df,
+       CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token) AS INTEGER) AS vocab_id
+FROM dfreq, n
+WHERE df >= 5 AND df <= n.n_docs * 0.5
+"""
+
+
 def q_cnv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CNV pipeline composition (the cnv_flow DAG shape of
     plans/cnv.py:181 cnv_pipeline, re-expressed over the shared testdata):
@@ -1703,6 +1773,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pivot_matrix": (q_pivot_matrix, SQL_PIVOT_MATRIX),
     "union_concat": (q_union_concat, SQL_UNION_CONCAT),
     "cnv_matrix": (q_cnv_matrix, SQL_CNV_MATRIX),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "scalar_gistic": (q_scalar_gistic, SQL_SCALAR_GISTIC),
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),

@@ -16,6 +16,12 @@ from .dedup import (  # noqa: F401
     embedding_dup_pairs_lsh,
     release_plan_caches,
 )
+from .sampling import (  # noqa: F401
+    build_vocab,
+    dataset_split,
+    hash_bucket,
+    hash_sample,
+)
 from .similarity import (  # noqa: F401
     cosine_topk,
     ivf_flat_topk,

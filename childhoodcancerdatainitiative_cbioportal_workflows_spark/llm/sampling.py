@@ -1,0 +1,108 @@
+"""Deterministic dataset splitting & sampling for training-data pipelines.
+
+Train/val/test assignment at 100 TB must be a pure function of a stable
+key — ``rand()`` splits are irreproducible across retries/re-partitions,
+and ``df.sample`` changes membership when upstream files re-split. Here a
+document's split follows from an md5 hash bucket of its id: re-running any
+subset of the pipeline (or re-sharding the input) can never move a
+document between splits, and any engine can recompute the assignment
+(md5-nibble integer fold — same construction as the md5-derived dedup
+families, bit-exact in DuckDB/Trino/Spark).
+
+No shuffle is involved at all: assignment is a per-row projection, so a
+split/sample is a narrow filter Catalyst pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _md5_nibbles, _nibble_fold
+
+#: bucket space for split fractions; 1e-4 granularity is plenty for
+#: split weights and keeps the fold inside 32 bits
+NUM_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, num_buckets: int = NUM_BUCKETS) -> Column:
+    """Uniform pseudo-random bucket in [0, num_buckets) from the md5 of the
+    key's string form. First 8 hex nibbles folded base-16 — engine-portable
+    and stable forever (md5 of the same string never changes)."""
+    return _nibble_fold(_md5_nibbles(F.md5(key.cast("string")), 1, 8)) % num_buckets
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: list[tuple[str, float]] | None = None,
+    key_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split label. ``weights`` is an ordered list of
+    (name, fraction) summing to <= 1 (remainder falls into the last split);
+    default 80/10/10 train/val/test. Cumulative-boundary buckets, so
+    growing one split never reassigns rows between the OTHER splits."""
+    weights = weights or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    cum = 0.0
+    for name, frac in weights[:-1]:
+        cum += frac
+        bound = int(round(cum * NUM_BUCKETS))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic ``fraction`` sample by hash bucket: stable across
+    reruns and re-partitioning (unlike ``df.sample``), composable with
+    :func:`dataset_split` (independent md5 prefixes would decorrelate;
+    here both read the same bucket, so a sample of the train split is
+    simply ``bucket < frac*train_bound`` — document when layering)."""
+    bound = int(round(fraction * NUM_BUCKETS))
+    return df.filter(hash_bucket(F.col(key_col)) < F.lit(bound))
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Document-frequency-bounded vocabulary: lowercase whitespace tokens,
+    per-document distinct, df counted in ONE shuffle, band-filtered
+    (``min_df <= df <= max_df_frac * n_docs``), then ranked into contiguous
+    vocab ids by (df desc, token asc).
+
+    Scale shape: the explode + distinct + count is fully distributed; the
+    final ranking window is a single ordered partition but runs AFTER the
+    df band has shrunk the table to vocabulary size (stopword-bounded
+    above, noise-bounded below) — vocabularies are ~1e5-1e6 rows at any
+    corpus size, driver-safe. Returns (token, df, vocab_id)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            )
+        ).alias("token"),
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    dfreq = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= min_df) & (F.col("df") <= F.col("_n") * max_df_frac)
+        )
+        .drop("_n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
+    return dfreq.withColumn("vocab_id", F.row_number().over(w))

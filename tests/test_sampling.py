@@ -1,0 +1,72 @@
+"""Deterministic splitting/sampling + vocab build (llm/sampling.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+    build_vocab,
+    dataset_split,
+    hash_sample,
+)
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    ids = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(ids).groupBy("split").count().toPandas()
+    frac = dict(zip(out.split, out["count"] / 20_000))
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # pure function of the key: same assignment on a re-partitioned copy
+    a = dataset_split(ids).select("doc_id", "split").toPandas()
+    b = (
+        dataset_split(ids.repartition(13)).select("doc_id", "split")
+        .toPandas()
+    )
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+
+
+def test_dataset_split_growing_a_split_is_monotone(spark):
+    """Cumulative boundaries: growing train only steals from the NEXT
+    split; no train member ever leaves train."""
+    ids = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    small = dataset_split(ids, [("train", 0.6), ("val", 0.2), ("test", 0.2)])
+    big = dataset_split(ids, [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    s = set(small.filter(F.col("split") == "train").toPandas().doc_id)
+    g = set(big.filter(F.col("split") == "train").toPandas().doc_id)
+    assert s <= g
+
+
+def test_hash_sample_nested(spark):
+    ids = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    s20 = set(hash_sample(ids, 0.2).toPandas().doc_id)
+    s50 = set(hash_sample(ids, 0.5).toPandas().doc_id)
+    assert s20 <= s50
+    assert abs(len(s50) / 10_000 - 0.5) < 0.02
+
+
+def test_build_vocab_matches_pandas(spark):
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a cat and a dog"),
+        (3, "the bird flew over the log"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = build_vocab(df, min_df=2, max_df_frac=0.6).toPandas()
+    # independent pandas cross-check
+    tok_sets = {i: set(t.lower().split()) for i, t in docs}
+    dfreq: dict[str, int] = {}
+    for toks in tok_sets.values():
+        for t in toks:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {
+        t: c for t, c in dfreq.items() if c >= 2 and c <= 0.6 * len(docs)
+    }
+    assert dict(zip(got.token, got.df)) == want
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(got.sort_values("vocab_id").token) == [t for t, _ in ranked]
+    assert sorted(got.vocab_id) == list(range(1, len(want) + 1))
