@@ -5,4 +5,4 @@ from .excel import read_excel  # noqa: F401
 from .sqldump import parse_sql_dump_counts  # noqa: F401
 from .audit import audit_files, audit_summary  # noqa: F401
 from .http import fetch_to_staging  # noqa: F401
-from .bucketing import write_bucketed, read_table  # noqa: F401
+from .bucketing import write_bucketed, write_partitioned, read_table  # noqa: F401

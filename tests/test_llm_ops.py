@@ -310,6 +310,27 @@ def test_ivf_flat_recall(spark, vectors):
     assert 5 in set(approx[approx.q_id == 4].c_id)
 
 
+def test_cosine_topk_np_equivalent(spark, vectors):
+    """The Arrow-batched numpy matmul path must reproduce the JVM fold
+    baseline exactly (same pairs, same ranks, cos equal at the rounded
+    precision) — it is pinned here instead of the DuckDB oracle because
+    BLAS reassociates the float sum."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.similarity import (
+        cosine_topk_np,
+    )
+
+    df, _ = vectors
+    want = cosine_topk(df, df.filter(F.col("vec_id") < 10), k=3).toPandas()
+    got = cosine_topk_np(df, df.filter(F.col("vec_id") < 10), k=3).toPandas()
+    on = ["q_id", "rank"]
+    merged = want.sort_values(on).reset_index(drop=True).merge(
+        got.sort_values(on).reset_index(drop=True), on=on, suffixes=("_w", "_g")
+    )
+    assert len(merged) == len(want) == len(got)
+    assert (merged.c_id_w == merged.c_id_g).all()
+    assert (merged.cos_sim_w - merged.cos_sim_g).abs().max() <= 1e-4
+
+
 def test_ivf_trained_beats_sampled(spark):
     """Trained k-means quantizer vs uniform id-sample quantizer on a
     skew-clustered corpus: random id sampling lands nearly all centroids

@@ -1,0 +1,43 @@
+"""Partitioned layout: pruning must reach the scan (the 100 TB contract —
+a partition-scoped query reads one directory, not the table)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources import (
+    write_partitioned,
+)
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("string").alias("day"),
+        (F.col("id") * 3).alias("value"),
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(df, path, ["day"])
+    # hive layout on disk
+    assert os.path.isdir(os.path.join(path, "day=3"))
+
+    back = spark.read.parquet(path).filter(F.col("day") == "3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # the non-partition filter must ALSO push to parquet when present
+    both = spark.read.parquet(path).filter(
+        (F.col("day") == "3") & (F.col("value") > 100)
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        both.explain("formatted")
+    formatted = buf.getvalue()
+    assert "PushedFilters" in formatted and "GreaterThan(value" in formatted
+    got = back.count()
+    want = df.filter(F.col("day") == "3").count()
+    assert got == want
