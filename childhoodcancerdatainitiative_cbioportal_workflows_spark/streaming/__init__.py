@@ -9,4 +9,5 @@ from .events import (  # noqa: F401
     windowed_event_counts,
     sessionize,
 )
+from .joins import interval_join_streams  # noqa: F401
 from .stateful import running_user_totals  # noqa: F401

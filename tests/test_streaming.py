@@ -223,6 +223,57 @@ def test_enrich_stream_static_join(spark, tmp_path):
     assert got[got.user_id == 1].segment.eq("a").all()
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impressions->conversions attribution: stream-stream equi+range join
+    must (a) match only conversions within the bound, (b) produce the same
+    rows the identical batch join produces."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        interval_join_streams,
+    )
+
+    imps = [
+        {"event_id": 10, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "imp", "value": 0.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T01:00:00", "user_id": 2, "event_type": "imp", "value": 0.0, "props": "{}"},
+    ]
+    convs = [
+        # within 15 min of imp 10 -> matches
+        {"event_id": 20, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "conv", "value": 5.0, "props": "{}"},
+        # 30 min after imp 11 -> outside the bound, no match
+        {"event_id": 21, "ts": "2024-01-01T01:30:00", "user_id": 2, "event_type": "conv", "value": 7.0, "props": "{}"},
+        # before imp 10 -> no match
+        {"event_id": 22, "ts": "2023-12-31T23:59:00", "user_id": 1, "event_type": "conv", "value": 9.0, "props": "{}"},
+    ]
+    src_l = str(tmp_path / "imps_in")
+    src_r = str(tmp_path / "convs_in")
+    _write_event_files(src_l, [imps])
+    _write_event_files(src_r, [convs])
+
+    left = read_event_stream(spark, src_l, fmt="json")
+    right = read_event_stream(spark, src_r, fmt="json")
+    joined = interval_join_streams(left, right, within="15 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from attrib").toPandas()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    assert got.l_event_id.iloc[0] == 10 and got.r_event_id.iloc[0] == 20
+
+    # batch equivalence: same function over batch reads
+    lb = spark.read.schema(left.schema).json(src_l)
+    rb = spark.read.schema(right.schema).json(src_r)
+    batch = interval_join_streams(lb, rb, within="15 minutes").toPandas()
+    assert len(batch) == 1
+    assert batch.l_event_id.iloc[0] == 10 and batch.r_event_id.iloc[0] == 20
+
+
 def test_upsert_sink_latest_wins(spark, tmp_path):
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
         upsert_to_parquet,
