@@ -439,6 +439,70 @@ WHERE df >= 5 AND df <= n.n_docs * 0.5
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (llm/sampling.pack_sequences):
+    hash-sharded document streams, per-shard window cumsum offsets,
+    budget-floor pack ids — the pretraining row layout, num_shards-way
+    parallel with no global window."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=2048, num_shards=8)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH hx AS (
+  SELECT doc_id, text, md5(doc_id::VARCHAR) AS h FROM documents
+), t AS (
+  SELECT doc_id,
+         {_NIBFOLD_SPLIT} % 10000 % 8 AS shard,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM hx
+), o AS (
+  SELECT doc_id, shard, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens) AS "offset"
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, "offset",
+       CAST(FLOOR("offset" / 2048) AS BIGINT) AS pack_id
+FROM o
+"""
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality filter (functions/text.
+    repetition_ratio): 1 - distinct/total trigram shingles, floor-scaled."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        repetition_ratio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", repetition_ratio(F.col("text"), n=3).alias("rep_ratio"))
+
+
+SQL_REPETITION_PROFILE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END AS shingles
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(shingles) > 0
+         THEN FLOOR((1.0 - len(list_distinct(shingles)) / CAST(len(shingles) AS DOUBLE)) * 10000) / 10000
+         ELSE 0.0 END AS rep_ratio
+FROM sh
+"""
+
+
 def q_cnv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CNV pipeline composition (the cnv_flow DAG shape of
     plans/cnv.py:181 cnv_pipeline, re-expressed over the shared testdata):
@@ -1775,6 +1839,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cnv_matrix": (q_cnv_matrix, SQL_CNV_MATRIX),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "repetition_profile": (q_repetition_profile, SQL_REPETITION_PROFILE),
     "scalar_gistic": (q_scalar_gistic, SQL_SCALAR_GISTIC),
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),

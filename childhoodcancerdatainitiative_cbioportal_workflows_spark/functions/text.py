@@ -201,3 +201,17 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     idx = F.sequence(F.lit(1), k - F.lit(n - 1))
     grams = F.transform(idx, lambda i: F.substring(norm, i, F.lit(n)))
     return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Intra-document repetition: 1 - distinct/total n-gram shingles — the
+    boilerplate/loop detector quality filters use (heavily repeated
+    passages score near 1, diverse prose near 0). Docs too short to have
+    an n-gram score 0.0. Pure codegen'd built-ins; floor-scaled to 4
+    decimals like quality_score so every engine agrees on the bits."""
+    sh = word_shingles(text, n=n)
+    total = F.size(sh).cast("double")
+    ratio = F.when(
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(sh)) / total
+    ).otherwise(F.lit(0.0))
+    return F.floor(ratio * 10000) / 10000

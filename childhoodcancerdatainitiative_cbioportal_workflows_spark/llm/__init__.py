@@ -21,6 +21,7 @@ from .sampling import (  # noqa: F401
     dataset_split,
     hash_bucket,
     hash_sample,
+    pack_sequences,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

@@ -106,3 +106,50 @@ def build_vocab(
 
     w = Window.orderBy(F.col("df").desc(), F.col("token").asc())
     return dfreq.withColumn("vocab_id", F.row_number().over(w))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    num_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: lay documents end-to-end into
+    fixed-``budget`` training rows (token-level chunking — a document may
+    span pack boundaries, the standard pretraining layout).
+
+    Deterministic and distributed: documents are assigned to
+    ``num_shards`` independent streams by hash bucket, laid out in id
+    order within their shard, and the concatenated token stream of each
+    shard is cut every ``budget`` tokens. The per-shard cumulative offset
+    is one window sum partitioned by shard — num_shards-way parallel, no
+    global single-partition window — and a pack never crosses shards, so
+    shards are also the unit of downstream reader parallelism.
+
+    Returns (doc_id, shard, n_tokens, offset, pack_id): offset is the
+    doc's first-token position within its shard stream, pack_id =
+    floor(offset / budget) the training row where the doc starts."""
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        (hash_bucket(F.col(id_col)) % num_shards).alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("offset"),
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+        ).alias("pack_id"),
+    )

@@ -48,6 +48,46 @@ def test_hash_sample_nested(spark):
     assert abs(len(s50) / 10_000 - 0.5) < 0.02
 
 
+def test_pack_sequences_contiguous(spark):
+    """Per-shard offsets must tile the token stream exactly: sorted by
+    doc_id within a shard, each doc starts where the previous ended, and
+    pack_id is the budget-floor of the offset."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import pack_sequences
+
+    docs = [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pack_sequences(df, budget=16, num_shards=4).toPandas()
+    assert len(out) == 200
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        expect = 0
+        for r in grp.itertuples():
+            assert r.offset == expect, (shard, r.doc_id)
+            assert r.pack_id == r.offset // 16
+            expect += r.n_tokens
+
+
+def test_repetition_ratio(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        repetition_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam spam spam"),
+            (1, "a quick brown fox jumps over the lazy dog"),
+            (2, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = dict(
+        df.select("doc_id", repetition_ratio(F.col("text")).alias("r")).collect()
+    )
+    assert got[0] > 0.8  # 6 identical trigrams of 6 total -> 5/6
+    assert got[1] == 0.0  # all trigrams distinct
+    assert got[2] == 0.0  # < n tokens -> no shingles
+
+
 def test_build_vocab_matches_pandas(spark):
     docs = [
         (0, "the cat sat on the mat"),
