@@ -112,6 +112,41 @@ def main() -> None:
             lambda: embedding_dup_pairs_lsh(emb, threshold=0.45, num_planes=None),
         )
 
+    # round-4 ops
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+        pack_sequences,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        star_contraction,
+    )
+
+    bench("ngram_jaccard(stoplist)", 0,
+          lambda: ngram_jaccard_pairs(warm_docs, max_doc_freq=5), warm=True)
+    bench("pack_sequences", 0, lambda: pack_sequences(warm_docs), warm=True)
+    for n in (5_000, 20_000):
+        docs = materialize("documents", n, lambda k: synth_documents(k, seed=3))
+        bench("ngram_jaccard(stoplist)", n,
+              lambda: ngram_jaccard_pairs(docs, max_doc_freq=5))
+        bench("pack_sequences", n, lambda: pack_sequences(docs))
+
+    # star contraction: chain graphs (worst case); rounds must stay O(log n)
+    import pandas as pd
+
+    for n in (1_000, 4_000, 16_000):
+        chain = pd.DataFrame(
+            {"src": np.arange(n - 1, dtype=np.int64),
+             "dst": np.arange(1, n, dtype=np.int64)}
+        )
+        edges = spark.createDataFrame(chain).repartition(16)
+        t0 = time.time()
+        labels, rounds = star_contraction(edges)
+        rows = labels.count()
+        dt = time.time() - t0
+        ops.setdefault("star_contraction(chain)", []).append((n, dt, rows))
+        print(f"# star_contraction(chain) n={n}: {dt:.2f}s rounds={rounds} rows={rows}",
+              flush=True)
+
     print("\n| op | sizes | times (s) | scaling exponent |")
     print("|---|---|---|---|")
     for op, rows in ops.items():
