@@ -63,6 +63,21 @@ def test_semi_anti_plan_shapes(spark):
     assert "LeftAnti" in _plan(spark, "anti_join")
 
 
+def test_composition_plan_shapes(spark):
+    """The round-4 composition/pipeline queries must keep their scale
+    shapes: no cartesian anywhere, the interval join broadcasting its
+    binned gene side, and dataset_split staying a pure projection (zero
+    exchanges — the assignment must be pushable into a scan-side
+    filter)."""
+    p = _plan(spark, "cnv_matrix")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    p = _plan(spark, "sequence_pack")
+    assert "CartesianProduct" not in p
+    p = _plan(spark, "dataset_split")
+    assert "Exchange" not in p
+
+
 def test_llm_scan_pushdown(spark):
     """The doc_id bounds on the LLM queries must reach the parquet scan as
     pushed filters — at 100 TB an unpushed bound reads the whole corpus."""
