@@ -309,6 +309,30 @@ def test_contract_validation(spark):
         )
 
 
+def test_approx_profile_error_bounds(spark):
+    """Sketch profile vs exact answers: HLL++ distinct within its rsd
+    envelope, percentile_approx within rank error, one row per group."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        approx_profile,
+    )
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 7919).alias("user"),  # 7919 distinct per full cycle
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    got = {r["grp"]: r for r in approx_profile(df, "grp", "user", "v").collect()}
+    exact = {
+        r["grp"]: r["d"]
+        for r in df.groupBy("grp").agg(F.countDistinct("user").alias("d")).collect()
+    }
+    for g, row in got.items():
+        assert abs(row["approx_distinct"] - exact[g]) / exact[g] < 0.05
+        p50, p95, p99 = row["approx_percentiles"]
+        assert abs(p50 - 500) < 25 and abs(p95 - 950) < 25 and abs(p99 - 990) < 25
+        assert row["n_rows"] > 0
+
+
 def test_contract_empty_string_semantics(spark):
     """Pin both empty-string modes: the default treats '' as null (matching
     the reference's read_csv-mediated isnull), empty_is_null=False is the
