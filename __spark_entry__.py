@@ -1475,8 +1475,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_ivf(k: int, nprobe: int, q_bound: int) -> str:
-    ids = ",".join(str(i) for i in _ivf_centroid_ids())
+def _sql_ivf_body(nc_cte: str, k: int, nprobe: int, q_bound: int) -> str:
+    """Shared IVF oracle: assignment/probe/pair/score/rank over whatever
+    ``nc_cte`` supplies as the (cid, cvec, cnrm) quantizer table — the
+    sampled and trained variants differ ONLY in that CTE (mirroring
+    _ivf_topk_core on the Spark side)."""
     acos = (
         "list_reduce(list_transform(list_zip(nv.vec, nc.cvec), x -> x[1]*x[2]),"
         " (a,b) -> a+b) / (nv.nrm * nc.cnrm)"
@@ -1485,9 +1488,7 @@ def _sql_ann_ivf(k: int, nprobe: int, q_bound: int) -> str:
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
 nv AS (SELECT id, vec,
        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
-nc AS (SELECT id AS cid, vec AS cvec,
-       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS cnrm
-       FROM v WHERE id IN ({ids})),
+nc AS ({nc_cte}),
 assign AS (
   SELECT nv.id, nc.cid,
          row_number() OVER (PARTITION BY nv.id ORDER BY {acos} DESC, nc.cid) AS rn
@@ -1513,6 +1514,16 @@ SELECT q_id, c_id, ROUND(cos, 4) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM 
   FROM sc
 ) WHERE rank <= {k}
 """
+
+
+def _sql_ann_ivf(k: int, nprobe: int, q_bound: int) -> str:
+    ids = ",".join(str(i) for i in _ivf_centroid_ids())
+    nc = (
+        "SELECT id AS cid, vec AS cvec,\n"
+        "       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS cnrm\n"
+        f"       FROM v WHERE id IN ({ids})"
+    )
+    return _sql_ivf_body(nc, k, nprobe, q_bound)
 
 
 SQL_ANN_IVF = _sql_ann_ivf(k=5, nprobe=4, q_bound=50)
@@ -1551,43 +1562,13 @@ def _sql_ann_ivf_trained(k: int, nprobe: int, q_bound: int) -> str:
         f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(TRAINED_CENTROIDS)
     )
-    acos = (
-        "list_reduce(list_transform(list_zip(nv.vec, nc.cvec), x -> x[1]*x[2]),"
-        " (a,b) -> a+b) / (nv.nrm * nc.cnrm)"
+    nc = (
+        "SELECT cid, cvec,\n"
+        "       sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm\n"
+        "       FROM (VALUES\n"
+        f"  {cent_rows}) AS c(cid, cvec)"
     )
-    return f"""
-WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-nv AS (SELECT id, vec,
-       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
-nc AS (SELECT cid, cvec,
-       sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm
-       FROM (VALUES
-  {cent_rows}) AS c(cid, cvec)),
-assign AS (
-  SELECT nv.id, nc.cid,
-         row_number() OVER (PARTITION BY nv.id ORDER BY {acos} DESC, nc.cid) AS rn
-  FROM nv CROSS JOIN nc
-),
-cand_lists AS (SELECT id, cid AS list_id FROM assign WHERE rn = 1),
-qprobe AS (SELECT id AS q_id, cid AS list_id FROM assign
-           WHERE id < {q_bound} AND rn <= {nprobe}),
-pairs AS (
-  SELECT DISTINCT q_id, cl.id AS c_id
-  FROM qprobe JOIN cand_lists cl USING (list_id)
-  WHERE cl.id <> q_id
-),
-sc AS (
-  SELECT q_id, c_id,
-         list_reduce(list_transform(list_zip(qv.vec, cv.vec), x -> x[1]*x[2]),
-                     (a,b) -> a+b) / (qv.nrm * cv.nrm) AS cos
-  FROM pairs JOIN nv cv ON cv.id = pairs.c_id JOIN nv qv ON qv.id = pairs.q_id
-)
-SELECT q_id, c_id, ROUND(cos, 4) AS cos_sim, CAST(rank AS INTEGER) AS rank FROM (
-  SELECT q_id, c_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
-  FROM sc
-) WHERE rank <= {k}
-"""
+    return _sql_ivf_body(nc, k, nprobe, q_bound)
 
 
 SQL_ANN_IVF_TRAINED = _sql_ann_ivf_trained(k=5, nprobe=4, q_bound=50)

@@ -800,6 +800,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+class _CheckpointHandle:
+    """Unpersistable handle to a ``localCheckpoint``ed DataFrame's cached
+    RDD. PySpark exposes no API to free checkpoint blocks (only async GC
+    reclaims them); the block-holding RDD is reachable through the
+    ``LogicalRDD`` plan node. Shares the ``unpersist()`` shape of
+    DataFrame/Broadcast so it can ride ``_with_caches`` lists."""
+
+    def __init__(self, df: DataFrame):
+        try:
+            self._rdd = df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            self._rdd = None  # plan shape changed across versions: degrade to GC
+
+    def unpersist(self) -> None:
+        if self._rdd is not None:
+            try:
+                self._rdd.unpersist(False)
+            except Exception:
+                pass
+
+
 def star_contraction(
     edges: DataFrame, max_iter: int = 50
 ) -> tuple[DataFrame, int]:
@@ -820,10 +841,16 @@ def star_contraction(
     nests rounds 1..k-1 (the analyzer re-walks a plan that grows ~5x per
     round; measured minutes of pure driver analysis by round 10 on a
     256-node chain). Checkpointing truncates the plan to the materialized
-    partitions, keeping every round's analysis O(1). localCheckpoint is
-    executor-local (not fault-tolerant); a long-lived production job on
-    flaky clusters should set a reliable ``spark.sparkContext.
-    setCheckpointDir`` and swap in ``.checkpoint()``."""
+    partitions, keeping every round's analysis O(1). Each round's blocks
+    are explicitly unpersisted once the NEXT round is materialized (safe:
+    eager checkpoint = fully computed; necessary: the checkpointed RDDs
+    are otherwise only freed by async GC — measured 12 live cached RDD
+    snapshots after an 11-round run without this). The final round rides
+    the returned plan's cache list for ``release_plan_caches``.
+    localCheckpoint is executor-local (not fault-tolerant); a long-lived
+    production job on flaky clusters should set a reliable
+    ``spark.sparkContext.setCheckpointDir`` and swap in
+    ``.checkpoint()``."""
     cur = (
         edges.select(
             F.greatest("src", "dst").alias("src"),
@@ -833,6 +860,7 @@ def star_contraction(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    cur_handle = _CheckpointHandle(cur)
     checksum = cur.agg(
         F.count("*").alias("n"), F.sum("src").alias("ss"), F.sum("dst").alias("sd")
     ).first()
@@ -844,7 +872,10 @@ def star_contraction(
         checksum = nxt.agg(
             F.count("*").alias("n"), F.sum("src").alias("ss"), F.sum("dst").alias("sd")
         ).first()
-        cur = nxt
+        # nxt is fully materialized (eager) — the previous round's blocks
+        # can go now; without this every round's snapshot stays cached
+        cur_handle.unpersist()
+        cur, cur_handle = nxt, _CheckpointHandle(nxt)
         state = (checksum["n"], checksum["ss"], checksum["sd"])
         if state == prev:
             break
@@ -858,7 +889,7 @@ def star_contraction(
         .groupBy("id")
         .agg(F.min("component").alias("component"))
     )
-    return labels, rounds
+    return _with_caches(labels, [cur_handle]), rounds
 
 
 def dedup_components(
@@ -895,7 +926,8 @@ def dedup_components(
         return _with_caches(out, [edges_dir])
     labels, _ = star_contraction(edges_dir, max_iter=max_iter)
     out = labels.select("id", "component")
-    return _with_caches(out, [edges_dir])
+    inner = getattr(labels, "_spark_graft_caches", [])
+    return _with_caches(out, [edges_dir, *inner])
 
 
 def embedding_dup_pairs_lsh(

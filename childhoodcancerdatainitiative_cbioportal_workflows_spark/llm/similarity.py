@@ -380,7 +380,18 @@ def cosine_topk_np(
     per-element SQL fold, see module note) and reduced to its per-batch
     top-(k+1) rows per query before leaving the worker, so the shuffle
     carries O(k * n_q * n_batches) rows — never O(n * n_q). A final
-    window rank over that small union yields the exact global top-k."""
+    window rank over that small union yields the exact global top-k.
+
+    The per-batch cut uses a per-query lexsort on (-cos, c_id) — NOT a
+    bare argpartition, which breaks similarity ties arbitrarily and could
+    drop the smaller c_id the contract keeps (duplicate vectors make such
+    ties common in near-dup corpora). Cost is n_q * O(batch log batch);
+    queries are the broadcast-small side by contract.
+
+    The query-matrix broadcast is registered on the returned plan —
+    callers running many scoring rounds should
+    ``release_plan_caches(result)`` after materializing, like the dedup
+    builders."""
     import numpy as np
     import pandas as pd
 
@@ -404,13 +415,15 @@ def cosine_topk_np(
             sims = cm @ qm_b.T  # (batch, n_q)
             c_ids = pdf["c_id"].to_numpy()
             top = min(take, sims.shape[0])
-            # per-query partial top-k within the batch
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, n_q)
+            # tie-aware per-query partial top-k (cos desc, c_id asc)
+            sel = np.empty((top, sims.shape[1]), dtype=np.int64)
+            for j in range(sims.shape[1]):
+                sel[:, j] = np.lexsort((c_ids, -sims[:, j]))[:top]
             out = pd.DataFrame(
                 {
                     "q_id": np.repeat(ids_b, top),
-                    "c_id": c_ids[idx].T.ravel(),
-                    "cos_sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                    "c_id": c_ids[sel].T.ravel(),
+                    "cos_sim": np.take_along_axis(sims, sel, axis=0).T.ravel(),
                 }
             )
             yield out
@@ -424,8 +437,12 @@ def cosine_topk_np(
     if exclude_self:
         partial = partial.filter(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
-    return (
+    from .dedup import _with_caches
+
+    out = (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
     )
+    # Broadcast.unpersist shares the cache-release signature
+    return _with_caches(out, [bc])

@@ -3,13 +3,19 @@
 The reference parses dump files line-by-line in 10k-line chunks with a
 carry buffer (``src/utils.py:328-383``): count CREATE TABLE statements and
 count VALUES tuples per INSERT INTO table. Spark version: distributed
-``spark.read.text`` with a statement delimiter (``;\\n``) so one record =
-one SQL statement regardless of dialect — extended inserts (one batched
+``spark.read.text`` with a statement delimiter (``;\\n``, or ``;\\r\\n``
+for CRLF dumps — sniffed from the file head) so one record = one SQL
+statement regardless of dialect — extended inserts (one batched
 ``INSERT ... VALUES (...),(...);`` line), ``--skip-extended-insert`` dumps
 (one tuple per INSERT), and pretty-printed multi-line tuple lists all
 parse identically. The text source stays splittable on the custom
 delimiter, so a dump of any size partitions across executors with no
 chunk/carry logic.
+
+A record carries the comment/blank lines that precede its statement
+(mysqldump interleaves ``--`` banners), so all statement regexes anchor at
+LINE starts (``(?im)^\\s*``), not record starts — this also stops DDL text
+embedded mid-line in string data from minting phantom tables.
 """
 
 from __future__ import annotations
@@ -22,8 +28,41 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 #: against source-of-truth counts can flag the gap.
 UNPARSEABLE = "__unparseable__"
 
-_INSERT_TABLE = r'(?is)^\s*INSERT\s+INTO\s+[`"]?([A-Za-z0-9_$.]+)'
+_CREATE_TABLE = (
+    r'(?im)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?([A-Za-z0-9_$.]+)'
+)
+_INSERT_TABLE = r'(?im)^\s*INSERT\s+INTO\s+[`"]?([A-Za-z0-9_$.]+)'
 _VALUES_TUPLES = r"(?is)VALUES\s*(\(.*)"
+
+
+def _sniff_line_sep(path: str) -> str:
+    """Statement delimiter from the first 64 KB of the (first) dump file:
+    ``;\\r\\n`` for CRLF-terminated (Windows-produced) dumps, else
+    ``;\\n``. Local paths only — one bounded driver-side read; scheme'd
+    paths (s3a://, hdfs://) default to LF, which every mysqldump produced
+    on a POSIX host uses (pass a pre-normalized dump otherwise)."""
+    import glob as _glob
+    import os
+
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local:
+        return ";\n"
+    try:
+        matches = sorted(_glob.glob(local)) or [local]
+        first = matches[0]
+        if os.path.isdir(first):
+            inner = sorted(
+                p for p in _glob.glob(os.path.join(first, "*")) if os.path.isfile(p)
+            )
+            if inner:
+                first = inner[0]
+        with open(first, "rb") as f:
+            head = f.read(65536)
+        if b";\r\n" in head:
+            return ";\r\n"
+    except OSError:
+        pass  # unreadable head -> assume LF; the scan itself surfaces real IO errors
+    return ";\n"
 
 
 def parse_sql_dump_counts(
@@ -35,23 +74,21 @@ def parse_sql_dump_counts(
     (whitespace/newlines allowed between them) + 1, the same '(' row-start
     counting the reference does (src/utils.py:375-383) — string values that
     themselves contain ``),(`` miscount identically in both engines. Tables
-    that appear in CREATE TABLE but have no INSERT rows count 0. INSERT
-    statements with no parseable table name or VALUES list are counted
-    under :data:`UNPARSEABLE` (omit with ``include_unparseable=False``)
-    rather than silently dropped.
+    that appear in CREATE TABLE (``IF NOT EXISTS`` included) but have no
+    INSERT rows count 0. INSERT statements with no parseable table name or
+    VALUES list are counted under :data:`UNPARSEABLE` (omit with
+    ``include_unparseable=False``) rather than silently dropped.
     """
-    stmts = spark.read.option("lineSep", ";\n").text(path)
+    stmts = spark.read.option("lineSep", _sniff_line_sep(path)).text(path)
     created = (
         stmts.select(
-            F.regexp_extract(
-                "value", r'(?is)CREATE\s+TABLE\s+[`"]?([A-Za-z0-9_$.]+)', 1
-            ).alias("table_name")
+            F.regexp_extract("value", _CREATE_TABLE, 1).alias("table_name")
         )
         .filter(F.col("table_name") != "")
         .distinct()
     )
     parsed = (
-        stmts.filter(F.col("value").rlike(r"(?is)^\s*INSERT\s+INTO"))
+        stmts.filter(F.col("value").rlike(r"(?im)^\s*INSERT\s+INTO"))
         .select(
             F.regexp_extract("value", _INSERT_TABLE, 1).alias("table_name"),
             F.regexp_extract("value", _VALUES_TUPLES, 1).alias("tuples"),
@@ -79,8 +116,7 @@ def parse_sql_dump_counts(
         .withColumn("n_rows", F.coalesce(F.col("n_rows"), F.lit(0)))
         .withColumn("n_stmts", F.coalesce(F.col("n_stmts"), F.lit(0)))
     )
-    # keep unattributed-INSERT accounting unless told otherwise, but drop
-    # phantom tables that came from neither CREATE nor a parsed INSERT
+    # keep unattributed-INSERT accounting unless told otherwise
     if not include_unparseable:
         out = out.filter(F.col("table_name") != UNPARSEABLE)
     return out.select("table_name", "n_rows", "n_stmts")

@@ -85,17 +85,27 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     return events.join(F.broadcast(dim), on, "left")
 
 
-def merge_provider() -> str:
+def merge_provider(spark: "SparkSession | None" = None) -> str:
     """Which transactional MERGE provider this session can use: ``"delta"``
-    when delta-spark is importable (jars + python pkg), else ``"parquet"``
-    (the read-union-overwrite fallback). Import-guarded like the media
-    codecs — the grading container ships neither Delta nor Iceberg."""
+    when delta-spark is importable AND (when a session is given) its jars
+    are actually on this session's classpath — a pip-installed ``delta``
+    package alone does NOT make ``format("delta")`` loadable; the jars
+    reach the JVM only via session config (configure_spark_with_delta_pip
+    or spark.jars.packages). Else ``"parquet"`` (the read-union-overwrite
+    fallback). Import-guarded like the media codecs — the grading
+    container ships neither Delta nor Iceberg."""
     try:
         from delta.tables import DeltaTable  # noqa: F401
-
-        return "delta"
     except Exception:
         return "parquet"
+    if spark is not None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.delta.sources.DeltaDataSource"
+            )
+        except Exception:
+            return "parquet"
+    return "delta"
 
 
 def upsert_sink(
@@ -123,7 +133,7 @@ def upsert_sink(
     from pyspark.sql import Window
 
     if fmt == "auto":
-        fmt = merge_provider()
+        fmt = merge_provider(stream.sparkSession)
     if fmt == "delta":
         from delta.tables import DeltaTable
 
@@ -136,6 +146,18 @@ def upsert_sink(
                 .drop("_rn")
             )
             if not DeltaTable.isDeltaTable(spark, path):
+                # refuse to clobber a pre-existing NON-Delta snapshot (e.g.
+                # accumulated by the parquet fallback before delta-spark
+                # was installed): overwriting would replace every
+                # previously-upserted key with this micro-batch's keys
+                jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                if fs.exists(jpath) and len(fs.listStatus(jpath)) > 0:
+                    raise ValueError(
+                        f"upsert_sink(fmt='delta'): {path} holds non-Delta "
+                        "data. Migrate it first (read + write.format('delta')) "
+                        "or keep fmt='parquet'."
+                    )
                 latest.write.format("delta").mode("overwrite").save(path)
                 return
             dt = DeltaTable.forPath(spark, path)

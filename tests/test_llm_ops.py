@@ -330,6 +330,19 @@ def test_cosine_topk_np_equivalent(spark, vectors):
     assert (merged.c_id_w == merged.c_id_g).all()
     assert (merged.cos_sim_w - merged.cos_sim_g).abs().max() <= 1e-4
 
+    # tie stress: many IDENTICAL vectors -> equal cos at the cut; the
+    # contract keeps the smallest c_ids (a bare argpartition cut fails this)
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(20),
+                "embedding": [[1.0, 0.0, 0.0, 0.0]] * 15 + [[0.0, 1.0, 0.0, 0.0]] * 5,
+            }
+        )
+    )
+    got_t = cosine_topk_np(dup, dup.filter(F.col("vec_id") == 0), k=3).toPandas()
+    assert list(got_t.sort_values("rank").c_id) == [1, 2, 3]
+
 
 def test_ivf_trained_beats_sampled(spark):
     """Trained k-means quantizer vs uniform id-sample quantizer on a

@@ -88,6 +88,64 @@ def test_dialects_reconcile(spark, tmp_path, name, text):
     assert _counts(spark, str(p)) == EXPECTED
 
 
+REALISTIC = """\
+-- MySQL dump 10.13  Distrib 8.0.32
+--
+-- Table structure for table `patients`
+--
+DROP TABLE IF EXISTS `patients`;
+CREATE TABLE IF NOT EXISTS `patients` (
+  `id` int NOT NULL,
+  `name` varchar(64)
+);
+--
+-- Dumping data for table `patients`
+--
+INSERT INTO `patients` VALUES (1,'a'),(2,'b'),(3,'c');
+INSERT INTO `patients` VALUES (4,'d'),(5,'e');
+--
+-- Table structure for table `samples`
+--
+CREATE TABLE IF NOT EXISTS `samples` (
+  `id` int NOT NULL
+);
+INSERT INTO `samples` VALUES (1),(2);
+CREATE TABLE IF NOT EXISTS `empty_tbl` (
+  `id` int NOT NULL
+);
+"""
+
+
+def test_realistic_mysqldump_layout(spark, tmp_path):
+    """Comment banners ride in the records that follow them and CREATE
+    TABLE IF NOT EXISTS must not mint a phantom 'IF' table — the exact
+    layout mysqldump 8 emits."""
+    p = tmp_path / "dump_real.sql"
+    p.write_text(REALISTIC)
+    assert _counts(spark, str(p)) == EXPECTED
+
+
+def test_crlf_dump(spark, tmp_path):
+    """Windows-produced dumps terminate statements with ';\\r\\n' — the
+    delimiter sniffer must split them identically to LF dumps."""
+    p = tmp_path / "dump_crlf.sql"
+    p.write_bytes(REALISTIC.replace("\n", "\r\n").encode())
+    assert _counts(spark, str(p)) == EXPECTED
+
+
+def test_ddl_text_inside_string_data_ignored(spark, tmp_path):
+    """'CREATE TABLE x' appearing mid-line inside INSERTed string values
+    must not create a phantom table (line-start anchoring)."""
+    trick = EXTENDED + (
+        "INSERT INTO `patients` VALUES (6,'note: CREATE TABLE evil (id int)');\n"
+    )
+    p = tmp_path / "dump_trick.sql"
+    p.write_text(trick)
+    got = _counts(spark, str(p))
+    assert "evil" not in got
+    assert got["patients"] == 6
+
+
 def test_unparseable_inserts_counted(spark, tmp_path):
     bad = EXTENDED + "INSERT INTO `broken` SET id=1;\nINSERT INTO ;\n"
     p = tmp_path / "dump_bad.sql"

@@ -317,7 +317,7 @@ def test_upsert_sink_auto_resolves_provider(spark, tmp_path):
         upsert_sink,
     )
 
-    fmt = merge_provider()
+    fmt = merge_provider(spark)
     assert fmt in ("delta", "parquet")
     src = str(tmp_path / "upsert_in2")
     sink = str(tmp_path / "snapshot2")
