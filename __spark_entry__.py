@@ -507,6 +507,94 @@ FROM sh
 """
 
 
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus pipeline composition — the LLM-surface
+    analogue of cnv_matrix's composition proof: quality scoring + language
+    ID → filter (quality >= 0.3, lang = 'en') → exact dedup by normalized
+    fingerprint (keep min doc_id) → deterministic train split (md5-bucket
+    80%) → token-budget sequence packing. One lazy DAG over five operator
+    families, one oracle."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import spread
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        dataset_split,
+        pack_sequences,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    profiled = d.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    filtered = profiled.filter((F.col("quality") >= 0.3) & (F.col("lang") == "en"))
+    deduped = keep_first(filtered, ["fp"], [F.col("doc_id").asc()])
+    train = dataset_split(deduped).filter(F.col("split") == "train")
+    return pack_sequences(train, budget=2048, num_shards=8)
+
+
+SQL_LLM_CORPUS_PIPELINE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks, CAST(len(toks) AS DOUBLE) AS n,
+    CASE WHEN len(toks) > 0
+         THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> lower(x) IN
+              ('the','a','of','and','to','in','is','that','it','for')))
+              / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS sw,
+    len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','that','it','for'))) AS c_en,
+    len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y','en','un','es','se','no'))) AS c_es,
+    len(list_filter(toks, x -> lower(x) IN ('le','la','de','et','un','en','que','est','pour','qui'))) AS c_fr,
+    len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','von','ein','zu','mit','den'))) AS c_de,
+    CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct
+  FROM t
+), prof AS (
+  SELECT doc_id, text, toks,
+    FLOOR(GREATEST(LEAST(
+        0.25 * LEAST(n / 100.0, 1.0)
+      + 0.25 * distinct_ratio
+      + 0.35 * LEAST(sw * 5, 1.0)
+      + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 1.0 END * 4, 1.0)),
+      1.0), 0.0) * 10000) / 10000 AS quality,
+    CASE WHEN GREATEST(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+         WHEN c_en = GREATEST(c_en, c_es, c_fr, c_de) THEN 'en'
+         WHEN c_es = GREATEST(c_en, c_es, c_fr, c_de) THEN 'es'
+         WHEN c_fr = GREATEST(c_en, c_es, c_fr, c_de) THEN 'fr'
+         ELSE 'de' END AS lang,
+    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM m
+), ded AS (
+  SELECT doc_id, toks FROM prof
+  WHERE quality >= 0.3 AND lang = 'en'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), hx AS (
+  SELECT doc_id, toks, md5(doc_id::VARCHAR) AS h FROM ded
+), tr0 AS (
+  SELECT doc_id, toks, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+), tr AS (
+  SELECT * FROM tr0 WHERE bucket < 8000
+), o AS (
+  SELECT doc_id, bucket % 8 AS shard, len(toks)::BIGINT AS n_tokens,
+         (SUM(len(toks)::BIGINT) OVER (PARTITION BY bucket % 8 ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - len(toks)::BIGINT) AS "offset"
+  FROM tr
+)
+SELECT doc_id, shard, n_tokens, "offset",
+       CAST(FLOOR("offset" / 2048) AS BIGINT) AS pack_id
+FROM o
+"""
+
+
 def q_cnv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CNV pipeline composition (the cnv_flow DAG shape of
     plans/cnv.py:181 cnv_pipeline, re-expressed over the shared testdata):
@@ -1826,6 +1914,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "repetition_profile": (q_repetition_profile, SQL_REPETITION_PROFILE),
+    "llm_corpus_pipeline": (q_llm_corpus_pipeline, SQL_LLM_CORPUS_PIPELINE),
     "scalar_gistic": (q_scalar_gistic, SQL_SCALAR_GISTIC),
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
