@@ -39,7 +39,15 @@ def _with_caches(out: DataFrame, caches: list[DataFrame]) -> DataFrame:
 
 
 def release_plan_caches(df: DataFrame) -> None:
-    """Unpersist every cached intermediate attached by the dedup builders."""
+    """Unpersist every cached intermediate attached by the dedup builders.
+
+    Release is TERMINAL for plans that carry checkpoint handles
+    (:class:`_CheckpointHandle`, e.g. ``dedup_components`` on the
+    distributed path): a localCheckpoint truncates lineage, so once its
+    blocks are freed the frame cannot recompute — re-using ``df`` after
+    release raises instead of silently re-running the pipeline. Persisted
+    intermediates merely recompute. Either way: materialize everything you
+    need from ``df`` first, then release."""
     for c in getattr(df, "_spark_graft_caches", []):
         c.unpersist()
 

@@ -382,11 +382,12 @@ def cosine_topk_np(
     carries O(k * n_q * n_batches) rows — never O(n * n_q). A final
     window rank over that small union yields the exact global top-k.
 
-    The per-batch cut uses a per-query lexsort on (-cos, c_id) — NOT a
-    bare argpartition, which breaks similarity ties arbitrarily and could
-    drop the smaller c_id the contract keeps (duplicate vectors make such
-    ties common in near-dup corpora). Cost is n_q * O(batch log batch);
-    queries are the broadcast-small side by contract.
+    The per-batch cut is tie-aware: rows are pre-sorted by c_id once,
+    then ONE stable argsort on -cos per batch keeps c_id-ascending order
+    on similarity ties for every query simultaneously — a bare
+    argpartition breaks ties arbitrarily and could drop the smaller c_id
+    the contract keeps (duplicate vectors make such ties common in
+    near-dup corpora).
 
     The query-matrix broadcast is registered on the returned plan —
     callers running many scoring rounds should
@@ -412,13 +413,14 @@ def cosine_topk_np(
                 continue
             cm = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = cm @ qm_b.T  # (batch, n_q)
             c_ids = pdf["c_id"].to_numpy()
+            # pre-order rows by c_id so ONE stable sort per batch breaks
+            # cos ties by c_id asc for all queries (no per-query Python loop)
+            order0 = np.argsort(c_ids, kind="stable")
+            c_ids = c_ids[order0]
+            sims = cm[order0] @ qm_b.T  # (batch, n_q)
             top = min(take, sims.shape[0])
-            # tie-aware per-query partial top-k (cos desc, c_id asc)
-            sel = np.empty((top, sims.shape[1]), dtype=np.int64)
-            for j in range(sims.shape[1]):
-                sel[:, j] = np.lexsort((c_ids, -sims[:, j]))[:top]
+            sel = np.argsort(-sims, axis=0, kind="stable")[:top]  # (top, n_q)
             out = pd.DataFrame(
                 {
                     "q_id": np.repeat(ids_b, top),

@@ -58,7 +58,11 @@ def _sniff_line_sep(path: str) -> str:
                 first = inner[0]
         with open(first, "rb") as f:
             head = f.read(65536)
-        if b";\r\n" in head:
+        # decide from the FIRST line terminator (the dump's own convention),
+        # not a substring search — string data later in the head may embed
+        # ';\r\n' inside an LF file and must not flip the delimiter
+        i = head.find(b"\n")
+        if i > 0 and head[i - 1 : i] == b"\r":
             return ";\r\n"
     except OSError:
         pass  # unreadable head -> assume LF; the scan itself surfaces real IO errors

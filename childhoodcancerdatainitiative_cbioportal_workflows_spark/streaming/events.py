@@ -100,8 +100,15 @@ def merge_provider(spark: "SparkSession | None" = None) -> str:
         return "parquet"
     if spark is not None:
         try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.spark.sql.delta.sources.DeltaDataSource"
+            # resolve with the CONTEXT classloader: jars shipped via
+            # spark.jars.packages live in the submit child loader, which
+            # plain Class.forName (py4j's defining loader) cannot see.
+            # Spark Connect has no _jvm — the except downgrades to the
+            # portable fallback rather than crashing the sink.
+            (
+                spark._jvm.java.lang.Thread.currentThread()
+                .getContextClassLoader()
+                .loadClass("org.apache.spark.sql.delta.sources.DeltaDataSource")
             )
         except Exception:
             return "parquet"
@@ -115,6 +122,7 @@ def upsert_sink(
     order_col: str = "ts",
     checkpoint: str | None = None,
     fmt: str = "auto",
+    bootstrap_overwrite: bool = False,
 ):
     """Keyed latest-wins upsert sink via ``foreachBatch``.
 
@@ -149,14 +157,28 @@ def upsert_sink(
                 # refuse to clobber a pre-existing NON-Delta snapshot (e.g.
                 # accumulated by the parquet fallback before delta-spark
                 # was installed): overwriting would replace every
-                # previously-upserted key with this micro-batch's keys
+                # previously-upserted key with this micro-batch's keys.
+                # A path WITH a _delta_log dir but no committed version is
+                # a torn first write — overwrite is the correct retry there
+                # (and bootstrap_overwrite=True forces it after the
+                # operator has migrated/discarded the old data).
                 jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
                 fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-                if fs.exists(jpath) and len(fs.listStatus(jpath)) > 0:
+                log_path = spark._jvm.org.apache.hadoop.fs.Path(path, "_delta_log")
+                torn = fs.exists(log_path)
+                if (
+                    not bootstrap_overwrite
+                    and not torn
+                    and fs.exists(jpath)
+                    and len(fs.listStatus(jpath)) > 0
+                ):
                     raise ValueError(
                         f"upsert_sink(fmt='delta'): {path} holds non-Delta "
-                        "data. Migrate it first (read + write.format('delta')) "
-                        "or keep fmt='parquet'."
+                        "data. Migrate it first (read + write.format('delta')), "
+                        "pass bootstrap_overwrite=True to discard it, or keep "
+                        "fmt='parquet'. (If a first Delta write was interrupted "
+                        "before creating _delta_log, clean the orphan files or "
+                        "pass bootstrap_overwrite=True.)"
                     )
                 latest.write.format("delta").mode("overwrite").save(path)
                 return

@@ -133,6 +133,22 @@ def test_crlf_dump(spark, tmp_path):
     assert _counts(spark, str(p)) == EXPECTED
 
 
+def test_lf_dump_with_embedded_crlf_data(spark, tmp_path):
+    """An LF dump whose STRING DATA contains ';\\r\\n' bytes must still be
+    parsed with the LF delimiter — the sniffer reads the first line's
+    terminator, not a substring search."""
+    tricky = EXTENDED + (
+        "INSERT INTO `patients` VALUES (6,'windows note:;\r\n more');\n"
+    )
+    p = tmp_path / "dump_lfdata.sql"
+    p.write_bytes(tricky.encode())
+    got = _counts(spark, str(p))
+    # 5 original rows + 1 new; the embedded ';\r\n' splits one statement
+    # mid-string at worst, never the whole-file collapse misdetection causes
+    assert got["patients"] >= 6
+    assert got["samples"] == 2 and got["empty_tbl"] == 0
+
+
 def test_ddl_text_inside_string_data_ignored(spark, tmp_path):
     """'CREATE TABLE x' appearing mid-line inside INSERTed string values
     must not create a phantom table (line-start anchoring)."""
