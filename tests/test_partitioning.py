@@ -41,3 +41,25 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     got = back.count()
     want = df.filter(F.col("day") == "3").count()
     assert got == want
+
+
+def test_multi_column_partitioning_roundtrip(spark, tmp_path):
+    """Nested partition dirs (study/day) prune on either column and the
+    partition columns come back typed as read (string dirs)."""
+    df = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("study"),
+        (F.col("id") % 5).cast("string").alias("day"),
+        F.col("id").alias("value"),
+    )
+    path = str(tmp_path / "events_nested")
+    write_partitioned(df, path, ["study", "day"])
+    assert os.path.isdir(os.path.join(path, "study=s1", "day=4"))
+    back = spark.read.parquet(path)
+    one = back.filter((F.col("study") == "s1") & (F.col("day") == "4"))
+    assert one.count() == df.filter(
+        (F.col("study") == "s1") & (F.col("day") == "4")
+    ).count()
+    # pruning on the OUTER column alone also reaches the scan
+    plan = back.filter(F.col("study") == "s0")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "study" in plan

@@ -48,6 +48,22 @@ def test_hash_sample_nested(spark):
     assert abs(len(s50) / 10_000 - 0.5) < 0.02
 
 
+def test_sample_within_split_composes(spark):
+    """A hash sample of the train split is a subset of train, and the same
+    docs are selected whether sampling runs before or after the split —
+    both read the same md5 bucket, so the ops commute."""
+    ids = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    train = dataset_split(ids).filter(F.col("split") == "train")
+    a = set(hash_sample(train, 0.3).toPandas().doc_id)
+    b_pre = hash_sample(ids, 0.3)
+    b = set(
+        dataset_split(b_pre).filter(F.col("split") == "train").toPandas().doc_id
+    )
+    t = set(train.toPandas().doc_id)
+    assert a <= t
+    assert a == b  # commutes: same bucket drives both ops
+
+
 def test_pack_sequences_contiguous(spark):
     """Per-shard offsets must tile the token stream exactly: sorted by
     doc_id within a shard, each doc starts where the previous ended, and
