@@ -461,8 +461,9 @@ WITH hx AS (
   FROM hx
 ), o AS (
   SELECT doc_id, shard, n_tokens,
-         (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) - n_tokens) AS "offset"
+         -- DuckDB SUM(BIGINT) widens to HUGEINT -> pandas float64; pin BIGINT
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS "offset"
   FROM t
 )
 SELECT doc_id, shard, n_tokens, "offset",
@@ -585,8 +586,9 @@ WITH t AS (
   SELECT * FROM tr0 WHERE bucket < 8000
 ), o AS (
   SELECT doc_id, bucket % 8 AS shard, len(toks)::BIGINT AS n_tokens,
-         (SUM(len(toks)::BIGINT) OVER (PARTITION BY bucket % 8 ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) - len(toks)::BIGINT) AS "offset"
+         -- DuckDB SUM(BIGINT) widens to HUGEINT -> pandas float64; pin BIGINT
+         CAST(SUM(len(toks)::BIGINT) OVER (PARTITION BY bucket % 8 ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - len(toks)::BIGINT AS BIGINT) AS "offset"
   FROM tr
 )
 SELECT doc_id, shard, n_tokens, "offset",
