@@ -2,21 +2,52 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
 total wall-clock seconds. Results are forced with the noop sink (full
-execution, no driver collect)."""
+execution, no driver collect).
+
+Self-defending against load contamination (r4 verdict #3):
+- records /proc/loadavg before starting, and waits (bounded) for the 1-min
+  load to settle below a threshold before measuring;
+- runs up to $SPARK_GRAFT_BENCH_REPS (default 3) full passes inside the
+  driver's time budget and reports the per-query MEDIAN, with min/max
+  spread and the pass count in the artifact itself, so one contaminated
+  outlier can no longer masquerade as a regression.
+"""
 
 from __future__ import annotations
 
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
+SETTLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8.0"))
+SETTLE_WAIT_S = 60.0
+TIME_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
+MAX_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
+
 
 def main() -> None:
+    start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    load_at_start = _load1()
+    settled_load = load_at_start
+    while settled_load > SETTLE_LOAD and time.time() - start < SETTLE_WAIT_S:
+        print(f"# load {settled_load:.2f} > {SETTLE_LOAD}; settling...", file=sys.stderr)
+        time.sleep(5)
+        settled_load = _load1()
 
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import get_spark
 
@@ -24,7 +55,6 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
     # warm the JVM/codegen paths so the first measured query of each shape
     # doesn't pay session startup or whole-stage-codegen compilation:
     # scan+agg (tpch_q1) and the HOF/text family (doc_quality)
@@ -35,25 +65,44 @@ def main() -> None:
         release_plan_caches,
     )
 
-    total = 0.0
-    for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        release_plan_caches(df)  # dedup plans persist intermediates; drop them
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    pass_totals: list[float] = []
+    for rep in range(MAX_REPS):
+        remaining = TIME_BUDGET_S - (time.time() - start)
+        if rep > 0 and pass_totals and remaining < pass_totals[-1] * 1.25:
+            print(f"# stopping after {rep} pass(es): {remaining:.0f}s left", file=sys.stderr)
+            break
+        pass_total = 0.0
+        for name, fn in qs.items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            release_plan_caches(df)  # dedup plans persist intermediates; drop them
+            dt = round(time.time() - t0, 3)
+            samples[name].append(dt)
+            pass_total += dt
+            print(f"# pass{rep} {name}: {dt:.3f}s", file=sys.stderr)
+        pass_totals.append(pass_total)
 
+    timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)]
+        for name, ts in samples.items()
+        if len(ts) > 1
+    }
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
-                "value": round(total, 3),
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": len(pass_totals),
+                "spread": spread,
+                "load1_at_start": load_at_start,
+                "load1_after_settle": settled_load,
+                "contended": bool(settled_load > SETTLE_LOAD),
             }
         )
     )
