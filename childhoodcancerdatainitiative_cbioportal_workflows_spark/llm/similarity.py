@@ -130,47 +130,94 @@ def ivf_flat_topk(
     quantizer is a DETERMINISTIC sample of the corpus itself
     (``centroid_ids``) — no k-means iterations, so the whole construction
     is reproducible in any engine (the trained-centroid variant drops in by
-    swapping the centroid table). Every vector joins its nearest centroid's
-    list (one broadcast join over n x K comparisons); a query probes its
-    ``nprobe`` nearest lists and scores only those lists' members. At
-    corpus scale the probe join replaces O(n*q) scoring with
-    list-local work, and the K-way assignment pass is embarrassingly
-    parallel.
+    swapping the centroid table). Every vector picks its nearest centroid
+    via a narrow per-row fold over the K-entry centroid literal (no
+    shuffle, no row expansion); a query probes its ``nprobe`` nearest
+    lists and scores only those lists' members. At corpus scale the probe
+    join replaces O(n*q) scoring with list-local work, and the assignment
+    pass is embarrassingly parallel.
 
     Returns (q_id, c_id, cos_sim, rank), rank by cosine desc / id asc."""
     v = spread(candidates).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    cents = v.filter(F.col("id").isin([int(i) for i in centroid_ids])).select(
-        F.col("id").alias("cid"), F.col("vec").alias("cvec")
+    # bounded collect: the coarse quantizer is K rows (K ~ 16) by design
+    cent_rows = (
+        candidates.filter(F.col(id_col).isin([int(i) for i in centroid_ids]))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
+        .collect()
     )
+    cent_list = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
     qd = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    return _ivf_topk_core(v, qd, cents, k, nprobe, exclude_self)
+    return _ivf_topk_core(v, qd, cent_list, k, nprobe, exclude_self)
+
+
+def _cents_lit(cent_list: list[tuple[int, list[float]]]):
+    """K (cid, vector) quantizer entries as ONE JVM-parsed
+    array<struct<cid,cvec>> literal — same rationale (and exact-double
+    reprs) as :func:`_planes_lit`."""
+
+    def _d(x: float) -> str:
+        r = repr(float(x))
+        return r if ("e" in r or "E" in r) else r + "D"
+
+    items = ",".join(
+        "named_struct('cid',{}L,'cvec',array({}))".format(
+            int(cid), ",".join(_d(x) for x in vec)
+        )
+        for cid, vec in cent_list
+    )
+    return F.expr("array(" + items + ")")
+
+
+def _nearest_centroid(vec, cent_list: list[tuple[int, list[float]]]):
+    """Shuffle-free nearest-centroid assignment: one array fold over the
+    K-entry centroid literal. The literal is sorted by cid and the fold
+    keeps the FIRST maximum, so ties break cid-asc — identical semantics
+    to the former window (which shuffled all n x K expanded rows by id
+    just to keep one; r4 verdict #4). Spark orders NaN above all doubles
+    in both ``>`` and window sorts, so zero-norm vectors also agree."""
+    cents = _cents_lit(sorted(cent_list, key=lambda t: int(t[0])))
+    vnorm = _norm(vec)
+    init = F.struct(
+        F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("bigint").alias("cid")
+    )
+
+    def step(acc, c):
+        cos = _dot(c["cvec"], vec) / (_norm(c["cvec"]) * vnorm)
+        return F.when(
+            cos > acc["cos"], F.struct(cos.alias("cos"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    return F.aggregate(cents, init, step).getField("cid")
 
 
 def _ivf_topk_core(
     v: DataFrame,
     qd: DataFrame,
-    cents: DataFrame,
+    cent_list: list[tuple[int, list[float]]],
     k: int,
     nprobe: int,
     exclude_self: bool,
 ) -> DataFrame:
-    """Shared IVF probe/score plan over a (cid, cvec) quantizer table —
+    """Shared IVF probe/score plan over a [(cid, cvec), ...] quantizer —
     the quantizer source (corpus sample vs trained k-means) is the only
-    thing the public faces differ on."""
+    thing the public faces differ on. Candidate-side list assignment is a
+    narrow per-row fold (no shuffle, no n x K row expansion); only the
+    small query side pays a crossJoin + window to rank its nprobe lists."""
+    cand_lists = v.select(
+        "id", _nearest_centroid(F.col("vec"), cent_list).alias("list_id")
+    )
+    cents = qd.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in vec]) for c, vec in cent_list],
+        "cid bigint, cvec array<double>",
+    )
     ccos = _dot(F.col("vec"), F.col("cvec")) / (
         _norm(F.col("vec")) * _norm(F.col("cvec"))
     )
     w_assign = Window.partitionBy("id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
-    assign = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("_ccos", ccos)
-        .withColumn("_rn", F.row_number().over(w_assign))
-    )
-    cand_lists = assign.filter(F.col("_rn") == 1).select("id", F.col("cid").alias("list_id"))
     qprobe = (
         qd.crossJoin(F.broadcast(cents))
         .withColumn("_ccos", ccos)
@@ -255,20 +302,14 @@ def ivf_flat_topk_trained(
     Training is an offline index-build step; this function only consumes
     its artifact, so query plans stay deterministic and oracle-checkable
     (the same literals inline into generated SQL)."""
-    spark = candidates.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "cid bigint, cvec array<double>",
-        )
-    )
+    cent_list = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     v = spread(candidates).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     qd = queries.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    return _ivf_topk_core(v, qd, cents, k, nprobe, exclude_self)
+    return _ivf_topk_core(v, qd, cent_list, k, nprobe, exclude_self)
 
 
 def lsh_ann_topk(

@@ -538,3 +538,46 @@ def test_multimodal_plumbing(spark):
     merged = feats.merge(jvm, on="media_id", suffixes=("_py", "_jvm"))
     nonnull = merged[merged.payload_bytes > 0]
     assert (nonnull.content_sha1_py == nonnull.content_sha1_jvm).all()
+
+
+def test_ivf_assignment_is_narrow(spark, vectors):
+    """r4 verdict #4: the candidate-side nearest-centroid assignment must
+    not shuffle (the old crossJoin+window expanded n x K rows and shuffled
+    them all by id). The fold-based assignment plan is pure projection —
+    no Exchange, no Window — and agrees with a brute-force numpy argmax
+    (cos desc, cid asc tie-break) on every vector."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.similarity import (
+        _nearest_centroid,
+    )
+
+    df, base = vectors
+    cent_ids = [0, 5, 10, 15, 20, 25]
+    cent_list = [(i, [float(x) for x in base[i]]) for i in cent_ids]
+    v = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assign = v.select("id", _nearest_centroid(F.col("vec"), cent_list).alias("list_id"))
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+    got = {r.id: r.list_id for r in assign.collect()}
+    x = base.astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cm = x @ x[cent_ids].T
+    for i in range(len(base)):
+        best = max(range(len(cent_ids)), key=lambda j: (cm[i, j], -cent_ids[j]))
+        assert got[i] == cent_ids[best], f"vector {i}"
+
+
+def test_ivf_full_plan_single_window_family(spark, vectors):
+    """End-to-end IVF plan: the only window regions left are the small
+    query-probe ranking and the final top-k rank — the n x K assignment
+    window is gone (count physical ``Window [`` nodes; WindowGroupLimit
+    pushdown helpers don't match)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import ivf_flat_topk
+
+    df, _ = vectors
+    out = ivf_flat_topk(df, df, centroid_ids=[0, 5, 10, 15, 20, 25], k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window [") == 2, plan
