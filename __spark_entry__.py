@@ -411,6 +411,63 @@ FROM b
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fraction sampling (llm/sampling.hash_sample):
+    membership is a pure function of md5(doc_id) — stable across reruns
+    and re-partitioning, unlike rand()/df.sample — and the filter is a
+    narrow per-row projection (no shuffle; Catalyst pushes it into the
+    scan). Registered face for the one LLM-sampling operator that lacked
+    a CORRECTNESS row (r4 verdict #6)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import hash_sample
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        hash_bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, 0.25).select(
+        "doc_id", hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+SQL_HASH_SAMPLE = f"""
+WITH hx AS (
+  SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents
+), b AS (
+  SELECT doc_id, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+)
+SELECT doc_id, bucket FROM b WHERE bucket < 2500
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting (functions/text.token_count + bpe_ish_token_count):
+    whitespace tokens vs sub-word-ish pieces (word runs and individual
+    punctuation marks counted separately) per document. Proves the bpe-ish
+    regex's Java/RE2 parity claim against the DuckDB oracle
+    (r4 verdict #8)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))::BIGINT
+         AS bpe_tokens
+FROM documents
+"""
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-frequency-bounded vocabulary build (llm/sampling.py
     build_vocab): distinct (doc, token) -> one-shuffle df count -> band
@@ -1913,6 +1970,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "union_concat": (q_union_concat, SQL_UNION_CONCAT),
     "cnv_matrix": (q_cnv_matrix, SQL_CNV_MATRIX),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "repetition_profile": (q_repetition_profile, SQL_REPETITION_PROFILE),

@@ -19,8 +19,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import _md5_nibbles, _nibble_fold
 
-#: bucket space for split fractions; 1e-4 granularity is plenty for
-#: split weights and keeps the fold inside 32 bits
+#: bucket space for split fractions; 1e-4 granularity is plenty for split
+#: weights. The pre-mod 8-nibble fold reaches 16^8-1 (~4.29e9, just past
+#: uint32) — bucketing relies on the BIGINT fold, never a 32-bit value
 NUM_BUCKETS = 10_000
 
 
@@ -108,12 +109,23 @@ def build_vocab(
     return dfreq.withColumn("vocab_id", F.row_number().over(w))
 
 
+#: auto-sharding target (see :func:`pack_sequences`): the per-shard token
+#: stream is what one window partition must sort+scan; 64 Mi tokens keeps
+#: any shard comfortably inside a single executor at any corpus size
+TARGET_TOKENS_PER_SHARD = 64_000_000
+
+#: auto-sharding floor: never derive fewer streams than this, so small
+#: corpora still parallelize and shard labels stay useful downstream
+MIN_SHARDS = 64
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 2048,
-    num_shards: int = 64,
+    num_shards: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_tokens_per_shard: int = TARGET_TOKENS_PER_SHARD,
 ) -> DataFrame:
     """Token-budget sequence packing: lay documents end-to-end into
     fixed-``budget`` training rows (token-level chunking — a document may
@@ -127,12 +139,27 @@ def pack_sequences(
     global single-partition window — and a pack never crosses shards, so
     shards are also the unit of downstream reader parallelism.
 
+    ``num_shards=None`` (default) auto-derives the shard count from the
+    corpus, like auto-P/auto-m in the dedup families:
+    ``max(MIN_SHARDS, total_tokens // target_tokens_per_shard)`` — one
+    map-side-combined token-count pre-pass (a scalar agg, the same scan
+    the packing pass performs anyway), so the per-shard window sort stays
+    bounded at 100 TB without tuning. Pass an explicit ``num_shards`` to
+    pin the layout (oracles do, since shard labels and offsets are a
+    function of it).
+
     Returns (doc_id, shard, n_tokens, offset, pack_id): offset is the
     doc's first-token position within its shard stream, pack_id =
     floor(offset / budget) the training row where the doc starts."""
     from pyspark.sql import Window
 
     from ..functions.text import token_count
+
+    if num_shards is None:
+        total = df.select(
+            F.sum(token_count(F.col(text_col)).cast("long")).alias("t")
+        ).first()["t"] or 0
+        num_shards = max(MIN_SHARDS, int(total // target_tokens_per_shard))
 
     staged = df.select(
         F.col(id_col).alias("doc_id"),

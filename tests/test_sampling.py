@@ -126,3 +126,63 @@ def test_build_vocab_matches_pandas(spark):
     ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     assert list(got.sort_values("vocab_id").token) == [t for t, _ in ranked]
     assert sorted(got.vocab_id) == list(range(1, len(want) + 1))
+
+
+def test_pack_sequences_resharding_invariants(spark):
+    """r4 verdict #5: changing num_shards relabels streams but never
+    changes the per-document token counts, and every shard count yields
+    the same lawful layout (id-ordered cumulative offsets, budget-floor
+    pack ids). Also pins the shard-assignment law itself: shard =
+    hash_bucket(doc_id) % num_shards, so halving the shard count merges
+    streams pairwise-predictably rather than reshuffling membership."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import pack_sequences
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        hash_bucket,
+    )
+
+    docs = [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    buckets = dict(
+        df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    )
+    outs = {
+        ns: pack_sequences(df, budget=16, num_shards=ns).toPandas()
+        for ns in (2, 4, 8)
+    }
+    base = outs[4].set_index("doc_id").n_tokens.sort_index()
+    for ns, out in outs.items():
+        # token counts are shard-independent
+        assert out.set_index("doc_id").n_tokens.sort_index().equals(base)
+        # membership law: shard = bucket % ns
+        for r in out.itertuples():
+            assert r.shard == buckets[r.doc_id] % ns
+        # lawful layout within every shard
+        for shard, grp in out.groupby("shard"):
+            grp = grp.sort_values("doc_id")
+            expect = 0
+            for r in grp.itertuples():
+                assert r.offset == expect
+                assert r.pack_id == r.offset // 16
+                expect += r.n_tokens
+
+
+def test_pack_sequences_auto_shards(spark):
+    """num_shards=None derives shards = max(MIN_SHARDS, tokens/target) —
+    the auto-sizing keeps every per-shard window sort bounded without a
+    knob, and small corpora floor at MIN_SHARDS."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import pack_sequences
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        MIN_SHARDS,
+    )
+
+    docs = [(i, " ".join(["tok"] * 10)) for i in range(100)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # small corpus: floors at MIN_SHARDS
+    out = pack_sequences(df, budget=16).toPandas()
+    assert out.shard.max() < MIN_SHARDS
+    # tiny target: 1000 tokens / 250-token shards -> 4 > floor would be 64,
+    # so drop the floor by targeting: 1000 // 4 = 250 -> max(64, 4) = 64;
+    # instead check the derived count directly with a sub-floor target
+    out2 = pack_sequences(df, budget=16, target_tokens_per_shard=5).toPandas()
+    # 1000 tokens / 5 = 200 shards derived; only ~100 docs so <=100 occupied
+    assert out2.groupby("shard").ngroups > MIN_SHARDS // 2
