@@ -840,9 +840,14 @@ def star_contraction(
     join shuffles over the (small) duplicate-pair graph; per-round persists
     truncate lineage so round k doesn't recompute rounds 1..k-1.
 
-    Fixpoint detection: the edge multiset is canonical (high→low, distinct)
-    after small-star, so an (count, sum(src), sum(dst)) checksum equality
-    between rounds is exact — edge endpoints only ever decrease.
+    Fixpoint detection: a (count, sum(src), sum(dst)) checksum gates the
+    candidate rounds (necessary, one cheap agg per round), and a checksum
+    match is then CONFIRMED by an exact set diff (``exceptAll``) before
+    declaring convergence — two distinct edge sets can share all three
+    checksum values, so equality alone is not sufficient. The exact diff
+    runs at most once per call in practice (checksums almost never
+    collide before the true fixpoint). Exhausting ``max_iter`` without a
+    confirmed fixpoint warns and returns the best-effort labels.
 
     Lineage discipline: each round ``localCheckpoint(eager=True)``s — a
     persist() alone caches EXECUTION but the round-k logical plan still
@@ -874,20 +879,35 @@ def star_contraction(
     ).first()
     prev = (checksum["n"], checksum["ss"], checksum["sd"])
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         checksum = nxt.agg(
             F.count("*").alias("n"), F.sum("src").alias("ss"), F.sum("dst").alias("sd")
         ).first()
+        state = (checksum["n"], checksum["ss"], checksum["sd"])
+        if state == prev:
+            # checksum equality is necessary but not sufficient; both sides
+            # are distinct canonical sets of equal count, so one-sided
+            # containment (empty exceptAll) proves set equality
+            converged = nxt.exceptAll(cur).isEmpty()
         # nxt is fully materialized (eager) — the previous round's blocks
         # can go now; without this every round's snapshot stays cached
         cur_handle.unpersist()
         cur, cur_handle = nxt, _CheckpointHandle(nxt)
-        state = (checksum["n"], checksum["ss"], checksum["sd"])
-        if state == prev:
-            break
         prev = state
+        if converged:
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"star_contraction exhausted max_iter={max_iter} without a "
+            "confirmed fixpoint; component labels may be unconverged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged star graph: every non-root points straight at its root
     labels = (
         cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
@@ -933,7 +953,21 @@ def dedup_components(
         out = _driver_union_find(rows, pairs.sparkSession)
         return _with_caches(out, [edges_dir])
     labels, _ = star_contraction(edges_dir, max_iter=max_iter)
-    out = labels.select("id", "component")
+    # star_contraction drops self-loops, so a node appearing ONLY in
+    # self-pairs (id_a == id_b) would vanish from this branch while the
+    # driver union-find labels it — re-add such ids as singletons so both
+    # branches (and the oracle) agree. min() keeps the real component for
+    # nodes that also have non-self edges (component <= id always).
+    selfs = (
+        edges_dir.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("id"), F.col("src").alias("component"))
+    )
+    out = (
+        labels.select("id", "component")
+        .union(selfs)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
     inner = getattr(labels, "_spark_graft_caches", [])
     return _with_caches(out, [edges_dir, *inner])
 

@@ -28,45 +28,64 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 #: against source-of-truth counts can flag the gap.
 UNPARSEABLE = "__unparseable__"
 
+# identifier = optionally-quoted segments; the TABLE NAME is the LAST
+# segment, so `db`.`tbl`, db.tbl, `db`.tbl and plain tbl all resolve to
+# 'tbl' — a single [`"]?-prefixed char class truncated `db`.`tbl` to 'db'
+# and collapsed a whole schema-qualified dump into one bucket (ADVICE r4)
+_QSEG = r'(?:`[^`]+`|"[^"]+"|[A-Za-z0-9_$]+)'
+_IDENT_LAST = r'(?:' + _QSEG + r'\.)*(?:[`"]?([A-Za-z0-9_$]+)[`"]?)'
 _CREATE_TABLE = (
-    r'(?im)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?([A-Za-z0-9_$.]+)'
+    r'(?im)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?' + _IDENT_LAST
 )
-_INSERT_TABLE = r'(?im)^\s*INSERT\s+INTO\s+[`"]?([A-Za-z0-9_$.]+)'
+_INSERT_TABLE = r'(?im)^\s*INSERT\s+INTO\s+' + _IDENT_LAST
 _VALUES_TUPLES = r"(?is)VALUES\s*(\(.*)"
 
 
-def _sniff_line_sep(path: str) -> str:
-    """Statement delimiter from the first 64 KB of the (first) dump file:
+def _sniff_one(path: str) -> str:
+    """Statement delimiter from the first 64 KB of ONE dump file:
     ``;\\r\\n`` for CRLF-terminated (Windows-produced) dumps, else
-    ``;\\n``. Local paths only — one bounded driver-side read; scheme'd
-    paths (s3a://, hdfs://) default to LF, which every mysqldump produced
-    on a POSIX host uses (pass a pre-normalized dump otherwise)."""
-    import glob as _glob
-    import os
-
-    local = path[7:] if path.startswith("file://") else path
-    if "://" in local:
-        return ";\n"
+    ``;\\n``. Decided from the FIRST line terminator (the dump's own
+    convention), not a substring search — string data later in the head
+    may embed ';\\r\\n' inside an LF file and must not flip the
+    delimiter."""
     try:
-        matches = sorted(_glob.glob(local)) or [local]
-        first = matches[0]
-        if os.path.isdir(first):
-            inner = sorted(
-                p for p in _glob.glob(os.path.join(first, "*")) if os.path.isfile(p)
-            )
-            if inner:
-                first = inner[0]
-        with open(first, "rb") as f:
+        with open(path, "rb") as f:
             head = f.read(65536)
-        # decide from the FIRST line terminator (the dump's own convention),
-        # not a substring search — string data later in the head may embed
-        # ';\r\n' inside an LF file and must not flip the delimiter
         i = head.find(b"\n")
         if i > 0 and head[i - 1 : i] == b"\r":
             return ";\r\n"
     except OSError:
         pass  # unreadable head -> assume LF; the scan itself surfaces real IO errors
     return ";\n"
+
+
+def _input_groups(path: str) -> list[tuple[str, list[str]]]:
+    """Expand a local path/glob/directory into files GROUPED by their
+    sniffed statement delimiter, so a directory mixing LF and CRLF dumps
+    parses each file with its own terminator (one first-file sniff applied
+    to all files made every non-matching file collapse into a single
+    record — silent undercount; ADVICE r4). Scheme'd paths (s3a://,
+    hdfs://) can't be head-read from the driver and default to LF, which
+    every mysqldump produced on a POSIX host uses (pass pre-normalized
+    dumps otherwise)."""
+    import glob as _glob
+    import os
+
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local:
+        return [(";\n", [path])]
+    files: list[str] = []
+    for p in sorted(_glob.glob(local)) or [local]:
+        if os.path.isdir(p):
+            files.extend(
+                sorted(q for q in _glob.glob(os.path.join(p, "*")) if os.path.isfile(q))
+            )
+        else:
+            files.append(p)
+    groups: dict[str, list[str]] = {}
+    for f in files:
+        groups.setdefault(_sniff_one(f), []).append(f)
+    return sorted(groups.items()) or [(";\n", [path])]
 
 
 def parse_sql_dump_counts(
@@ -83,7 +102,13 @@ def parse_sql_dump_counts(
     VALUES list are counted under :data:`UNPARSEABLE` (omit with
     ``include_unparseable=False``) rather than silently dropped.
     """
-    stmts = spark.read.option("lineSep", _sniff_line_sep(path)).text(path)
+    from functools import reduce
+
+    parts = [
+        spark.read.option("lineSep", sep).text(fs)
+        for sep, fs in _input_groups(path)
+    ]
+    stmts = reduce(DataFrame.unionAll, parts)
     created = (
         stmts.select(
             F.regexp_extract("value", _CREATE_TABLE, 1).alias("table_name")

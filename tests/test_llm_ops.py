@@ -143,6 +143,27 @@ def test_dedup_components_chain_and_islands(spark):
     assert fast == want and dist == want
 
 
+def test_dedup_components_self_pairs_branch_agreement(spark):
+    """A node appearing ONLY in self-pairs (id_a == id_b) must get a
+    singleton label on BOTH branches — the distributed path drops
+    self-loops internally and used to lose such nodes entirely, while the
+    union-find branch labeled them (ADVICE r4)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (10, 20), (20, 20)], ["id_a", "id_b"]
+    )
+    want = {5: 5, 10: 10, 20: 10}
+    fast = {r.id: r.component for r in dedup_components(pairs).collect()}
+    dist = {
+        r.id: r.component
+        for r in dedup_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert fast == want and dist == want
+
+
 def test_star_contraction_property(spark):
     """Large-star/small-star contraction vs driver union-find on random
     graphs AND the pathological chain (diameter = n): labels agree exactly

@@ -180,3 +180,47 @@ def test_unparseable_inserts_counted(spark, tmp_path):
         ).collect()
     }
     assert strict == EXPECTED
+
+
+def test_schema_qualified_backtick_names(spark, tmp_path):
+    """INSERT INTO `db`.`tbl` must bucket under 'tbl' (the LAST identifier
+    segment), not 'db' — and quoted/unquoted qualification must agree
+    (ADVICE r4: the old regex truncated at the first closing backtick,
+    collapsing every table of a schema-qualified dump into one bucket)."""
+    dump = (
+        "CREATE TABLE `db`.`patients` (\n  `id` int\n);\n"
+        "INSERT INTO `db`.`patients` VALUES (1,'a'),(2,'b');\n"
+        "CREATE TABLE db.samples (\n  `id` int\n);\n"
+        "INSERT INTO db.samples VALUES (1);\n"
+        "INSERT INTO `db`.orphans VALUES (1),(2),(3);\n"
+    )
+    p = tmp_path / "dump_qual.sql"
+    p.write_text(dump)
+    got = {
+        r.table_name: (r.n_rows, r.n_stmts)
+        for r in parse_sql_dump_counts(spark, str(p)).collect()
+    }
+    assert got == {
+        "patients": (2, 1),
+        "samples": (1, 1),
+        "orphans": (3, 1),
+    }
+
+
+def test_mixed_eol_directory(spark, tmp_path):
+    """A directory mixing LF and CRLF dumps: each file is sniffed and read
+    with ITS OWN statement terminator (ADVICE r4: a single first-file
+    sniff collapsed every non-matching file into one record — silent
+    undercount)."""
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a_unix.sql").write_text(EXTENDED)
+    (d / "b_windows.sql").write_bytes(
+        SKIP_EXTENDED.replace("\n", "\r\n").encode()
+    )
+    got = {
+        r.table_name: r.n_rows
+        for r in parse_sql_dump_counts(spark, str(d)).collect()
+    }
+    # both dialects and both EOL conventions reconcile: 5+5 / 2+2 / 0
+    assert got == {"patients": 10, "samples": 4, "empty_tbl": 0}
