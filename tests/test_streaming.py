@@ -386,3 +386,166 @@ def test_upsert_sink_delta_merge(spark, tmp_path):
     assert snap.event_id.tolist() == [1, 2]
     assert snap[snap.event_id == 1].event_type.iloc[0] == "v1"
     assert snap[snap.event_id == 2].event_type.iloc[0] == "v0"  # stale ignored
+
+
+def test_upsert_sink_delta_merge_contract(spark, tmp_path, monkeypatch):
+    """The Delta MERGE branch has no jars in this container, so pin its
+    CONTRACT with a mocked delta.tables (r4 verdict #7): per micro-batch
+    the sink must (1) reduce the batch to one newest-by-order row per key,
+    (2) merge on equality of every key, (3) update only when the source is
+    not older (s.order >= t.order), (4) insert unmatched keys, and (5)
+    execute once per micro-batch. With real delta-spark on the classpath
+    the same code path runs MERGE INTO unchanged."""
+    import sys
+    import types
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        read_event_stream,
+        upsert_sink,
+    )
+
+    calls: dict = {"executed": 0, "rows": []}
+
+    class _MergeBuilder:
+        def __init__(self, source, cond):
+            self._source = source
+            calls["cond"] = cond
+
+        def whenMatchedUpdateAll(self, condition=None):
+            calls["matched_cond"] = condition
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["not_matched"] = True
+            return self
+
+        def execute(self):
+            calls["executed"] += 1
+            calls["rows"].append(
+                sorted(
+                    (r["event_id"], r["ts"], r["event_type"])
+                    for r in (x.asDict() for x in self._source.collect())
+                )
+            )
+
+    class _FakeTarget:
+        def alias(self, a):
+            calls["target_alias"] = a
+            return self
+
+        def merge(self, source, cond):
+            return _MergeBuilder(source, cond)
+
+    class _FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(s, p):
+            return True  # existing table: straight to the MERGE path
+
+        @staticmethod
+        def forPath(s, p):
+            calls["for_path"] = p
+            return _FakeTarget()
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = _FakeDeltaTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    src = str(tmp_path / "delta_in")
+    batch = [
+        # key 1 twice in ONE batch: only the newest (v1) may reach merge
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "v0", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": "2024-01-01T02:00:00", "user_id": 1, "event_type": "v1", "value": 2.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T01:00:00", "user_id": 2, "event_type": "v0", "value": 3.0, "props": "{}"},
+    ]
+    _write_event_files(src, [batch])
+    stream = read_event_stream(spark, src, fmt="json")
+    q = upsert_sink(
+        stream,
+        str(tmp_path / "delta_out"),
+        keys=["event_id"],
+        order_col="ts",
+        fmt="delta",
+        checkpoint=str(tmp_path / "ckpt_delta"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert calls["executed"] == 1
+    assert calls["for_path"] == str(tmp_path / "delta_out")
+    assert calls["target_alias"] == "t"
+    assert calls["cond"] == "t.`event_id` = s.`event_id`"
+    assert calls["matched_cond"] == "s.`ts` >= t.`ts`"
+    assert calls["not_matched"] is True
+    ids = [(eid, etype) for eid, _, etype in calls["rows"][0]]
+    assert ids == [(1, "v1"), (2, "v0")]  # per-key newest-only reduction
+
+
+def test_upsert_sink_delta_multi_key_condition(spark, tmp_path, monkeypatch):
+    """Composite keys must ALL appear, AND-joined, in the merge condition."""
+    import sys
+    import types
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        read_event_stream,
+        upsert_sink,
+    )
+
+    calls: dict = {}
+
+    class _MergeBuilder:
+        def __init__(self, cond):
+            calls["cond"] = cond
+
+        def whenMatchedUpdateAll(self, condition=None):
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            return self
+
+        def execute(self):
+            pass
+
+    class _FakeTarget:
+        def alias(self, a):
+            return self
+
+        def merge(self, source, cond):
+            return _MergeBuilder(cond)
+
+    class _FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(s, p):
+            return True
+
+        @staticmethod
+        def forPath(s, p):
+            return _FakeTarget()
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = _FakeDeltaTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    src = str(tmp_path / "delta_in_mk")
+    _write_event_files(src, [EVENTS[:2]])
+    stream = read_event_stream(spark, src, fmt="json")
+    q = upsert_sink(
+        stream,
+        str(tmp_path / "delta_out_mk"),
+        keys=["user_id", "event_type"],
+        order_col="ts",
+        fmt="delta",
+        checkpoint=str(tmp_path / "ckpt_delta_mk"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert calls["cond"] == "t.`user_id` = s.`user_id` AND t.`event_type` = s.`event_type`"
