@@ -468,6 +468,143 @@ FROM documents
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions/text.pii_redact): typed-placeholder redaction
+    of emails / SSNs / phones / IPv4s plus per-type pre-redaction counts —
+    the standard pre-training privacy pass, a pure codegen'd
+    regexp_replace chain (patterns restricted to Java/RE2-common
+    constructs so the oracle reproduces them)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        pii_count,
+        pii_redact,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        pii_redact(F.col("text")).alias("clean_text"),
+        pii_count(F.col("text"), "email").alias("n_emails"),
+        pii_count(F.col("text"), "ssn").alias("n_ssns"),
+        pii_count(F.col("text"), "phone").alias("n_phones"),
+        pii_count(F.col("text"), "ipv4").alias("n_ips"),
+    )
+
+
+SQL_PII_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+           '\b(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text,
+       len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssns,
+       len(regexp_extract_all(text,
+         '\b(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phones,
+       len(regexp_extract_all(text,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips
+FROM documents
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/dedup.decontaminate): flag corpus
+    docs sharing any 4-gram with the held-out 'benchmark' set (here: the
+    hash-bucket test split, bucket >= 9000). Benchmark shingles broadcast;
+    the corpus pass is a narrow shingle probe — no corpus-side shuffle,
+    the training-set leakage guard at 100 TB."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import decontaminate
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        hash_bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    corpus = d.filter(bucket < 9000)
+    bench = d.filter(bucket >= 9000)
+    return decontaminate(corpus, bench, n=4)
+
+
+SQL_DECONTAMINATE = f"""
+WITH hx AS (
+  SELECT doc_id, text, md5(doc_id::VARCHAR) AS h FROM documents
+), b AS (
+  SELECT doc_id, text, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+), t AS (
+  SELECT doc_id, bucket,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM b
+), sh AS (
+  SELECT doc_id, bucket,
+         CASE WHEN len(toks) >= 4
+           THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                                             i -> array_to_string(toks[i:i+3], ' ')))
+           ELSE [] END AS shingles
+  FROM t
+), bench AS (
+  SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh WHERE bucket >= 9000
+), corp AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh WHERE bucket < 9000
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits FROM corp JOIN bench USING (shingle)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM sh WHERE bucket < 9000) c
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (llm/sampling.encode_tokens): documents to
+    (doc_id, pos, token_id) through the df-bounded vocab (min_df=5,
+    max_df=50%), OOV -> 0. Vocab broadcasts (~1e5-1e6 rows at any scale);
+    the corpus pass is posexplode + broadcast probe, zero corpus-side
+    shuffle."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(d, min_df=5, max_df_frac=0.5)
+    return encode_tokens(d, vocab)
+
+
+SQL_ENCODE_TOKENS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, t.token
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS t(token)
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+), vocab AS (
+  SELECT token,
+         CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token) AS BIGINT) AS vocab_id
+  FROM dfreq, n
+  WHERE df >= 5 AND df <= n.n_docs * 0.5
+), seq AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id, UNNEST(range(1, len(tk) + 1)) AS pos, tk FROM seq
+), tokpos AS (
+  SELECT doc_id, pos::BIGINT AS pos, tk[pos] AS token FROM pos
+)
+SELECT tp.doc_id, tp.pos, COALESCE(v.vocab_id, 0)::BIGINT AS token_id
+FROM tokpos tp LEFT JOIN vocab v USING (token)
+"""
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-frequency-bounded vocabulary build (llm/sampling.py
     build_vocab): distinct (doc, token) -> one-shuffle df count -> band
@@ -1972,6 +2109,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "encode_tokens": (q_encode_tokens, SQL_ENCODE_TOKENS),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "repetition_profile": (q_repetition_profile, SQL_REPETITION_PROFILE),

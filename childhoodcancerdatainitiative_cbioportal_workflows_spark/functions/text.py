@@ -215,3 +215,39 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
         total > 0, F.lit(1.0) - F.size(F.array_distinct(sh)) / total
     ).otherwise(F.lit(0.0))
     return F.floor(ratio * 10000) / 10000
+
+
+# ---------------------------------------------------------------- PII redaction
+#
+# Pattern order matters (SSN before phone: an SSN also matches loose phone
+# shapes) and is fixed. Patterns use only constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB oracle): explicit
+# classes, bounded repetition, \d, \b — no lookarounds, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"\b(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrence count of one PII pattern (pre-redaction)."""
+    pat = {k: p for k, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII match with its typed placeholder, applying the
+    patterns in :data:`PII_PATTERNS` order (email → ssn → phone → ipv4;
+    each pass sees the previous pass's output, so an email's digits can't
+    be re-matched as a phone). The standard pre-training scrub shape —
+    pure codegen'd regexp_replace chain, no shuffle, no UDF."""
+    out = text
+    for _, pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out

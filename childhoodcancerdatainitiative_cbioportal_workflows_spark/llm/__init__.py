@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    decontaminate,
     dedup_components,
     exact_dedup,
     minhash_signatures,
@@ -19,6 +20,7 @@ from .dedup import (  # noqa: F401
 from .sampling import (  # noqa: F401
     build_vocab,
     dataset_split,
+    encode_tokens,
     hash_bucket,
     hash_sample,
     pack_sequences,

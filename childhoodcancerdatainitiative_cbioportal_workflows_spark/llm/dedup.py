@@ -1110,3 +1110,53 @@ def embedding_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word n-gram with a benchmark/eval set (the standard leakage guard a
+    training pipeline runs before packing — e.g. 8-13-gram overlap
+    removal). Returns every corpus doc as (doc_id, n_hits, contaminated):
+    n_hits = how many of the doc's DISTINCT n-grams appear anywhere in the
+    benchmark, contaminated = n_hits > 0.
+
+    Scale shape: the benchmark shingle set is small by construction (eval
+    suites are MBs against a 100 TB corpus) and is broadcast — the corpus
+    side is one narrow shingle projection probed against the broadcast
+    set, no shuffle; only the HIT rows (tiny) shuffle into the per-doc
+    count, and the final left join back to corpus ids is AQE-broadcastable
+    for realistic contamination rates."""
+    from ..functions.text import word_shingles
+
+    btext = bench_text_col or text_col
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(F.col(btext), n))).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -180,3 +180,36 @@ def pack_sequences(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
         ).alias("pack_id"),
     )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode documents to vocabulary token ids: lowercase whitespace
+    tokens (the :func:`build_vocab` tokenization) mapped through the
+    (token, vocab_id) table, out-of-vocabulary tokens -> ``oov_id``.
+    Returns exploded (doc_id, pos, token_id) with 1-based positions — the
+    scalar layout value-hashes cleanly and re-assembles into arrays with
+    one ordered collect_list when a consumer wants rows.
+
+    Scale shape: vocabularies are ~1e5-1e6 rows at any corpus size, so the
+    vocab side is broadcast — the corpus pass is posexplode + broadcast
+    probe, zero shuffle on the 100 TB side."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("token", "vocab_id")), "token", "left")
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.coalesce(F.col("vocab_id"), F.lit(oov_id)).cast("long").alias("token_id"),
+        )
+    )
