@@ -3,7 +3,10 @@ from .events import (  # noqa: F401
     dedup_stream,
     enrich_stream,
     merge_provider,
+    parse_kafka_events,
     read_event_stream,
+    read_kafka_event_stream,
+    read_rate_stream,
     upsert_sink,
     upsert_to_parquet,
     windowed_event_counts,

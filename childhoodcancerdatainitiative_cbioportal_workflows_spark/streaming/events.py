@@ -269,3 +269,106 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+#: event_type labels the synthetic rate stream cycles through
+_RATE_EVENT_TYPES = ("click", "view", "purchase", "scroll")
+
+
+def read_rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    n_users: int = 1000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """UNBOUNDED synthetic event stream on the built-in ``rate`` source,
+    projected onto :data:`EVENTS_SCHEMA` — the load-generator face every
+    downstream operator (windows, sessions, dedup, enrich, upsert) can run
+    against without a broker: event_id is the rate source's monotonically
+    increasing ``value``, users and event types cycle deterministically.
+    The file source ingests landing zones; this one proves the operators
+    on a source with NO end — state bounds (watermarks) actually bind."""
+    reader = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    raw = reader.load()  # (timestamp, value)
+    types_lit = F.array(*[F.lit(t) for t in _RATE_EVENT_TYPES])
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % n_users).alias("user_id"),
+        F.element_at(
+            types_lit, (F.col("value") % len(_RATE_EVENT_TYPES) + 1).cast("int")
+        ).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
+def parse_kafka_events(raw: DataFrame, ts_fallback: bool = True) -> DataFrame:
+    """Kafka-record contract: project the standard Kafka source schema
+    (key/value binary, topic, partition, offset, timestamp, timestampType)
+    onto :data:`EVENTS_SCHEMA`. The value payload is JSON; rows whose
+    payload fails to parse keep NULL event fields but (with
+    ``ts_fallback``) inherit the BROKER timestamp as ``ts`` so
+    watermarking still advances and the dead-letter rows stay windowable.
+
+    Pure column transformation — works identically on the real
+    ``readStream.format("kafka")`` frame and on a static DataFrame with
+    the same columns, which is how the contract is pinned in tests (no
+    broker or kafka jars in this container; see
+    :func:`read_kafka_event_stream`)."""
+    parsed = raw.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("_kafka_ts"),
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"),
+    )
+    ts = (
+        F.coalesce(F.col("e.ts"), F.col("_kafka_ts"))
+        if ts_fallback
+        else F.col("e.ts")
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        ts.alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+        "topic",
+        "partition",
+        "offset",
+    )
+
+
+def read_kafka_event_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Broker-backed event stream: ``readStream.format("kafka")`` ->
+    :func:`parse_kafka_events`. Requires the spark-sql-kafka package on
+    the session classpath (``spark.jars.packages`` =
+    ``org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>``); this
+    container ships no kafka jars, so the reader raises a clear error
+    instead of an opaque ClassNotFound at query start."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - exercised only with jars absent
+        raise RuntimeError(
+            "kafka source unavailable: add spark-sql-kafka-0-10 to "
+            "spark.jars.packages (matching this Spark version) and retry"
+        ) from e
+    return parse_kafka_events(raw)

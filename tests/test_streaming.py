@@ -549,3 +549,134 @@ def test_upsert_sink_delta_multi_key_condition(spark, tmp_path, monkeypatch):
     finally:
         q.stop()
     assert calls["cond"] == "t.`user_id` = s.`user_id` AND t.`event_type` = s.`event_type`"
+
+
+def test_rate_stream_unbounded_source(spark, tmp_path):
+    """The rate-source face: a genuinely UNBOUNDED stream (no end-of-input)
+    projected onto EVENTS_SCHEMA, driven through the same windowed
+    aggregation the file source uses. Asserts schema conformance and that
+    deterministic projections (id cycle -> user/type) hold on every row
+    the first batches produce."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        EVENTS_SCHEMA,
+        read_rate_stream,
+        windowed_event_counts,
+    )
+
+    stream = read_rate_stream(spark, rows_per_second=500, n_users=7)
+    assert stream.isStreaming
+    # rate-derived columns are non-nullable, which only narrows the
+    # contract: compare (name, type), not nullability
+    assert [(f.name, f.dataType) for f in stream.schema.fields] == [
+        (f.name, f.dataType) for f in EVENTS_SCHEMA.fields
+    ]
+    # the windowed agg composes on the unbounded source exactly as on files
+    assert windowed_event_counts(stream).isStreaming
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_events")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM rate_events").first().c > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM rate_events").collect()
+    finally:
+        q.stop()
+    assert rows, "rate source produced no rows within 30s"
+    types = ("click", "view", "purchase", "scroll")
+    for r in rows:
+        assert r.user_id == r.event_id % 7
+        assert r.event_type == types[r.event_id % 4]
+        assert r.value == float(r.event_id % 100)
+        assert r.ts is not None
+
+
+def test_parse_kafka_events_contract(spark):
+    """Kafka-record contract on a static kafka-shaped frame: JSON payloads
+    project onto EVENTS_SCHEMA; a corrupt payload keeps NULL event fields
+    but inherits the broker timestamp so watermarks still advance; source
+    coordinates (topic/partition/offset) ride along for replay/audit."""
+    import datetime
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        parse_kafka_events,
+    )
+
+    bts = datetime.datetime(2024, 1, 1, 0, 30, 0)
+    payload = json.dumps(
+        {"event_id": 7, "ts": "2024-01-01T00:05:00", "user_id": 3,
+         "event_type": "click", "value": 2.5, "props": "{}"}
+    )
+    rows = [
+        (b"k1", payload.encode(), "events", 0, 100, bts, 0),
+        (b"k2", b"{not json", "events", 1, 101, bts, 0),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int",
+    )
+    out = {r.offset: r for r in parse_kafka_events(raw).collect()}
+    good = out[100]
+    assert (good.event_id, good.user_id, good.event_type, good.value) == (7, 3, "click", 2.5)
+    assert good.ts == datetime.datetime(2024, 1, 1, 0, 5, 0)
+    assert (good.topic, good.partition) == ("events", 0)
+    bad = out[101]
+    assert bad.event_id is None and bad.event_type is None
+    assert bad.ts == bts  # broker-timestamp fallback keeps the row windowable
+
+
+def test_parse_kafka_events_streaming_composes(spark, tmp_path):
+    """The kafka contract transformation must compose on a STREAMING frame
+    of the same shape (file-backed here, broker-backed in production) and
+    flow through watermark + window to a sink."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        parse_kafka_events,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "kafka_shape"
+    src.mkdir()
+    payload = json.dumps(
+        {"event_id": 1, "ts": "2024-01-01T00:05:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+    )
+    rec = {
+        "key": "a", "value": payload, "topic": "events", "partition": 0,
+        "offset": 1, "timestamp": "2024-01-01T00:06:00", "timestampType": 0,
+    }
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps(rec) + "\n")
+    raw = (
+        spark.readStream.schema(
+            "key string, value string, topic string, partition int, "
+            "offset long, timestamp timestamp, timestampType int"
+        ).json(str(src))
+    )
+    # cast to the binary the real kafka source emits
+    raw = raw.withColumn("key", F.col("key").cast("binary")).withColumn(
+        "value", F.col("value").cast("binary")
+    )
+    events = parse_kafka_events(raw)
+    agg = windowed_event_counts(events, window="1 hour", watermark="10 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("kafka_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kafka"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM kafka_agg").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1 and got[0].event_type == "click" and got[0].n == 1
