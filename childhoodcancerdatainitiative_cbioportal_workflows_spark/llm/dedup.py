@@ -1142,7 +1142,10 @@ def decontaminate(
         )
         .distinct()
     )
-    doc_sh = corpus.select(
+    # spread BEFORE the shingle explode: a single-row-group parquet scan
+    # otherwise runs the whole tokenize+shingle pass as one task (the
+    # repetition_profile lesson — measured ~10x serial there)
+    doc_sh = spread(corpus).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("shingle"),
     )
