@@ -155,38 +155,56 @@ def ivf_flat_topk(
 
 
 def _cents_lit(cent_list: list[tuple[int, list[float]]]):
-    """K (cid, vector) quantizer entries as ONE JVM-parsed
-    array<struct<cid,cvec>> literal — same rationale (and exact-double
-    reprs) as :func:`_planes_lit`."""
+    """K (cid, vector, norm) quantizer entries as ONE JVM-parsed
+    array<struct<cid,cvec,cnorm>> literal — same rationale (and
+    exact-double reprs) as :func:`_planes_lit`. The norm is a CONSTANT per
+    centroid, so it is folded here once, not recomputed per corpus row;
+    the Python accumulation order (0.0 + x*x left-to-right, then sqrt)
+    matches the ``_norm`` fold exactly, so the literal is bit-identical
+    to what the JVM would compute."""
 
     def _d(x: float) -> str:
         r = repr(float(x))
         return r if ("e" in r or "E" in r) else r + "D"
 
+    def _cnorm(vec: list[float]) -> float:
+        import math
+
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        return math.sqrt(acc)
+
     items = ",".join(
-        "named_struct('cid',{}L,'cvec',array({}))".format(
-            int(cid), ",".join(_d(x) for x in vec)
+        "named_struct('cid',{}L,'cvec',array({}),'cnorm',{})".format(
+            int(cid), ",".join(_d(x) for x in vec), _d(_cnorm(vec))
         )
         for cid, vec in cent_list
     )
     return F.expr("array(" + items + ")")
 
 
-def _nearest_centroid(vec, cent_list: list[tuple[int, list[float]]]):
+def _nearest_centroid(vec, cent_list: list[tuple[int, list[float]]], vnorm=None):
     """Shuffle-free nearest-centroid assignment: one array fold over the
     K-entry centroid literal. The literal is sorted by cid and the fold
     keeps the FIRST maximum, so ties break cid-asc — identical semantics
     to the former window (which shuffled all n x K expanded rows by id
     just to keep one; r4 verdict #4). Spark orders NaN above all doubles
-    in both ``>`` and window sorts, so zero-norm vectors also agree."""
+    in both ``>`` and window sorts, so zero-norm vectors also agree.
+
+    Centroid norms ride the literal (constants); pass ``vnorm`` as a
+    STAGED column to avoid recomputing the row norm once per centroid —
+    HOF lambda arguments are inlined, so an unhoisted ``_norm(vec)`` here
+    costs K norm folds per row instead of one."""
     cents = _cents_lit(sorted(cent_list, key=lambda t: int(t[0])))
-    vnorm = _norm(vec)
+    if vnorm is None:
+        vnorm = _norm(vec)
     init = F.struct(
         F.lit(float("-inf")).alias("cos"), F.lit(-1).cast("bigint").alias("cid")
     )
 
     def step(acc, c):
-        cos = _dot(c["cvec"], vec) / (_norm(c["cvec"]) * vnorm)
+        cos = _dot(c["cvec"], vec) / (c["cnorm"] * vnorm)
         return F.when(
             cos > acc["cos"], F.struct(cos.alias("cos"), c["cid"].alias("cid"))
         ).otherwise(acc)
@@ -207,8 +225,11 @@ def _ivf_topk_core(
     thing the public faces differ on. Candidate-side list assignment is a
     narrow per-row fold (no shuffle, no n x K row expansion); only the
     small query side pays a crossJoin + window to rank its nprobe lists."""
-    cand_lists = v.select(
-        "id", _nearest_centroid(F.col("vec"), cent_list).alias("list_id")
+    cand_lists = v.withColumn("_vnorm", _norm(F.col("vec"))).select(
+        "id",
+        _nearest_centroid(
+            F.col("vec"), cent_list, vnorm=F.col("_vnorm")
+        ).alias("list_id"),
     )
     cents = qd.sparkSession.createDataFrame(
         [(int(c), [float(x) for x in vec]) for c, vec in cent_list],
