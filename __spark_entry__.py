@@ -439,6 +439,44 @@ SELECT doc_id, bucket FROM b WHERE bucket < 2500
 """
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (llm/sampling.stratified_hash_sample): per-source
+    deterministic sampling fractions in ONE narrow pass — up-weight two
+    curated sources, keep a floor elsewhere; membership reads the same md5
+    bucket as hash_sample/dataset_split so mixes nest and compose."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        stratified_hash_sample,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        hash_bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        d,
+        {"src13": 0.9, "src8": 0.6},
+        strata_col="source",
+        default_fraction=0.25,
+    )
+    return out.select(
+        "doc_id", "source", hash_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+SQL_DOMAIN_MIX = f"""
+WITH hx AS (
+  SELECT doc_id, source, md5(doc_id::VARCHAR) AS h FROM documents
+), b AS (
+  SELECT doc_id, source, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+)
+SELECT doc_id, source, bucket
+FROM b
+WHERE bucket < CASE source WHEN 'src13' THEN 9000
+                           WHEN 'src8' THEN 6000
+                           ELSE 2500 END
+"""
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budgeting (functions/text.token_count + bpe_ish_token_count):
     whitespace tokens vs sub-word-ish pieces (word runs and individual
@@ -2108,6 +2146,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cnv_matrix": (q_cnv_matrix, SQL_CNV_MATRIX),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

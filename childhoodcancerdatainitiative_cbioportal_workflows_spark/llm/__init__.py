@@ -24,6 +24,7 @@ from .sampling import (  # noqa: F401
     hash_bucket,
     hash_sample,
     pack_sequences,
+    stratified_hash_sample,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

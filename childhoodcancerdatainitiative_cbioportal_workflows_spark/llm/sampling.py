@@ -213,3 +213,30 @@ def encode_tokens(
             F.coalesce(F.col("vocab_id"), F.lit(oov_id)).cast("long").alias("token_id"),
         )
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Domain mixing: keep a DIFFERENT deterministic fraction per stratum
+    (source / language / domain), e.g. up-weight curated sources and
+    down-weight web scrape in one pass. Membership reads the same md5
+    bucket as :func:`hash_sample` / :func:`dataset_split`, so stratified
+    samples NEST (growing a stratum's fraction only adds rows) and compose
+    with splits exactly like the un-stratified ops. Strata not listed in
+    ``fractions`` keep ``default_fraction``.
+
+    A narrow per-row filter — the stratum column just selects which bucket
+    bound applies; no shuffle, no per-stratum passes, one scan at 100 TB."""
+    default_bound = F.lit(int(round(default_fraction * NUM_BUCKETS)))
+    expr = None
+    for name, frac in sorted(fractions.items()):
+        bound = int(round(frac * NUM_BUCKETS))
+        cond = F.col(strata_col) == name
+        expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
+    bound_expr = default_bound if expr is None else expr.otherwise(default_bound)
+    return df.filter(hash_bucket(F.col(key_col)) < bound_expr)

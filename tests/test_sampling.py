@@ -186,3 +186,31 @@ def test_pack_sequences_auto_shards(spark):
     out2 = pack_sequences(df, budget=16, target_tokens_per_shard=5).toPandas()
     # 1000 tokens / 5 = 200 shards derived; only ~100 docs so <=100 occupied
     assert out2.groupby("shard").ngroups > MIN_SHARDS // 2
+
+
+def test_stratified_hash_sample_nests_and_composes(spark):
+    """Per-stratum fractions hold, growing a fraction only ADDS members
+    (same-bucket nesting), unlisted strata keep the default, and a
+    stratified sample is a subset of the plain hash_sample at the max
+    fraction (all ops read the same md5 bucket)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        stratified_hash_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(15_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    small = stratified_hash_sample(
+        df, {"a": 0.5, "b": 0.2}, "source", default_fraction=0.1
+    ).toPandas()
+    frac = small.groupby("source").size() / 5_000
+    assert abs(frac["a"] - 0.5) < 0.03
+    assert abs(frac["b"] - 0.2) < 0.03
+    assert abs(frac["c"] - 0.1) < 0.03
+    big = stratified_hash_sample(
+        df, {"a": 0.7, "b": 0.4}, "source", default_fraction=0.1
+    ).toPandas()
+    assert set(small.doc_id) <= set(big.doc_id)  # nesting
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import hash_sample
+
+    plain = set(hash_sample(df, 0.5).toPandas().doc_id)
+    assert set(small.doc_id) <= plain  # subset of max-fraction plain sample
