@@ -144,3 +144,41 @@ def test_encode_tokens_roundtrip(spark):
         assert list(enc.pos) == list(range(1, len(toks) + 1))
         assert list(enc.token_id) == [v.get(t, 0) for t in toks]
     assert (out.token_id == 0).any()  # OOV tokens present and mapped to 0
+
+
+def test_hygiene_plan_shapes(spark):
+    """100 TB plan contracts for the hygiene ops: decontaminate joins only
+    via broadcast (benchmark shingles + tiny hit set — the corpus side
+    never sort-merge-joins or cross-joins); encode_tokens probes the vocab
+    by broadcast; domain_mix is a pure narrow filter — NO exchange at all,
+    the whole mix is one scan."""
+    import pandas as pd
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        build_vocab,
+        stratified_hash_sample,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "text": [f"w{i} w{i+1} w{i+2} w{i+3} common words here" for i in range(40)],
+                "source": [f"s{i%3}" for i in range(40)],
+            }
+        )
+    )
+    dec = decontaminate(docs.limit(30), docs.filter(F.col("doc_id") >= 30), n=3)
+    p = dec._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 2  # bench-shingle probe + hits join
+
+    enc = encode_tokens(docs, build_vocab(docs, min_df=2))
+    p = enc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # vocab rides a broadcast
+
+    mix = stratified_hash_sample(docs, {"s0": 0.5}, "source", default_fraction=0.1)
+    p = mix._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p  # narrow filter, one scan
