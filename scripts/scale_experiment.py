@@ -130,6 +130,29 @@ def main() -> None:
               lambda: ngram_jaccard_pairs(docs, max_doc_freq=5))
         bench("pack_sequences", n, lambda: pack_sequences(docs))
 
+    # round-5 ops: corpus hygiene
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        build_vocab,
+        decontaminate,
+        encode_tokens,
+    )
+
+    def hygiene_bench(docs):
+        # fixed small benchmark (the realistic shape: eval set ~ constant
+        # while the corpus grows), vocab rebuilt per size (it grows with n)
+        bench_docs = warm_docs.limit(200)
+        return {
+            "decontaminate": lambda: decontaminate(docs, bench_docs, n=4),
+            "encode_tokens": lambda: encode_tokens(docs, build_vocab(docs, min_df=5)),
+        }
+
+    for op, fn in hygiene_bench(warm_docs).items():
+        bench(op, 0, fn, warm=True)
+    for n in (5_000, 20_000):
+        docs = materialize("documents", n, lambda k: synth_documents(k, seed=3))
+        for op, fn in hygiene_bench(docs).items():
+            bench(op, n, fn)
+
     # star contraction: chain graphs (worst case); rounds must stay O(log n)
     import pandas as pd
 
