@@ -439,6 +439,40 @@ SELECT doc_id, bucket FROM b WHERE bucket < 2500
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-prep chunking (llm/sampling.chunk_documents): 64-token
+    chunks with 16-token overlap (stride 48), chunk counts integer-exact —
+    one scan, one explode, no shuffle; the exploded rows are the
+    downstream embedding/indexing parallelism unit."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        chunk_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         (GREATEST(len(toks) - 16, 1) + 47) // 48 AS n_chunks
+  FROM t WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, UNNEST(range(0, n_chunks)) AS chunk_id, toks, n FROM s
+)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       (LEAST(chunk_id * 48 + 64, n) - chunk_id * 48)::BIGINT AS n_tokens,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing (llm/sampling.stratified_hash_sample): per-source
     deterministic sampling fractions in ONE narrow pass — up-weight two
@@ -2147,6 +2181,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

@@ -19,6 +19,7 @@ from .dedup import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     build_vocab,
+    chunk_documents,
     dataset_split,
     encode_tokens,
     hash_bucket,

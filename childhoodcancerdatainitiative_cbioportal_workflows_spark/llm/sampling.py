@@ -240,3 +240,51 @@ def stratified_hash_sample(
         expr = F.when(cond, bound) if expr is None else expr.when(cond, bound)
     bound_expr = default_bound if expr is None else expr.otherwise(default_bound)
     return df.filter(hash_bucket(F.col(key_col)) < bound_expr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the pre-embedding /
+    retrieval prep step: chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens) with stride = chunk_tokens - overlap, so consecutive
+    chunks share ``overlap`` tokens and no token is dropped. Empty docs
+    yield no chunks; a doc shorter than one chunk yields exactly one.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text). Narrow per-row
+    generate — no shuffle; the chunk count per doc is
+    ceil(max(n - overlap, 1) / stride), integer-exact in any engine.
+
+    Scale shape: one scan, one explode; downstream embedding/indexing
+    parallelism comes free from the exploded rows."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks_expr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    n = F.size("_toks")
+    n_chunks = F.floor(
+        (F.greatest(n - F.lit(overlap), F.lit(1)) + F.lit(stride - 1)) / stride
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(F.col("_toks"), i * stride + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    return (
+        staged.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.ctoks").cast("long").alias("n_tokens"),
+            F.array_join("c.ctoks", " ").alias("chunk_text"),
+        )
+    )

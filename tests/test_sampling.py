@@ -214,3 +214,52 @@ def test_stratified_hash_sample_nests_and_composes(spark):
 
     plain = set(hash_sample(df, 0.5).toPandas().doc_id)
     assert set(small.doc_id) <= plain  # subset of max-fraction plain sample
+
+
+def test_chunk_documents_tiling(spark):
+    """Chunks tile the token stream with the exact stride/overlap law:
+    chunk i starts at i*stride, consecutive chunks share `overlap` tokens,
+    the last chunk is the ragged remainder, short docs give one chunk,
+    empty docs give none."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        chunk_documents,
+    )
+
+    docs = [
+        (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks: 2 chunks @ (8,2)
+        (1, " ".join(f"t{i}" for i in range(8))),   # exactly one chunk
+        (2, "a b"),                                  # shorter than chunk
+        (3, "   "),                                  # empty after tokenize
+        (4, " ".join(f"t{i}" for i in range(21))),  # 21 toks
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=8, overlap=2).toPandas()
+    assert 3 not in set(out.doc_id)  # empty doc -> no chunks
+    stride = 6
+    for doc_id, text in docs:
+        toks = text.split()
+        grp = out[out.doc_id == doc_id].sort_values("chunk_id")
+        if not toks:
+            assert grp.empty
+            continue
+        import math
+
+        want_chunks = math.ceil(max(len(toks) - 2, 1) / stride)
+        assert list(grp.chunk_id) == list(range(want_chunks))
+        rebuilt = []
+        for r in grp.itertuples():
+            ctoks = r.chunk_text.split()
+            assert ctoks == toks[r.chunk_id * stride : r.chunk_id * stride + 8]
+            assert r.n_tokens == len(ctoks)
+            rebuilt = rebuilt[: r.chunk_id * stride] + ctoks
+        assert rebuilt == toks  # overlap-tiling loses no token
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(0, "a b c d e f")], ["doc_id", "text"])
+    p = chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Join" not in p
