@@ -2159,6 +2159,292 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+# ------------------------------------- relevance / clustering / incremental
+
+_BM25_TERMS = ("join", "window", "stream", "vector")
+_BM25_K1P1 = repr(1.2 + 1.0)  # exact double literal shared with the oracle
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (llm/relevance.bm25_topk): ranked retrieval over
+    the corpus for a fixed query. The corpus is never exploded — per-term
+    tf is a narrow array fold, stats reduce to ONE broadcast row, top-k is
+    TakeOrderedAndProject. idf is floor-scaled fixed point and the score
+    chain is fixed-order, so the oracle reproduces every bit."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, list(_BM25_TERMS), k=20)
+
+
+def _sql_bm25(terms: tuple[str, ...], k: int) -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    norm_len = (
+        "(1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / "
+        "(CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    )
+    contribs = " + ".join(
+        f"(CAST(CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE)"
+        f" + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5)) * 1000000) AS BIGINT) AS DOUBLE)"
+        f" / 1000000.0) * (CAST(tf{i} AS DOUBLE) * {_BM25_K1P1}"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.2 * {norm_len}))"
+        for i in range(len(terms))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl,
+         {df_cols}
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         {contribs} AS score_raw,
+         CAST({matched} AS INTEGER) AS matched_terms
+  FROM base, stats
+)
+SELECT doc_id, floor(score_raw * 10000) / 10000 AS score, matched_terms
+FROM scored WHERE matched_terms > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+SQL_BM25_SEARCH = _sql_bm25(_BM25_TERMS, k=20)
+
+
+def q_quality_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (llm/relevance.unigram_logprob_profile):
+    per-document mean log probability under the corpus's Laplace-smoothed
+    unigram model. Log-probs are 1e-6 fixed point at birth, so document
+    sums are exact BIGINT sums (order-independent) and the mean is one
+    double division."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        unigram_logprob_profile,
+    )
+
+    return unigram_logprob_profile(load_table(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_LM = """
+WITH tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS t(token)
+), counts AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_tokens, CAST(COUNT(*) AS BIGINT) AS v_size
+  FROM counts
+), lm AS (
+  SELECT token,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(t_tokens + v_size AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp6
+  FROM counts, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp6) AS BIGINT) AS sum_lp6,
+       (CAST(SUM(lp6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0
+         AS mean_logprob
+FROM tok JOIN lm USING (token)
+GROUP BY doc_id
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (functions/text.gopher_metrics): the
+    standard pre-training heuristic battery (word-count bounds, mean word
+    length, symbol ratio, alphabetic fraction, stopword floor) as narrow
+    per-row built-ins plus the combined keep decision."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        gopher_keep,
+        gopher_metrics,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m = gopher_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["alpha_frac"].alias("alpha_frac"),
+        m["n_stopwords"].alias("n_stopwords"),
+        gopher_keep(m).alias("keep"),
+    )
+
+
+SQL_GOPHER_QUALITY = """
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         COALESCE(CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT), 0)
+           AS word_chars,
+         CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_filter(tk, x -> list_contains(
+              ['the','a','of','and','to','in','is','that','it','for'], lower(x))))
+           AS BIGINT) AS n_stopwords
+  FROM d
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN n_words > 0
+              THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END AS alpha_frac,
+         n_stopwords
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stopwords,
+       (n_words >= 20 AND n_words <= 80
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        AND n_stopwords >= 1) AS keep
+FROM r
+"""
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus clustering profile (llm/clustering.cluster_profile):
+    every vector assigned to its nearest trained k-means centroid via the
+    shuffle-free array fold, then ONE per-cluster aggregation (size + mean
+    member-to-centroid cosine, fixed-point summed). The same centroid
+    literals inline into the oracle."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        cluster_profile,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.ivf_centroids import (
+        TRAINED_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_profile(emb, TRAINED_CENTROIDS)
+
+
+def _sql_kmeans_clusters() -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.ivf_centroids import (
+        TRAINED_CENTROIDS,
+    )
+
+    cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(TRAINED_CENTROIDS)
+    )
+    acos = (
+        "list_reduce(list_transform(list_zip(nv.vec, nc.cvec), x -> x[1]*x[2]),"
+        " (a,b) -> a+b) / (nc.cnrm * nv.nrm)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+nv AS (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+nc AS (
+  SELECT cid, cvec,
+         sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm
+  FROM (VALUES
+  {cent_rows}) AS c(cid, cvec)
+), assign AS (
+  SELECT nv.id, nc.cid, {acos} AS cos
+  FROM nv CROSS JOIN nc
+), ranked AS (
+  SELECT id, cid, cos,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+  FROM assign
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       (CAST(SUM(CAST(floor(cos * 10000) AS BIGINT)) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) / 10000.0 AS mean_cos
+FROM ranked WHERE rn = 1
+GROUP BY cid
+"""
+
+
+SQL_KMEANS_CLUSTERS = _sql_kmeans_clusters()
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental dedup (llm/dedup.incremental_dedup): a new
+    ingest batch (tail split of the corpus, plus a simulated re-crawl of
+    old documents and a duplicated slice of itself) dedups against the
+    seen-corpus fingerprint snapshot without re-reading old text: narrow
+    fingerprinting, one groupBy(fp) for intra-batch min-id dedup, LEFT
+    ANTI against the store."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        exact_dedup,
+        incremental_dedup,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        hash_bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    seen = exact_dedup(d.filter(bucket < 8000)).select("fp")
+    new = d.filter(bucket >= 8000).select("doc_id", "text")
+    dup_new = (
+        d.filter(bucket >= 9500)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    recrawl = (
+        d.filter(bucket < 1000)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    batch = new.unionByName(dup_new).unionByName(recrawl)
+    return incremental_dedup(batch, seen)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH hx AS (
+  SELECT doc_id, text, md5(doc_id::VARCHAR) AS h FROM documents
+), b AS (
+  SELECT doc_id, text, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+), seen AS (
+  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM b WHERE bucket < 8000
+), batch AS (
+  SELECT doc_id, text FROM b WHERE bucket >= 8000
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM b WHERE bucket >= 9500
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM b WHERE bucket < 1000
+), fresh AS (
+  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM batch GROUP BY 1
+)
+SELECT doc_id, fp, n_copies
+FROM fresh WHERE fp NOT IN (SELECT fp FROM seen)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -2186,6 +2472,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "encode_tokens": (q_encode_tokens, SQL_ENCODE_TOKENS),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
+    "quality_lm": (q_quality_lm, SQL_QUALITY_LM),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "repetition_profile": (q_repetition_profile, SQL_REPETITION_PROFILE),

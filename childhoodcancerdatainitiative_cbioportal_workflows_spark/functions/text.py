@@ -217,6 +217,70 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     return F.floor(ratio * 10000) / 10000
 
 
+# ------------------------------------------------------- Gopher quality rules
+#
+# The rule family from Rae et al.'s Gopher data pipeline (mean word
+# length bounds, symbol-to-word ratio, alphabetic-word fraction, stopword
+# floor) — the standard pre-training heuristic filter. Every metric is a
+# narrow per-row built-in composition (no shuffle, no UDF); divisions are
+# single ops over exact integers so every engine agrees on the bits.
+
+GOPHER_DEFAULTS = {
+    "min_words": 20,
+    "max_words": 80,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_frac": 0.8,
+    "min_stopwords": 1,
+}
+
+
+def gopher_metrics(text: Column) -> dict[str, Column]:
+    """Per-document Gopher rule metrics as named column expressions:
+
+    * ``n_words`` — whitespace token count
+    * ``mean_word_len`` — total word chars / n_words (one exact division)
+    * ``symbol_ratio`` — ('#' + '…' + '...') occurrences / n_words
+    * ``alpha_frac`` — fraction of words containing an ASCII letter
+    * ``n_stopwords`` — English stopword hits
+    """
+    toks = ws_tokens(text)
+    n = F.size(toks).cast("bigint")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_sym = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#|…|\.\.\."), 0)).cast("bigint")
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("bigint")
+    zero_guard = lambda num: F.when(  # noqa: E731
+        n > 0, num.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n,
+        "mean_word_len": zero_guard(word_chars),
+        "symbol_ratio": zero_guard(n_sym),
+        "alpha_frac": zero_guard(n_alpha),
+        "n_stopwords": _match_count(toks, STOPWORDS["en"]).cast("bigint"),
+    }
+
+
+def gopher_keep(metrics: dict[str, Column], **overrides) -> Column:
+    """Boolean keep decision from :func:`gopher_metrics` under
+    :data:`GOPHER_DEFAULTS` (override any threshold by keyword)."""
+    th = {**GOPHER_DEFAULTS, **overrides}
+    return (
+        (metrics["n_words"] >= th["min_words"])
+        & (metrics["n_words"] <= th["max_words"])
+        & (metrics["mean_word_len"] >= th["min_mean_word_len"])
+        & (metrics["mean_word_len"] <= th["max_mean_word_len"])
+        & (metrics["symbol_ratio"] <= th["max_symbol_ratio"])
+        & (metrics["alpha_frac"] >= th["min_alpha_frac"])
+        & (metrics["n_stopwords"] >= th["min_stopwords"])
+    )
+
+
 # ---------------------------------------------------------------- PII redaction
 #
 # Pattern order matters (SSN before phone: an SSN also matches loose phone

@@ -15,8 +15,11 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
+    incremental_dedup,
     release_plan_caches,
 )
+from .clustering import assign_clusters, cluster_profile  # noqa: F401
+from .relevance import bm25_topk, unigram_logprob_profile  # noqa: F401
 from .sampling import (  # noqa: F401
     build_vocab,
     chunk_documents,

@@ -64,6 +64,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus (incremental) exact dedup: keep each NEW document that
+    is (a) not already in the seen-fingerprint store and (b) the first copy
+    (min id) of its content within the new batch — the shape every
+    continuously-ingesting corpus needs (yesterday's 100 TB is a
+    fingerprint-only snapshot, today's batch dedups against it without
+    ever re-reading yesterday's text).
+
+    ``seen_fingerprints`` needs one column ``fp`` (16-byte md5 hex, as
+    written by :func:`exact_dedup` / this function — store the snapshot
+    bucketed by ``fp`` and the anti join becomes shuffle-one-sided).
+
+    Plan: fingerprint the new batch (narrow), window-free intra-batch
+    dedup via groupBy(fp) min-id (single shuffle on the 16-byte key,
+    map-side combine), then LEFT ANTI against the store on ``fp``. Both
+    shuffles key on the fingerprint, so AQE reuses the partitioning.
+
+    Returns (doc_id, fp, n_copies) — the surviving new rows."""
+    fresh = (
+        new_docs.select(
+            F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return fresh.join(
+        seen_fingerprints.select("fp"), "fp", "left_anti"
+    ).select("doc_id", "fp", "n_copies")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
