@@ -2421,6 +2421,134 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, seen)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (llm/clustering.
+    semantic_dup_pairs): bucket by nearest trained k-means centroid,
+    pairwise cosine only within a cluster — the density-adaptive
+    counterpart of the hyperplane-LSH bucketing in embedding_dups. Same
+    0.45 threshold as the LSH face so the two candidate generators are
+    directly comparable."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        semantic_dup_pairs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.ivf_centroids import (
+        TRAINED_CENTROIDS,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dup_pairs(emb, TRAINED_CENTROIDS, threshold=0.45)
+
+
+def _sql_semantic_dedup(threshold: float) -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.ivf_centroids import (
+        TRAINED_CENTROIDS,
+    )
+
+    cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(TRAINED_CENTROIDS)
+    )
+    acos = (
+        "list_reduce(list_transform(list_zip(nv.vec, nc.cvec), x -> x[1]*x[2]),"
+        " (a,b) -> a+b) / (nc.cnrm * nv.nrm)"
+    )
+    pcos = (
+        "list_reduce(list_transform(list_zip(va.vec, vb.vec), x -> x[1]*x[2]),"
+        " (a,b) -> a+b) / (va.nrm * vb.nrm)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+nv AS (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
+nc AS (
+  SELECT cid, cvec,
+         sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm
+  FROM (VALUES
+  {cent_rows}) AS c(cid, cvec)
+), assign AS (
+  SELECT nv.id, nc.cid, {acos} AS cos
+  FROM nv CROSS JOIN nc
+), ranked AS (
+  SELECT id, cid,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) AS rn
+  FROM assign
+), cl AS (
+  SELECT id, cid FROM ranked WHERE rn = 1
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM cl a JOIN cl b ON a.cid = b.cid AND a.id < b.id
+)
+SELECT id_a, id_b, ROUND({pcos}, 4) AS cos_sim
+FROM pairs JOIN nv va ON va.id = pairs.id_a JOIN nv vb ON vb.id = pairs.id_b
+WHERE ROUND({pcos}, 4) >= {threshold}
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup(threshold=0.45)
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (llm/sampling.
+    weighted_hash_sample): per-document acceptance probability equals the
+    quality score — the quality-proportional subsampling step of
+    pre-training data mixes, as one narrow pushdown-safe filter (the
+    md5 bucket and the score are both per-row expressions)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+        quality_score,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        weighted_hash_sample,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.sampling import (
+        hash_bucket,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return weighted_hash_sample(d, q).select(
+        "doc_id",
+        q.alias("quality"),
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+    )
+
+
+SQL_QUALITY_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS sw,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct
+  FROM t
+), q AS (
+  SELECT doc_id,
+         FLOOR(GREATEST(LEAST(
+             0.25 * LEAST(n / 100.0, 1.0)
+           + 0.25 * distinct_ratio
+           + 0.35 * LEAST(sw * 5, 1.0)
+           + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 1.0 END * 4, 1.0)),
+           1.0), 0.0) * 10000) / 10000 AS quality
+  FROM m
+), hx AS (
+  SELECT doc_id, quality, md5(doc_id::VARCHAR) AS h FROM q
+), b AS (
+  SELECT doc_id, quality, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+)
+SELECT doc_id, quality, bucket
+FROM b WHERE bucket < CAST(FLOOR(quality * 10000) AS BIGINT)
+"""
+
+
 SQL_INCREMENTAL_DEDUP = f"""
 WITH hx AS (
   SELECT doc_id, text, md5(doc_id::VARCHAR) AS h FROM documents
@@ -2477,6 +2605,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "quality_weighted_sample": (q_quality_weighted_sample, SQL_QUALITY_WEIGHTED_SAMPLE),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "repetition_profile": (q_repetition_profile, SQL_REPETITION_PROFILE),

@@ -18,7 +18,11 @@ from .dedup import (  # noqa: F401
     incremental_dedup,
     release_plan_caches,
 )
-from .clustering import assign_clusters, cluster_profile  # noqa: F401
+from .clustering import (  # noqa: F401
+    assign_clusters,
+    cluster_profile,
+    semantic_dup_pairs,
+)
 from .relevance import bm25_topk, unigram_logprob_profile  # noqa: F401
 from .sampling import (  # noqa: F401
     build_vocab,
@@ -29,6 +33,7 @@ from .sampling import (  # noqa: F401
     hash_sample,
     pack_sequences,
     stratified_hash_sample,
+    weighted_hash_sample,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

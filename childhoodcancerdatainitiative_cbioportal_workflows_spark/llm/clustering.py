@@ -70,6 +70,61 @@ def assign_clusters(
     )
 
 
+def semantic_dup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped near-duplicate pairs: vectors are bucketed by their
+    nearest TRAINED centroid and pairwise cosine runs only WITHIN a
+    cluster — the density-adaptive counterpart of the random-hyperplane
+    LSH bucketing in ``embedding_dup_pairs_lsh`` (clusters follow corpus
+    structure, so semantically-close pairs land together at much higher
+    recall than random planes for the same candidate budget).
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b and cosine >= threshold,
+    cos_sim rounded to 4 decimals. Feed the pairs to
+    :func:`..llm.dedup.dedup_components` to canonicalize keep-sets.
+
+    Scale: the self-join shuffles on cluster_id; per-reducer work is
+    bounded by the largest cluster (sum of |C_i|² total). At corpus scale
+    the quantizer's K must grow with n (K ≈ n / target_cluster_size, the
+    SemDeDup recipe — their 100 M-doc runs use K ~ 10⁵) so clusters stay
+    ~constant-size; K here rides the centroid artifact, so the caller
+    controls that knob at train time. Vectors ride the bucket join once;
+    no crossJoin node ever appears (plan-asserted in tests)."""
+    assigned = assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    sides = assigned.select("id", "cluster_id").join(vecs, "id")
+    a = sides.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = sides.select(
+        F.col("cluster_id"),
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def cluster_profile(
     df: DataFrame,
     centroids: list[list[float]],

@@ -68,6 +68,24 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col)) < F.lit(bound))
 
 
+def weighted_hash_sample(
+    df: DataFrame, weight: Column, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep a row iff its hash
+    bucket falls under ``weight`` (a per-row Column in [0,1] — e.g. a
+    quality score, so acceptance probability tracks quality; the standard
+    quality-weighted subsampling step of pre-training mixes).
+
+    Same md5 bucket as :func:`hash_sample`/:func:`dataset_split`, so the
+    layering caveat applies (all three read one bucket: a weighted sample
+    OF a split is the intersection of their bucket predicates, not an
+    independent draw). Pure narrow filter — no shuffle, pushdown-safe when
+    ``weight`` is a scan column; expression weights (quality_score) stay
+    one projection."""
+    bound = F.floor(weight * NUM_BUCKETS).cast("bigint")
+    return df.filter(hash_bucket(F.col(key_col)) < bound)
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

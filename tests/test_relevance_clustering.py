@@ -191,6 +191,48 @@ def test_cluster_assignment_plan_is_shuffle_free(spark):
     assert "hashpartitioning" not in plan, plan
 
 
+def test_semantic_dup_pairs_finds_planted_dup(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        semantic_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 8))
+    vecs = list(base)
+    vecs.append(base[7] + 0.01 * rng.standard_normal(8))  # near-dup of 7 -> id 30
+    cents = rng.standard_normal((4, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = semantic_dup_pairs(df, cents, threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (7, 30) in got
+    # no crossJoin anywhere: bucketing must carry the join
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_hash_sample_semantics(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        hash_sample,
+        weighted_hash_sample,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    assert weighted_hash_sample(df, F.lit(0.0)).count() == 0
+    assert weighted_hash_sample(df, F.lit(1.0)).count() == 2000
+    # constant weight w ≡ hash_sample(w): same bucket, same bound
+    a = {r.doc_id for r in weighted_hash_sample(df, F.lit(0.3)).collect()}
+    b = {r.doc_id for r in hash_sample(df, 0.3).collect()}
+    assert a == b
+    # per-row weights: acceptance rate tracks the weight
+    w = F.when(F.col("doc_id") < 1000, F.lit(0.1)).otherwise(F.lit(0.9))
+    out = weighted_hash_sample(df, w).groupBy((F.col("doc_id") < 1000).alias("lo")).count()
+    rates = {r.lo: r["count"] / 1000 for r in out.collect()}
+    assert rates[True] < 0.2 and 0.8 < rates[False] <= 1.0
+
+
 def test_incremental_dedup_semantics(spark):
     old = spark.createDataFrame(
         [(0, "alpha beta"), (1, "gamma delta")], ["doc_id", "text"]
