@@ -2421,6 +2421,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, seen)
 
 
+def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocation counts (llm/sampling.bigram_counts) —
+    the counting step of a BPE/WordPiece merge round: narrow per-doc pair
+    transform, one map-side-combined aggregation, TakeOrdered top-100."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import bigram_counts
+
+    return bigram_counts(load_table(spark, sf_dir, "documents"), top_k=100)
+
+
+SQL_BIGRAM_TOP = """
+WITH d AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), p AS (
+  SELECT tk[i] AS token_a, tk[i + 1] AS token_b
+  FROM d, unnest(range(1, len(tk))) AS r(i)
+)
+SELECT token_a, token_b, COUNT(*) AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, token_a ASC, token_b ASC
+LIMIT 100
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic near-dup pairs (llm/clustering.
     semantic_dup_pairs): bucket by nearest trained k-means centroid,
@@ -2606,6 +2630,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
     "quality_weighted_sample": (q_quality_weighted_sample, SQL_QUALITY_WEIGHTED_SAMPLE),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),

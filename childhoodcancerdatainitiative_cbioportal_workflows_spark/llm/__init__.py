@@ -25,6 +25,7 @@ from .clustering import (  # noqa: F401
 )
 from .relevance import bm25_topk, unigram_logprob_profile  # noqa: F401
 from .sampling import (  # noqa: F401
+    bigram_counts,
     build_vocab,
     chunk_documents,
     dataset_split,

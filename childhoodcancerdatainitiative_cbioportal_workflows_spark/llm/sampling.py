@@ -68,6 +68,54 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(key_col)) < F.lit(bound))
 
 
+def bigram_counts(
+    df: DataFrame,
+    top_k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-token-pair (bigram) counts over the corpus — the counting
+    step of a BPE/WordPiece merge round and the standard collocation
+    statistic. Returns (token_a, token_b, n), optionally cut to the
+    ``top_k`` most frequent pairs (total order: n desc, token_a, token_b —
+    deterministic limit).
+
+    Scale: the per-document pair list is a narrow ``transform`` over a
+    staged token array (no self-join, no window); the explode feeds ONE
+    aggregation whose map-side combine bounds the exchange by the distinct
+    bigram vocabulary per partition, never the corpus token count. The
+    optional top-k is TakeOrderedAndProject. A full BPE training loop is
+    this count, a driver-side argmax (the merge table is vocabulary-sized),
+    and a re-tokenize pass — each round one shuffle."""
+    from ..core.session import spread
+    from ..functions.text import ws_tokens
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    staged = spread(df).select(toks.alias("_tk"))
+    # sequence(1, size-1) counts DOWN when size < 2 (the word_shingles
+    # gotcha) — guard single-token/empty docs to an empty pair list
+    pair_list = F.when(
+        F.size(F.col("_tk")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_tk")) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_tk"), i).alias("token_a"),
+                F.element_at(F.col("_tk"), i + F.lit(1)).alias("token_b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<token_a:string,token_b:string>>"))
+    out = (
+        staged.select(F.explode(pair_list).alias("p"))
+        .select("p.token_a", "p.token_b")
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("n").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+        ).limit(top_k)
+    return out
+
+
 def weighted_hash_sample(
     df: DataFrame, weight: Column, key_col: str = "doc_id"
 ) -> DataFrame:

@@ -153,6 +153,50 @@ def main() -> None:
         for op, fn in hygiene_bench(docs).items():
             bench(op, n, fn)
 
+    # round-5b ops: relevance, LM quality, semantic dedup, incremental dedup
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        bm25_topk,
+        incremental_dedup,
+        semantic_dup_pairs,
+        unigram_logprob_profile,
+    )
+    from pyspark.sql import functions as F
+
+    bm_terms = ["w3", "w17", "w256", "w4099"]
+
+    def r5b_bench(docs, n):
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        seen = exact_dedup(half).select("fp")
+        return {
+            "bm25_topk": lambda: bm25_topk(docs, bm_terms, k=20),
+            "unigram_logprob": lambda: unigram_logprob_profile(docs),
+            "incremental_dedup": lambda: incremental_dedup(rest, seen),
+        }
+
+    for op, fn in r5b_bench(warm_docs, 1_000).items():
+        bench(op, 0, fn, warm=True)
+    for n in (5_000, 20_000):
+        docs = materialize("documents", n, lambda k: synth_documents(k, seed=3))
+        for op, fn in r5b_bench(docs, n).items():
+            bench(op, n, fn)
+
+    # semantic dedup: K grows with n (the SemDeDup recipe — constant
+    # expected cluster size), quantizer is a seeded random matrix (assignment
+    # cost is what scales; quantizer quality is irrelevant to timing)
+    def rand_cents(k, dim, seed=17):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((k, dim)).tolist()
+
+    bench("semantic_dedup(K=n/500)", 0,
+          lambda: semantic_dup_pairs(warm_emb, rand_cents(4, 64), threshold=0.45),
+          warm=True)
+    for n in (2_000, 8_000, 32_000):
+        emb = materialize("embeddings", n, lambda k: synth_embeddings(k, 64, seed=5))
+        k = max(4, n // 500)
+        bench("semantic_dedup(K=n/500)", n,
+              lambda: semantic_dup_pairs(emb, rand_cents(k, 64), threshold=0.45))
+
     # star contraction: chain graphs (worst case); rounds must stay O(log n)
     import pandas as pd
 

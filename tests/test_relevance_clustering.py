@@ -233,6 +233,25 @@ def test_weighted_hash_sample_semantics(spark):
     assert rates[True] < 0.2 and 0.8 < rates[False] <= 1.0
 
 
+def test_bigram_counts_semantics(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import bigram_counts
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b c"),   # pairs: (a,b) (b,a) (a,b) (b,c)
+            (1, "solo"),        # no pairs
+            (2, ""),            # no pairs
+            (3, "A b"),         # lowercased -> (a,b)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.token_a, r.token_b): r.n for r in bigram_counts(df).collect()}
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    # top-k cut is deterministic: ties broken by (token_a, token_b)
+    top = bigram_counts(df, top_k=2).collect()
+    assert [(r.token_a, r.token_b) for r in top] == [("a", "b"), ("b", "a")]
+
+
 def test_incremental_dedup_semantics(spark):
     old = spark.createDataFrame(
         [(0, "alpha beta"), (1, "gamma delta")], ["doc_id", "text"]
