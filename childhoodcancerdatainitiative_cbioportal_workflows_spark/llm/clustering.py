@@ -94,12 +94,29 @@ def semantic_dup_pairs(
     SemDeDup recipe — their 100 M-doc runs use K ~ 10⁵) so clusters stay
     ~constant-size; K here rides the centroid artifact, so the caller
     controls that knob at train time. Vectors ride the bucket join once;
-    no crossJoin node ever appears (plan-asserted in tests)."""
-    assigned = assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col)
+    no crossJoin node ever appears (plan-asserted in tests).
+
+    The NARROW (id, cluster_id) assignment persists eagerly (the
+    dedup-builder pattern): it feeds BOTH self-join sides, and an
+    unmaterialized plan runs the n×K assignment fold twice AND lets the
+    join's isnotnull constraints push the fold into the scan filter below
+    the spread (both observed — 4 fold-bearing scans in the uncached
+    plan). Only the two-long assignment is cached — never the vectors,
+    which re-enter from the columnar scan per side (cache footprint is
+    16 B/row at any corpus size). Callers release with
+    :func:`..llm.dedup.release_plan_caches` after materializing."""
+    from .dedup import _with_caches
+
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    sides = assigned.select("id", "cluster_id").join(vecs, "id")
+    assigned = (
+        assign_clusters(df, centroids, vec_col=vec_col, id_col=id_col)
+        .select("id", "cluster_id")
+        .persist()
+    )
+    assigned.count()  # eager: lazy persisted frames recompute per plan branch
+    sides = assigned.join(vecs, "id")
     a = sides.select(
         F.col("cluster_id"),
         F.col("id").alias("id_a"),
@@ -116,13 +133,14 @@ def semantic_dup_pairs(
         lambda acc, x: acc + x,
     )
     cos = dot / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
-    return (
+    out = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.round(cos, 4))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+    return _with_caches(out, [assigned])
 
 
 def cluster_profile(
