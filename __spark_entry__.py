@@ -2421,6 +2421,125 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, seen)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5-family composition proof (like cnv_matrix / llm_corpus_
+    pipeline): Gopher rule battery -> unigram-LM floor (LM built on the
+    FULL corpus, the realistic order) -> quality-weighted sampling, as ONE
+    lazy DAG with one oracle. The corpus stays narrow until the single
+    doc_id join against the vocabulary-derived LM profile."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+        quality_score,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        gopher_keep,
+        gopher_metrics,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        unigram_logprob_profile,
+        weighted_hash_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m = gopher_metrics(F.col("text"))
+    kept = d.filter(gopher_keep(m))
+    lm = unigram_logprob_profile(d)
+    joined = kept.join(lm, "doc_id").filter(F.col("mean_logprob") >= F.lit(-3.41))
+    q = quality_score(F.col("text"))
+    return weighted_hash_sample(joined, q).select(
+        "doc_id", "n_tokens", "mean_logprob", q.alias("quality")
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), gm AS (
+  SELECT doc_id, text,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         COALESCE(CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT), 0)
+           AS word_chars,
+         CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         CAST(len(list_filter(tk, x -> list_contains(
+              ['the','a','of','and','to','in','is','that','it','for'], lower(x))))
+           AS BIGINT) AS n_stopwords
+  FROM d
+), kept AS (
+  SELECT doc_id, text FROM gm
+  WHERE n_words >= 20 AND n_words <= 80
+    AND (CASE WHEN n_words > 0
+              THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END) >= 3.0
+    AND (CASE WHEN n_words > 0
+              THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END) <= 10.0
+    AND (CASE WHEN n_words > 0
+              THEN CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END) <= 0.1
+    AND (CASE WHEN n_words > 0
+              THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+              ELSE 0.0 END) >= 0.8
+    AND n_stopwords >= 1
+), tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS t(token)
+), counts AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t_tokens, CAST(COUNT(*) AS BIGINT) AS v_size
+  FROM counts
+), lmt AS (
+  SELECT token,
+         CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(t_tokens + v_size AS DOUBLE))
+                    * 1000000) AS BIGINT) AS lp6
+  FROM counts, tot
+), perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         (CAST(SUM(lp6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0
+           AS mean_logprob
+  FROM tok JOIN lmt USING (token)
+  GROUP BY doc_id
+), qm AS (
+  SELECT doc_id, text, tk AS toks,
+         CAST(len(tk) AS DOUBLE) AS n,
+         CASE WHEN len(tk) > 0
+              THEN len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(tk) > 0
+              THEN len(list_filter(tk, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   / CAST(len(tk) AS DOUBLE)
+              ELSE 0.0 END AS sw,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct
+  FROM d
+), qual AS (
+  SELECT doc_id,
+         FLOOR(GREATEST(LEAST(
+             0.25 * LEAST(n / 100.0, 1.0)
+           + 0.25 * distinct_ratio
+           + 0.35 * LEAST(sw * 5, 1.0)
+           + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 1.0 END * 4, 1.0)),
+           1.0), 0.0) * 10000) / 10000 AS quality
+  FROM qm
+), bk AS (
+  SELECT doc_id, {_NIBFOLD_SPLIT} % 10000 AS bucket
+  FROM (SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents)
+)
+SELECT k.doc_id, p.n_tokens, p.mean_logprob, q.quality
+FROM kept k
+JOIN perdoc p ON p.doc_id = k.doc_id
+JOIN qual q ON q.doc_id = k.doc_id
+JOIN bk b ON b.doc_id = k.doc_id
+WHERE p.mean_logprob >= -3.41
+  AND b.bucket < CAST(FLOOR(q.quality * 10000) AS BIGINT)
+"""
+
+
 def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-bigram collocation counts (llm/sampling.bigram_counts) —
     the counting step of a BPE/WordPiece merge round: narrow per-doc pair
@@ -2631,6 +2750,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "quality_weighted_sample": (q_quality_weighted_sample, SQL_QUALITY_WEIGHTED_SAMPLE),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
