@@ -2540,6 +2540,90 @@ WHERE p.mean_logprob >= -3.41
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard: doc/token volume, mean quality
+    (exact — quality is 4-decimal fixed point, summed through DECIMAL),
+    Gopher keep-rate. The grouped-aggregation face of the quality family;
+    one shuffle keyed by source with map-side combine."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+        quality_score,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.text import (
+        gopher_keep,
+        gopher_metrics,
+        token_count,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    m = gopher_metrics(F.col("text"))
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        _dsum(quality_score(F.col("text")), "sum_quality"),
+        F.sum(gopher_keep(m).cast("bigint")).alias("n_keep"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("sum_quality") / F.col("n_docs").cast("double")).alias("avg_quality"),
+        (F.col("n_keep").cast("double") / F.col("n_docs").cast("double")).alias(
+            "keep_rate"
+        ),
+    )
+
+
+SQL_CORPUS_REPORT = """
+WITH d AS (
+  SELECT doc_id, text, source,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), per AS (
+  SELECT source,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         FLOOR(GREATEST(LEAST(
+             0.25 * LEAST(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+           + 0.25 * (CASE WHEN len(tk) > 0
+                          THEN len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)
+                          ELSE 0.0 END)
+           + 0.35 * LEAST((CASE WHEN len(tk) > 0
+                          THEN len(list_filter(tk, x -> lower(x) IN
+                               ('the','a','of','and','to','in','is','that','it','for')))
+                               / CAST(len(tk) AS DOUBLE)
+                          ELSE 0.0 END) * 5, 1.0)
+           + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                               / length(text) ELSE 1.0 END * 4, 1.0)),
+           1.0), 0.0) * 10000) / 10000 AS quality,
+         CASE WHEN CAST(len(tk) AS BIGINT) >= 20 AND CAST(len(tk) AS BIGINT) <= 80
+               AND (CASE WHEN len(tk) > 0
+                    THEN CAST(COALESCE(CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT), 0) AS DOUBLE)
+                         / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) >= 3.0
+               AND (CASE WHEN len(tk) > 0
+                    THEN CAST(COALESCE(CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT), 0) AS DOUBLE)
+                         / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) <= 10.0
+               AND (CASE WHEN len(tk) > 0
+                    THEN CAST(len(regexp_extract_all(text, '#|…|\\.\\.\\.')) AS DOUBLE)
+                         / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) <= 0.1
+               AND (CASE WHEN len(tk) > 0
+                    THEN CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                         / CAST(len(tk) AS DOUBLE) ELSE 0.0 END) >= 0.8
+               AND CAST(len(list_filter(tk, x -> list_contains(
+                    ['the','a','of','and','to','in','is','that','it','for'], lower(x))))
+                    AS BIGINT) >= 1
+              THEN 1 ELSE 0 END AS keep
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_quality,
+       CAST(SUM(keep) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM per GROUP BY source
+"""
+
+
 def q_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-bigram collocation counts (llm/sampling.bigram_counts) —
     the counting step of a BPE/WordPiece merge round: narrow per-doc pair
@@ -2751,6 +2835,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
     "quality_weighted_sample": (q_quality_weighted_sample, SQL_QUALITY_WEIGHTED_SAMPLE),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),

@@ -130,3 +130,64 @@ def test_text_function_bounds(spark, texts):
     ).toPandas()
     assert (out.n == pd.Series([len(t.split()) for t in texts])).all()
     assert ((out.q >= 0) & (out.q <= 1)).all()
+
+
+# --------------------------------------------------- round-5 relevance family
+
+_words = st.sampled_from(["join", "hash", "scan", "stream", "the", "a", "zz9"])
+_doc = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=10))
+@SETTINGS
+def test_bigram_counts_model(spark, texts):
+    """Total bigram mass equals sum(max(0, len-1)); counts match a pandas
+    model regardless of partitioning."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import bigram_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).repartition(5)
+    got = {(r.token_a, r.token_b): r.n for r in bigram_counts(df).collect()}
+    want: dict[tuple[str, str], int] = {}
+    for t in texts:
+        tk = t.lower().split()
+        for a, b in zip(tk, tk[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+    assert sum(got.values()) == sum(max(0, len(t.split()) - 1) for t in texts)
+
+
+@given(texts=st.lists(_doc.filter(lambda t: t.strip()), min_size=2, max_size=8))
+@SETTINGS
+def test_bm25_partitioning_invariant(spark, texts):
+    """Scores/ranking are a pure function of the corpus multiset — invariant
+    to row order and partitioning."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import bm25_topk
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    a = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(7)
+    b = spark.createDataFrame(rows[::-1], ["doc_id", "text"]).coalesce(1)
+    terms = ["join", "zz9"]
+    ra = sorted(map(tuple, bm25_topk(a, terms, k=20).collect()))
+    rb = sorted(map(tuple, bm25_topk(b, terms, k=20).collect()))
+    assert ra == rb
+
+
+@given(
+    n=st.integers(10, 60),
+    frac_lo=st.sampled_from([0.0, 0.2, 0.5]),
+)
+@SETTINGS
+def test_weighted_sample_monotone_in_weight(spark, n, frac_lo):
+    """Raising every weight can only ADD rows (bucket predicate is monotone
+    in the bound) — the property that makes weighted mixes tunable without
+    resampling churn."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        weighted_hash_sample,
+    )
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    lo = {r.doc_id for r in weighted_hash_sample(df, F.lit(frac_lo)).collect()}
+    hi = {r.doc_id for r in weighted_hash_sample(df, F.lit(frac_lo + 0.4)).collect()}
+    assert lo <= hi
