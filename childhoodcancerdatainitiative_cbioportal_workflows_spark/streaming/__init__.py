@@ -14,3 +14,8 @@ from .events import (  # noqa: F401
 )
 from .joins import interval_join_streams  # noqa: F401
 from .stateful import running_user_totals  # noqa: F401
+from .corpus import (  # noqa: F401
+    DOCS_SCHEMA,
+    incremental_dedup_stream,
+    read_document_stream,
+)

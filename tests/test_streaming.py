@@ -680,3 +680,62 @@ def test_parse_kafka_events_streaming_composes(spark, tmp_path):
     finally:
         q.stop()
     assert len(got) == 1 and got[0].event_type == "click" and got[0].n == 1
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Continuous corpus ingest: seen-store subtraction (stream-static anti
+    join) AND cross-micro-batch fingerprint dedup within the watermark."""
+    import json as _json
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        incremental_dedup_stream,
+        read_document_stream,
+    )
+
+    seen = spark.createDataFrame(
+        [("old doc content",)], ["text"]
+    ).select(F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"))
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    drop("b1.json", [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z", "text": "old  DOC content"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z", "text": "fresh one"},
+    ])
+    docs = read_document_stream(spark, src)
+    out = incremental_dedup_stream(docs, seen, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_inc"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("select * from inc_dedup").collect()}
+        assert got == {2}, got  # doc 1 normalizes onto the seen store
+        drop("b2.json", [
+            {"doc_id": 3, "ts": "2024-01-01T00:05:00Z", "text": "FRESH  one"},
+            {"doc_id": 4, "ts": "2024-01-01T00:06:00Z", "text": "another new"},
+        ])
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("select * from inc_dedup").collect()}
+        # doc 3 dup-matches doc 2's fingerprint ACROSS micro-batches
+        assert got == {2, 4}, got
+    finally:
+        q.stop()
+
+    # same function, batch frame: one code path for backfill
+    batch = spark.createDataFrame(
+        [(9, None, "old doc content"), (10, None, "brand new")],
+        "doc_id long, ts timestamp, text string",
+    )
+    got = {r.doc_id for r in incremental_dedup_stream(batch, seen).collect()}
+    assert got == {10}
