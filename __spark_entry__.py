@@ -2540,6 +2540,51 @@ WHERE p.mean_logprob >= -3.41
 """
 
 
+def q_tfidf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF featurization (llm/relevance.tfidf_features) over the
+    df-bounded vocab (min_df=5, max_df=50%): map-side-combined tf counts,
+    broadcast vocab probe, fixed-point smooth idf — one exact product per
+    weight."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        build_vocab,
+        tfidf_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_features(d, build_vocab(d, min_df=5, max_df_frac=0.5))
+
+
+SQL_TFIDF_FEATURES = """
+WITH toksd AS (
+  SELECT DISTINCT doc_id AS doc, t.token
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS t(token)
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM toksd GROUP BY token
+), vocab AS (
+  SELECT token, df,
+         CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token) AS BIGINT) AS vocab_id
+  FROM dfreq, n
+  WHERE df >= 5 AND df <= n.n_docs * 0.5
+), tok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+         AS t(token)
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tf.doc_id, v.vocab_id AS token_id, tf.tf,
+       CAST(tf.tf AS DOUBLE) *
+       (CAST(CAST(floor(ln(CAST(1 + nn.n_docs AS DOUBLE)
+                            / CAST(1 + v.df AS DOUBLE)) * 1000000) AS BIGINT) AS DOUBLE)
+        / 1000000.0) AS tfidf
+FROM tf JOIN vocab v USING (token), nn
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health dashboard: doc/token volume, mean quality
     (exact — quality is 4-decimal fixed point, summed through DECIMAL),
@@ -2836,6 +2881,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bigram_top": (q_bigram_top, SQL_BIGRAM_TOP),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "corpus_report": (q_corpus_report, SQL_CORPUS_REPORT),
+    "tfidf_features": (q_tfidf_features, SQL_TFIDF_FEATURES),
     "quality_weighted_sample": (q_quality_weighted_sample, SQL_QUALITY_WEIGHTED_SAMPLE),
     "vocab_build": (q_vocab_build, SQL_VOCAB_BUILD),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),

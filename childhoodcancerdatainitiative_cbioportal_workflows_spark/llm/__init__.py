@@ -23,7 +23,11 @@ from .clustering import (  # noqa: F401
     cluster_profile,
     semantic_dup_pairs,
 )
-from .relevance import bm25_topk, unigram_logprob_profile  # noqa: F401
+from .relevance import (  # noqa: F401
+    bm25_topk,
+    tfidf_features,
+    unigram_logprob_profile,
+)
 from .sampling import (  # noqa: F401
     bigram_counts,
     build_vocab,

@@ -147,6 +147,47 @@ def bm25_topk(
     )
 
 
+def tfidf_features(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF document features: (doc_id, token_id, tf, tfidf) for
+    every in-vocabulary token occurrence — the standard featurization for
+    classical retrieval/classification over the corpus.
+
+    ``vocab`` is a :func:`..llm.sampling.build_vocab` frame
+    (token, df, vocab_id); idf uses the smooth form
+    ``ln((1 + N) / (1 + df))`` floor-scaled to 1e-6 fixed point, so the
+    weight is ONE exact product ``tf * (idf6 / 1e6)`` (determinism
+    contract of the module docstring).
+
+    Scale: per-(doc, token) counts aggregate with map-side combine (a
+    document is co-located in its input split → the exchange carries
+    ~distinct-tokens-per-doc, not token occurrences); the vocab and the
+    1-row corpus count ride broadcasts. OOV tokens drop (inner probe) —
+    encode_tokens is the face that keeps them."""
+    tok = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tf.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(n_docs))
+    idf6 = _scaled_ln(
+        (F.lit(1) + F.col("n_docs")).cast("double")
+        / (F.lit(1) + F.col("df")).cast("double")
+    )
+    return joined.select(
+        "doc_id",
+        F.col("vocab_id").cast("bigint").alias("token_id"),
+        "tf",
+        (F.col("tf").cast("double") * (idf6.cast("double") / F.lit(float(LOG_SCALE))))
+        .alias("tfidf"),
+    )
+
+
 def unigram_logprob_profile(
     docs: DataFrame,
     text_col: str = "text",

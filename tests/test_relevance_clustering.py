@@ -100,6 +100,34 @@ def test_unigram_logprob_matches_reference(spark):
     assert rows[2].mean_logprob < rows[0].mean_logprob
 
 
+def test_tfidf_matches_reference(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        build_vocab,
+        tfidf_features,
+    )
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    vocab = build_vocab(df, min_df=2, max_df_frac=1.0)
+    vmap = {r.token: (r.vocab_id, r.df) for r in vocab.collect()}
+    got = {
+        (r.doc_id, r.token_id): (r.tf, r.tfidf)
+        for r in tfidf_features(df, vocab).collect()
+    }
+    toks = {i: t.lower().split() for i, t in DOCS}
+    n = len(DOCS)
+    want = {}
+    for i, tk in toks.items():
+        for t in set(tk):
+            if t not in vmap:
+                continue
+            vid, dfr = vmap[t]
+            idf6 = math.floor(math.log((1 + n) / (1 + dfr)) * 1e6)
+            want[(i, vid)] = (tk.count(t), tk.count(t) * (idf6 / 1e6))
+    assert got == want
+    # every weight positive (smooth idf) and OOV tokens absent
+    assert all(w > 0 for _, w in got.values())
+
+
 GOPHER_DOCS = [
     (0, " ".join(["word"] * 30) + " the is"),     # passes everything
     (1, "tiny doc"),                              # too few words
