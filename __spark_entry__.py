@@ -2845,6 +2845,495 @@ FROM fresh WHERE fp NOT IN (SELECT fp FROM seen)
 """
 
 
+# ------------------------------------------- round-5b: time-series + curation
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.asof_join): each purchase event picks up
+    the most recent click at-or-before it for the same user. Single
+    shuffle on user_id via union + running last(ignorenulls) — no range
+    explosion (the naive l.ts >= r.ts join is O(|l|x|r|) per user).
+    Tie rule pinned: latest event_id wins among equal-ts clicks."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        asof_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = e.filter(F.col("event_type") == "click")
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        ts="ts",
+        right_cols=["value"],
+        tiebreak="event_id",
+    )
+
+
+SQL_ASOF_ENRICH = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       (SELECT r.ts FROM events r
+         WHERE r.event_type = 'click' AND r.user_id = l.user_id
+           AND r.ts <= l.ts
+         ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_ts,
+       (SELECT r.value FROM events r
+         WHERE r.event_type = 'click' AND r.user_id = l.user_id
+           AND r.ts <= l.ts
+         ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_value
+FROM events l
+WHERE l.event_type = 'purchase'
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group (operators/dedup.keep_topk, the k>1 form of the
+    reference's sort+drop_duplicates window at cnv.py:372): top 3 orders
+    per customer by price. One shuffle; row_number under a total order."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        keep_topk,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return keep_topk(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_col="rnk",
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (corpus length profiling
+    per source): single mergeable aggregate, no second pass. Values are
+    rounded to 4 decimals in both engines (interpolation arithmetic
+    order is engine-internal)."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars").cast("double"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)
+    ))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct.alias("_p"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.element_at("_p", 1), 4).alias("p25"),
+            F.round(F.element_at("_p", 2), 4).alias("p50"),
+            F.round(F.element_at("_p", 3), 4).alias("p75"),
+            F.round(F.element_at("_p", 4), 4).alias("p95"),
+        )
+    )
+
+
+SQL_PERCENTILE_PROFILE = """
+WITH q AS (
+  SELECT source, COUNT(*) AS n_docs,
+         quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75, 0.95]) AS p
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       ROUND(p[1], 4) AS p25, ROUND(p[2], 4) AS p50,
+       ROUND(p[3], 4) AS p75, ROUND(p[4], 4) AS p95
+FROM q
+"""
+
+
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frames (rowsBetween): per-customer running spend and
+    3-order moving average. Sums ride DECIMAL so the prefix/frame
+    aggregation is order-exact in both engines (DuckDB's windowed SUM
+    uses a segment tree — double addition order differs)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(dec).over(run).cast("double").alias("cum_spend"),
+        (F.sum(dec).over(last3).cast("double")
+         / F.count(F.lit(1)).over(last3)).alias("ma3"),
+    )
+
+
+SQL_RUNNING_WINDOW = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (w ROWS 2 PRECEDING) AS DOUBLE)
+         / COUNT(*) OVER (w ROWS 2 PRECEDING) AS ma3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup (functions/text.normalize_text):
+    lowercase + non-alphanumeric collapse before fingerprinting, catching
+    re-punctuated near-copies byte-exact dedup misses. One shuffle on the
+    16-byte fingerprint, same as dedup_exact."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+        normalize_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5(normalize_text(F.col("text"))).alias("fp"),
+            "doc_id",
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_NORMALIZE_DEDUP = r"""
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection over duplicate clusters: the
+    near-dup components (dedup_components over n-gram Jaccard pairs)
+    joined back to the corpus, one representative per cluster by
+    (max n_chars, min doc_id) — the keep/drop decision that turns a
+    dup graph into a dedup action list. The argmax is a map-side
+    combinable max_by, not a window over the full corpus."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    comp = dedup_components(ngram_jaccard_pairs(d, threshold=0.5))
+    m = comp.join(
+        d.select(F.col("doc_id").alias("id"), "n_chars"), on="id", how="inner"
+    )
+    canon = m.groupBy("component").agg(
+        F.max_by(
+            "id", F.struct(F.col("n_chars"), (-F.col("id")).alias("neg_id"))
+        ).alias("canonical_id")
+    )
+    return (
+        m.join(canon, on="component")
+        .select(
+            "id",
+            "component",
+            "canonical_id",
+            (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+SQL_DEDUP_CANONICAL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), walk AS (
+  SELECT s AS id, s AS comp FROM e
+  UNION
+  SELECT e.s AS id, walk.comp FROM e JOIN walk ON e.d = walk.id
+), comp AS (
+  SELECT id, MIN(comp) AS component FROM walk GROUP BY id
+), m AS (
+  SELECT c.id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+), ranked AS (
+  SELECT id, component,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, id ASC) AS rn
+  FROM m
+), canon AS (
+  SELECT component, id AS canonical_id FROM ranked WHERE rn = 1
+)
+SELECT m.id, m.component, canon.canonical_id,
+       m.id = canon.canonical_id AS is_canonical
+FROM m JOIN canon ON m.component = canon.component
+"""
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-phase aggregation (operators/skew.salted_aggregate):
+    identical result to a plain groupBy — the oracle IS the unsalted SQL,
+    proving the salt is semantics-free. At 100 TB this is the escape
+    hatch when one grouping key holds a large share of all rows and AQE
+    can't split a single-key reducer."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        salted_aggregate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+    )
+    out = salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("qty", "sum"),
+            "sum_price": ("price", "sum"),
+            "n_rows": ("qty", "count"),
+            "max_qty": ("qty", "max"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows,
+       CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric embedding quantization (llm/quantize): 4x narrower
+    vectors for the ANN index families, plus the per-vector max
+    reconstruction-error audit. Pure per-row HOF projection — zero
+    shuffles; rounding pinned to floor(x/scale*127 + 0.5) so both
+    engines bit-match."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        quantize_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e)
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale, embedding,
+         list_transform(embedding, x -> CAST(
+             CASE WHEN scale = 0 THEN 0
+                  ELSE GREATEST(-127.0, LEAST(127.0,
+                       FLOOR(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)))
+             END AS INT)) AS qvec
+  FROM s
+)
+SELECT vec_id, scale, qvec,
+       list_max(list_transform(range(1, len(embedding) + 1),
+           i -> abs(CAST(embedding[i] AS DOUBLE)
+                    - qvec[i] * scale / 127.0))) AS max_err
+FROM q
+"""
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram containment pairs (llm/dedup.containment_pairs):
+    |A∩B| / min(|A|,|B|) — surfaces subset-duplicates (doc embedded in a
+    longer doc) that union-normalized Jaccard under-scores. Same bounded
+    shingle self-join plan as ngram_jaccard."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        containment_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return containment_pairs(d, n=3, threshold=0.8)
+
+
+SQL_CONTAINMENT_DEDUP = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(n_common / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 4) >= 0.8
+"""
+
+
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional prefix-filtered Jaccard join (llm/dedup.
+    ngram_jaccard_pairs_prefix, ppjoin-family pruning): IDENTICAL result
+    to ngram_jaccard — same oracle — but candidates join only on each
+    document's rarest ``m - ceil(t*m) + 1`` shingles, so the hot
+    stopword keys never reach a reducer. This is the 100-TB plan for the
+    exact-Jaccard family."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs_prefix(d, n=3, threshold=0.5)
+
+
+def q_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group (corpus length distribution per
+    source): a single map-side-combinable groupBy on (source, bucket) —
+    the profiling face a 100 TB curation run reports per shard."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(19), F.floor(F.col("n_chars") / 200.0)).cast("int")
+    return (
+        d.groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_HISTOGRAM_PROFILE = """
+SELECT source,
+       CAST(LEAST(19, FLOOR(n_chars / 200.0)) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis: per user, how many 'view' events converted
+    to a 'purchase' within 1 hour. NOT a range self-join (O(views x
+    purchases) per user) — one shuffle on user_id and a forward-looking
+    min-over-frame window that finds each view's next purchase."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    views = e.withColumn("_np", next_purchase).filter(
+        F.col("event_type") == "view"
+    )
+    # ts is TIMESTAMP_NTZ (nanos parquet); NTZ won't cast to long directly
+    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    converted = (
+        F.col("_np").isNotNull()
+        & (secs(F.col("_np")) - secs(F.col("ts")) <= 3600)
+    ).cast("int")
+    return views.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(converted).cast("long").alias("n_converted"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('view', 'purchase')
+), f AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM e
+)
+SELECT user_id,
+       COUNT(*) AS n_views,
+       CAST(SUM(CASE WHEN np IS NOT NULL
+                      AND epoch(np) - epoch(ts) <= 3600
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM f
+WHERE event_type = 'view'
+GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -2915,6 +3404,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "distinct_agg": (q_distinct_agg, SQL_DISTINCT_AGG),
     "rollup_agg": (q_rollup_agg, SQL_ROLLUP_AGG),
+    "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "percentile_profile": (q_percentile_profile, SQL_PERCENTILE_PROFILE),
+    "running_window": (q_running_window, SQL_RUNNING_WINDOW),
+    "normalize_dedup": (q_normalize_dedup, SQL_NORMALIZE_DEDUP),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
+    "containment_dedup": (q_containment_dedup, SQL_CONTAINMENT_DEDUP),
+    "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD),
+    "histogram_profile": (q_histogram_profile, SQL_HISTOGRAM_PROFILE),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
 }
 
 

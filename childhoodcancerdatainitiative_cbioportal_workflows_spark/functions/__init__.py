@@ -18,6 +18,7 @@ from .text import (  # noqa: F401
     lang_id,
     quality_score,
     fingerprint,
+    normalize_text,
     char_shingles,
     word_shingles,
 )

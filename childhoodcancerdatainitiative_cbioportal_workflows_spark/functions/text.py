@@ -315,3 +315,12 @@ def pii_redact(text: Column) -> Column:
     for _, pat, rep in PII_PATTERNS:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for normalization-robust exact dedup: lowercase,
+    every non-alphanumeric run collapsed to one space, trimmed. Catches
+    the re-encoded/re-punctuated near-copies that byte-exact
+    ``fingerprint`` misses while staying a pure per-row projection
+    (no shuffle; the dedup groupBy downstream is the only exchange)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))

@@ -13,6 +13,8 @@ from .dedup import (  # noqa: F401
     simhash_dedup_pairs,
     simhash_dedup_pairs_md5,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+    containment_pairs,
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     incremental_dedup,
@@ -54,4 +56,10 @@ from .multimodal import (  # noqa: F401
     decode_and_featurize,
     resize_images,
     sample_frames,
+)
+from .quantize import (  # noqa: F401
+    dequantize_vec,
+    max_abs,
+    quantize_embeddings,
+    quantize_vec,
 )

@@ -782,6 +782,153 @@ def ngram_jaccard_pairs(
     return _with_caches(result, [hot, sh]) if max_doc_freq is not None else result
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram *containment* pairs: C(A,B) = |A ∩ B| / min(|A|,|B|).
+
+    Jaccard under-scores subset duplicates (a document embedded verbatim
+    inside a much longer one has tiny union-normalized similarity);
+    containment normalizes by the smaller set, so quote-expansions and
+    boilerplate-wrapped copies surface. Same shingle self-join plan as
+    :func:`ngram_jaccard_pairs` (one explode, one shingle-keyed join,
+    bounded per-key fan-out with the optional stoplist)."""
+    sh = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n=n))).alias(
+            "shingle"
+        ),
+    )
+    caches: list[DataFrame] = []
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+            .persist()
+        )
+        hot.count()
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").select("id", "shingle")
+        sh = sh.persist()
+        sh.count()
+        caches = [hot, sh]
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.toDF("id_a", "shingle")
+    b = sh.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("id_a", "n_a")
+    sb = sizes.toDF("id_b", "n_b")
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return _with_caches(out, caches) if caches else out
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via *positional prefix filtering* — the
+    ppjoin-family candidate pruning (Xiao et al., "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW'08; public algorithm).
+
+    Identical output to :func:`ngram_jaccard_pairs`, different physical
+    plan: order every document's shingles by global rarity (doc-freq asc,
+    shingle asc — one canonical total order corpus-wide); a pair with
+    J >= t MUST share a shingle inside each side's first
+    ``m - ceil(t*m) + 1`` shingles, so only those prefixes enter the
+    self-join. Prefix shingles are by construction the RAREST, so the
+    per-key fan-out of the candidate join collapses (the hot stopword
+    shingles that dominate the naive join never leave the suffix).
+    Candidates are verified with an in-row ``array_intersect`` over the
+    full (sorted) shingle arrays — no second corpus-wide shuffle.
+
+    Scale shape: shuffle(shingle for doc-freq) + shuffle(id for arrays) +
+    candidate join keyed on rare shingles + size filter
+    ``min >= ceil(t * max)`` before dedup. At 100 TB this is the plan
+    that survives; the naive shingle join's hot keys do not."""
+    sh = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n=n))).alias(
+            "shingle"
+        ),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle")
+    # one array per doc, ordered by (doc-freq asc, shingle asc): struct sort
+    toks = (
+        ranked.groupBy("id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+                ),
+                lambda s: s["shingle"],
+            ).alias("toks")
+        )
+        .withColumn("m", F.size("toks"))
+        .withColumn(
+            "_plen", F.col("m") - F.ceil(F.lit(threshold) * F.col("m")) + 1
+        )
+    )
+    toks = toks.persist()
+    toks.count()  # three consumers below; eager so the explode runs once
+    pref = toks.select(
+        "id", "m", F.explode(F.slice("toks", 1, F.col("_plen"))).alias("shingle")
+    )
+    pa = pref.toDF("id_a", "m_a", "shingle")
+    pb = pref.toDF("id_b", "m_b", "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces min(|A|,|B|) >= ceil(t * max(|A|,|B|))
+        .filter(
+            F.least("m_a", "m_b") >= F.ceil(F.lit(threshold) * F.greatest("m_a", "m_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("_ta"), F.col("m").alias("n_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("_tb"), F.col("m").alias("n_b"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return _with_caches(verified, [toks])
+
+
 def _driver_union_find(rows, spark) -> DataFrame:
     """Union-find with path compression, min id as root — identical output
     to the distributed propagation, without per-round Spark jobs."""

@@ -33,6 +33,26 @@ def keep_first(
     )
 
 
+def keep_topk(
+    df: DataFrame,
+    subset: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group (the k>1 generalization of :func:`keep_first`).
+
+    One shuffle on ``subset``; ``row_number`` (not ``rank``) so exactly k
+    rows survive per group under a total ``order_by`` — deterministic under
+    any partitioning. When ``rank_col`` is given the 1-based position is
+    kept in the output."""
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    out = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    if rank_col is None:
+        return out.drop("_rn")
+    return out.withColumnRenamed("_rn", rank_col)
+
+
 def dedup_with_preference(
     df: DataFrame,
     keys: Sequence[str],

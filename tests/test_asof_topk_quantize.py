@@ -1,0 +1,235 @@
+"""Unit tests for the round-5b operator family: as-of join semantics
+(inclusive/strict/tolerance/tie/null-payload), keep_topk, embedding
+quantization bounds, and normalize_text dedup behavior."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+    asof_join,
+    keep_topk,
+)
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+    quantize_embeddings,
+)
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+    normalize_text,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00"), 100.0),
+            (2, "u1", _ts("2024-01-01T12:00:00"), 200.0),
+            (3, "u2", _ts("2024-01-01T11:00:00"), 300.0),
+            (4, "u3", _ts("2024-01-01T09:00:00"), 400.0),  # no right rows
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u1", _ts("2024-01-01T09:30:00"), 1.0),
+            (11, "u1", _ts("2024-01-01T10:00:00"), 2.0),  # exact-match tie w/ left 1
+            (12, "u1", _ts("2024-01-01T10:00:00"), 3.0),  # same ts, higher id wins
+            (13, "u1", _ts("2024-01-01T11:30:00"), 4.0),
+            (14, "u2", _ts("2024-01-01T10:59:59"), 5.0),
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    return left, right
+
+
+def _collect(df):
+    return {r["event_id"]: r for r in df.collect()}
+
+
+def test_asof_inclusive_backward(asof_frames):
+    left, right = asof_frames
+    out = _collect(
+        asof_join(left, right, ["user_id"], "ts", ["value"], tiebreak="event_id")
+    )
+    # exact match allowed; among the two ts=10:00 right rows, event_id 12 wins
+    assert out[1]["asof_value"] == 3.0
+    assert out[1]["asof_ts"] == _ts("2024-01-01T10:00:00")
+    # most recent at-or-before 12:00 is 11:30
+    assert out[2]["asof_value"] == 4.0
+    assert out[3]["asof_value"] == 5.0
+    # no right rows for u3 -> nulls
+    assert out[4]["asof_value"] is None and out[4]["asof_ts"] is None
+
+
+def test_asof_strict_excludes_exact(asof_frames):
+    left, right = asof_frames
+    out = _collect(
+        asof_join(
+            left,
+            right,
+            ["user_id"],
+            "ts",
+            ["value"],
+            tiebreak="event_id",
+            allow_exact_matches=False,
+        )
+    )
+    # ts=10:00 rights no longer visible to left@10:00 -> falls back to 09:30
+    assert out[1]["asof_value"] == 1.0
+
+
+def test_asof_tolerance(asof_frames):
+    left, right = asof_frames
+    out = _collect(
+        asof_join(
+            left,
+            right,
+            ["user_id"],
+            "ts",
+            ["value"],
+            tiebreak="event_id",
+            tolerance_seconds=600,
+        )
+    )
+    # left 2 @12:00 matched 11:30 (1800s ago) -> outside 600s tolerance
+    assert out[2]["asof_value"] is None
+    # left 3 @11:00 matched 10:59:59 (1s) -> kept
+    assert out[3]["asof_value"] == 5.0
+
+
+def test_asof_null_payload_does_not_mix_rows(spark):
+    """A right row with a NULL payload field must still win (struct carry);
+    per-column last(ignorenulls) would wrongly surface the older row's
+    value next to the newer row's ts."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T12:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01T10:00:00"), 7.0, 20),
+            ("u", _ts("2024-01-01T11:00:00"), None, 21),
+        ],
+        "user_id string, ts timestamp, value double, event_id long",
+    )
+    row = asof_join(
+        left, right, ["user_id"], "ts", ["value"], tiebreak="event_id"
+    ).collect()[0]
+    assert row["asof_ts"] == _ts("2024-01-01T11:00:00")
+    assert row["asof_value"] is None  # from the 11:00 row, not 10:00's 7.0
+
+
+def test_asof_deterministic_under_repartition(asof_frames):
+    left, right = asof_frames
+    a = asof_join(left, right, ["user_id"], "ts", ["value"], tiebreak="event_id")
+    b = asof_join(
+        left.repartition(7),
+        right.repartition(5),
+        ["user_id"],
+        "ts",
+        ["value"],
+        tiebreak="event_id",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_keep_topk(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 5)) for i in range(20)] + [("b", 99, 9.0)],
+        "grp string, id long, score double",
+    )
+    out = keep_topk(
+        df, ["grp"], [F.col("score").desc(), F.col("id").asc()], k=3,
+        rank_col="rnk",
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append((r["rnk"], r["id"], r["score"]))
+    assert len(by_grp["a"]) == 3
+    # score 4.0 rows are ids 4,9,14,19 -> lowest ids win
+    assert sorted(by_grp["a"]) == [(1, 4, 4.0), (2, 9, 4.0), (3, 14, 4.0)]
+    assert by_grp["b"] == [(1, 99, 9.0)]
+
+
+def test_quantize_roundtrip_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, codes 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    r1 = rows[1]
+    assert r1["scale"] == 1.0
+    assert r1["qvec"] == [64, -127, 32, 0]  # floor(0.5*127+0.5)=64
+    # reconstruction error bounded by half a code step
+    assert r1["max_err"] <= r1["scale"] / 127.0 * 0.5 + 1e-12
+    r2 = rows[2]
+    assert r2["scale"] == 0.0 and r2["qvec"] == [0, 0, 0, 0] and r2["max_err"] == 0.0
+
+
+def test_quantize_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0])], "vec_id long, embedding array<float>"
+    )
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_normalize_text_collapses_punct_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello,  WORLD!!", 1), ("hello world", 2), ("hello-world.", 3)],
+        "text string, doc_id long",
+    )
+    out = (
+        df.select(F.md5(normalize_text(F.col("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 3
+
+
+def test_prefix_filter_equivalent_to_naive_jaccard(spark):
+    """ppjoin prefix filtering must be a pure physical optimization:
+    identical (id_a, id_b, jaccard) output to the naive shingle join."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+        load_table,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    naive = sorted(map(tuple, ngram_jaccard_pairs(d, threshold=0.5).collect()))
+    pref = sorted(
+        map(tuple, ngram_jaccard_pairs_prefix(d, threshold=0.5).collect())
+    )
+    assert naive == pref and len(naive) > 0
+
+
+def test_containment_catches_subset_duplicate(spark):
+    """A short doc fully embedded in a long one: low Jaccard, containment 1."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # union-normalized similarity misses it
