@@ -3334,6 +3334,106 @@ GROUP BY user_id
 """
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly LOCF gap-fill (operators/resample.resample_locf): each
+    user's irregular events regularized onto an hourly grid, last value
+    carried forward. Grid generated per key from its own bounds (narrow
+    sequence+explode), one shuffle total."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        resample_locf,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return resample_locf(
+        e, ["user_id"], "ts", "value", step="1 hour", unit="hour",
+        tiebreak="event_id",
+    )
+
+
+SQL_RESAMPLE_LOCF = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+         date_trunc('hour', MAX(ts)) AS t1
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS tick
+  FROM b
+), u AS (
+  SELECT user_id, ts AS tick, 0 AS side, value, event_id FROM events
+  UNION ALL
+  SELECT user_id, tick, 1 AS side, NULL AS value, NULL AS event_id FROM g
+), c AS (
+  SELECT user_id, tick, side,
+         LAST_VALUE(value IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY tick, side, event_id NULLS FIRST
+                 ROWS UNBOUNDED PRECEDING) AS locf
+  FROM u
+)
+SELECT user_id, tick AS bucket, locf AS locf_value
+FROM c WHERE side = 1
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort triangle: users grouped by first-activity
+    week, distinct-user counts per week offset. Two shuffles (first-seen
+    agg + cohort rollup), both map-side combinable."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                      CAST(a.week AS DATE)) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sparse sign projection (llm/projection):
+    64-dim embeddings onto 8 random +/-1 planes, fixed-point bigint sums
+    so the result is exact and order-free in any engine. Zero shuffles —
+    the matrix is a plan literal."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        random_projection,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return random_projection(e, k=8, dim=64, seed=42)
+
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (  # noqa: E402
+    projection_sql as _projection_sql,
+)
+
+SQL_RANDOM_PROJECTION = _projection_sql(k=8, dim=64, seed=42)
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3416,6 +3516,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD),
     "histogram_profile": (q_histogram_profile, SQL_HISTOGRAM_PROFILE),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "resample_locf": (q_resample_locf, SQL_RESAMPLE_LOCF),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
 }
 
 

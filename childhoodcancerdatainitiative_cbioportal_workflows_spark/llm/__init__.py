@@ -63,3 +63,4 @@ from .quantize import (  # noqa: F401
     quantize_embeddings,
     quantize_vec,
 )
+from .projection import projection_matrix, projection_sql, random_projection  # noqa: F401

@@ -64,12 +64,21 @@ def quantize_embeddings(
     ``err_col`` (optional) carries the max absolute reconstruction error —
     the quality audit a real pipeline stores next to the index. Bounded by
     scale/254 for in-range values, so it doubles as a self-check."""
-    scale = max_abs(F.col(vec_col))
-    out = df.select(
+    # STAGE the scale in its own projection: HOF lambda arguments are
+    # inlined, so passing the array_max expression directly into
+    # quantize_vec would recompute it once PER ELEMENT (a |vec|x blowup,
+    # measured 64x here). As a staged column it is computed once per row
+    # and referenced by the lambda.
+    staged = df.select(
         F.col(id_col),
-        scale.alias(scale_col),
-        quantize_vec(F.col(vec_col), scale).alias(out_col),
         F.col(vec_col).alias("_v"),
+        max_abs(F.col(vec_col)).alias(scale_col),
+    )
+    out = staged.select(
+        F.col(id_col),
+        F.col(scale_col),
+        quantize_vec(F.col("_v"), F.col(scale_col)).alias(out_col),
+        F.col("_v"),
     )
     if err_col is not None:
         recon = dequantize_vec(F.col(out_col), F.col(scale_col))

@@ -6,3 +6,4 @@ from .reconcile import reconcile_counts  # noqa: F401
 from .sketches import approx_profile  # noqa: F401
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .asof import asof_join  # noqa: F401
+from .resample import resample_locf  # noqa: F401

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Scale-stress probe for the round-5b operator family: as-of join, LOCF
+resampling, prefix-filtered vs naive Jaccard, containment, random
+projection, int8 quantization. Protocol matches scale_experiment.py:
+seeded synthetic data, pre-partitioned input, count-forced, alpha in
+t ~ n^alpha from the two endpoint sizes.
+
+    python scripts/scale_round5b.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_experiment import synth_documents, synth_embeddings  # noqa: E402
+
+
+def synth_events(n: int, seed: int) -> "pd.DataFrame":
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    users = max(10, n // 67)
+    base = np.datetime64("2024-01-01T00:00:00")
+    ts = base + rng.integers(0, 30 * 24 * 3600, n).astype("timedelta64[s]")
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, users, n).astype(np.int64),
+            "event_type": rng.choice(["click", "purchase", "view"], n),
+            "value": rng.uniform(0, 100, n).round(2),
+        }
+    )
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+        get_spark,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+        quantize_embeddings,
+        random_projection,
+        release_plan_caches,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        asof_join,
+        resample_locf,
+    )
+
+    spark = get_spark("scale-5b")
+    sizes = (5000, 20000)
+    results: dict[str, list[float]] = {}
+
+    def run(name, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        release_plan_caches(df)
+        dt = time.time() - t0
+        results.setdefault(name, []).append(dt)
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    for n in sizes:
+        docs = spark.createDataFrame(synth_documents(n, seed=1)).repartition(64)
+        docs.persist().count()
+        ev = spark.createDataFrame(synth_events(n, seed=2)).repartition(64)
+        ev.persist().count()
+        emb = spark.createDataFrame(synth_embeddings(n, 64, seed=3)).repartition(64)
+        emb.persist().count()
+
+        left = ev.filter(F.col("event_type") == "purchase")
+        right = ev.filter(F.col("event_type") == "click")
+        run(
+            "asof_join",
+            asof_join(left, right, ["user_id"], "ts", ["value"], tiebreak="event_id"),
+        )
+        run(
+            "resample_locf",
+            resample_locf(ev, ["user_id"], "ts", "value", tiebreak="event_id"),
+        )
+        run("jaccard_naive", ngram_jaccard_pairs(docs, threshold=0.5))
+        run("jaccard_prefix", ngram_jaccard_pairs_prefix(docs, threshold=0.5))
+        run("containment", containment_pairs(docs, threshold=0.8))
+        run("random_projection", random_projection(emb, k=8, dim=64))
+        run("quantize", quantize_embeddings(emb))
+        for c in (docs, ev, emb):
+            c.unpersist()
+
+    print("| op | sizes | times (s) | alpha |")
+    print("|---|---|---|---|")
+    for name, ts in results.items():
+        alpha = math.log(max(ts[-1], 1e-3) / max(ts[0], 1e-3)) / math.log(
+            sizes[-1] / sizes[0]
+        )
+        times = " → ".join(f"{t:.2f}" for t in ts)
+        print(f"| {name} | {' → '.join(str(s) for s in sizes)} | {times} | {alpha:.2f} |")
+
+
+if __name__ == "__main__":
+    main()
