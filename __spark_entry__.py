@@ -3434,6 +3434,111 @@ from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (  # no
 SQL_RANDOM_PROJECTION = _projection_sql(k=8, dim=64, seed=42)
 
 
+def q_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (llm/sampling.cooccurrence_counts),
+    window 2 — the word2vec/GloVe statistic: narrow per-doc pair
+    transforms (one per distance), single map-side-combined aggregation,
+    TakeOrdered top-100."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        cooccurrence_counts,
+    )
+
+    return cooccurrence_counts(
+        load_table(spark, sf_dir, "documents"), window=2, top_k=100
+    )
+
+
+SQL_COOCCURRENCE_TOP = """
+WITH d AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), p AS (
+  SELECT tk[i] AS token_a, tk[i + 1] AS token_b, 1 AS dist
+  FROM d, unnest(range(1, len(tk))) AS r(i)
+  UNION ALL
+  SELECT tk[i] AS token_a, tk[i + 2] AS token_b, 2 AS dist
+  FROM d, unnest(range(1, len(tk) - 1)) AS r(i)
+)
+SELECT token_a, token_b, CAST(dist AS INT) AS dist, COUNT(*) AS n
+FROM p GROUP BY 1, 2, 3
+ORDER BY n DESC, token_a ASC, token_b ASC, dist ASC
+LIMIT 100
+"""
+
+
+def q_trending_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly trending items: top-3 event types per hour by count —
+    grouped aggregation composed with keep_topk (the windowed-rank face
+    a streaming leaderboard materializes per trigger)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        keep_topk,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return keep_topk(
+        hourly,
+        ["hour"],
+        [F.col("n_events").desc(), F.col("event_type").asc()],
+        k=3,
+        rank_col="rnk",
+    )
+
+
+SQL_TRENDING_HOURLY = """
+SELECT hour, event_type, n_events, rnk FROM (
+  SELECT hour, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (PARTITION BY hour
+              ORDER BY n_events DESC, event_type ASC) AS INT) AS rnk
+  FROM (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rnk <= 3
+"""
+
+
+def q_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp document lengths to each source's
+    [p05, p95] — outlier taming before length-weighted sampling. Two
+    stages: a tiny per-source percentile aggregate broadcast back over
+    the corpus; the corpus itself is touched once, narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars").cast("double"), F.array(F.lit(0.05), F.lit(0.95)))
+    stats = d.groupBy("source").agg(
+        F.round(F.element_at(pct, 1), 4).alias("p05"),
+        F.round(F.element_at(pct, 2), 4).alias("p95"),
+    )
+    return (
+        d.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+                F.col("p95"),
+            ).alias("clamped"),
+        )
+    )
+
+
+SQL_WINSORIZE_LENGTHS = """
+WITH stats AS (
+  SELECT source,
+         ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4) AS p05,
+         ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS p95
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), s.p05), s.p95) AS clamped
+FROM documents d JOIN stats s USING (source)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3519,6 +3624,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "resample_locf": (q_resample_locf, SQL_RESAMPLE_LOCF),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
+    "cooccurrence_top": (q_cooccurrence_top, SQL_COOCCURRENCE_TOP),
+    "trending_hourly": (q_trending_hourly, SQL_TRENDING_HOURLY),
+    "winsorize_lengths": (q_winsorize_lengths, SQL_WINSORIZE_LENGTHS),
 }
 
 

@@ -32,6 +32,7 @@ from .relevance import (  # noqa: F401
 )
 from .sampling import (  # noqa: F401
     bigram_counts,
+    cooccurrence_counts,
     build_vocab,
     chunk_documents,
     dataset_split,

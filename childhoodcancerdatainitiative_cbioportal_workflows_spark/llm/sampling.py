@@ -116,6 +116,64 @@ def bigram_counts(
     return out
 
 
+def cooccurrence_counts(
+    df: DataFrame,
+    window: int = 2,
+    top_k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts (word2vec/GloVe statistic): ordered
+    (center, context) pairs for every context within ``window`` tokens to
+    the RIGHT of the center, with the skip distance. The symmetric count
+    is recoverable by summing both orientations, so only one direction is
+    emitted (half the explode volume).
+
+    Scale: generalizes :func:`bigram_counts` — per-document pair lists
+    are narrow ``transform``s over a staged token array (one per
+    distance, concatenated), no self-join and no per-token window; the
+    single aggregation's map-side combine bounds the exchange by the
+    distinct pair vocabulary, never corpus token count."""
+    from ..core.session import spread
+    from ..functions.text import ws_tokens
+
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    staged = spread(df).select(toks.alias("_tk"))
+    # slice+zip, NOT element_at over a sequence: pairs at distance d are
+    # zip(toks[0..m-d), toks[d..m)); greatest(0, m-d) makes short docs an
+    # empty slice instead of an invalid index
+    def _pair_fn(d):
+        def fn(a, b):
+            return F.struct(
+                a.alias("token_a"), b.alias("token_b"), F.lit(d).alias("dist")
+            )
+
+        return fn
+
+    per_dist = []
+    for d in range(1, window + 1):
+        m = F.greatest(F.lit(0), F.size(F.col("_tk")) - F.lit(d))
+        pairs = F.zip_with(
+            F.slice(F.col("_tk"), F.lit(1), m),
+            F.slice(F.col("_tk"), F.lit(d + 1), m),
+            _pair_fn(d),
+        )
+        per_dist.append(pairs)
+    out = (
+        staged.select(F.explode(F.concat(*per_dist)).alias("p"))
+        .select("p.token_a", "p.token_b", "p.dist")
+        .groupBy("token_a", "token_b", "dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("n").desc(),
+            F.col("token_a").asc(),
+            F.col("token_b").asc(),
+            F.col("dist").asc(),
+        ).limit(top_k)
+    return out
+
+
 def weighted_hash_sample(
     df: DataFrame, weight: Column, key_col: str = "doc_id"
 ) -> DataFrame:

@@ -233,3 +233,64 @@ def test_containment_catches_subset_duplicate(spark):
     assert len(cont) == 1 and cont[0]["containment"] == 1.0
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []  # union-normalized similarity misses it
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Independent oracle: pandas merge_asof (by=key, backward) on random
+    data must agree with the Spark operator wherever the match is
+    unambiguous (pandas leaves equal-ts right ties unspecified, so right
+    timestamps are made unique per key here)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = np.datetime64("2024-01-01T00:00:00")
+    lts = base + rng.choice(100_000, 300, replace=False).astype("timedelta64[s]")
+    rts = base + rng.choice(100_000, 200, replace=False).astype("timedelta64[s]")
+    lp = pd.DataFrame(
+        {
+            "event_id": np.arange(300),
+            "user_id": rng.integers(0, 5, 300),
+            "ts": lts,
+            "value": rng.uniform(0, 10, 300).round(3),
+        }
+    ).sort_values("ts")
+    rp = pd.DataFrame(
+        {
+            "event_id": np.arange(1000, 1200),
+            "user_id": rng.integers(0, 5, 200),
+            "ts": rts,
+            "value": rng.uniform(0, 10, 200).round(3),
+        }
+    ).sort_values("ts")
+    # per-key-unique right timestamps: drop dup (user_id, ts)
+    rp = rp.drop_duplicates(["user_id", "ts"])
+
+    expected = pd.merge_asof(
+        lp,
+        rp[["user_id", "ts", "value"]].rename(
+            columns={"ts": "asof_ts", "value": "asof_value"}
+        ),
+        left_on="ts",
+        right_on="asof_ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("event_id")
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            ["user_id"],
+            "ts",
+            ["value"],
+            tiebreak="event_id",
+        )
+        .toPandas()
+        .sort_values("event_id")
+    )
+    for col in ("asof_ts", "asof_value"):
+        g, e = got[col].to_numpy(), expected[col].to_numpy()
+        both_na = pd.isna(got[col]).to_numpy() & pd.isna(expected[col]).to_numpy()
+        assert ((g == e) | both_na).all(), col

@@ -92,3 +92,25 @@ def test_projection_exact_under_repartition(spark):
     expect = tuple(sum(f * p for f, p in zip(fp, row)) for row in mat)
     got = dict((r[0], tuple(r[1:])) for r in a)[0]
     assert got == expect
+
+
+def test_cooccurrence_counts_reference(spark):
+    from collections import Counter
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        cooccurrence_counts,
+    )
+
+    texts = ["a b c a b", "b b", "x", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["token_a"], r["token_b"], r["dist"]): r["n"]
+        for r in cooccurrence_counts(df, window=2).collect()
+    }
+    ref = Counter()
+    for t in texts:
+        tk = t.split()
+        for d in (1, 2):
+            for i in range(len(tk) - d):
+                ref[(tk[i], tk[i + d], d)] += 1
+    assert got == dict(ref)
