@@ -116,23 +116,30 @@ def semantic_dup_pairs(
         .persist()
     )
     assigned.count()  # eager: lazy persisted frames recompute per plan branch
-    sides = assigned.join(vecs, "id")
+    # norms are per-ROW (staged before the self-join): computing
+    # _norm(vec) inside the pair expression would redo the 64-element
+    # fold + sqrt once per PAIR per side — pairs >> rows within clusters.
+    # Same expression over the same doubles, so the cosine value (and the
+    # oracle hash) is bit-identical.
+    sides = assigned.join(vecs, "id").withColumn("_nrm", _norm(F.col("vec")))
     a = sides.select(
         F.col("cluster_id"),
         F.col("id").alias("id_a"),
         F.col("vec").alias("vec_a"),
+        F.col("_nrm").alias("_nrm_a"),
     )
     b = sides.select(
         F.col("cluster_id"),
         F.col("id").alias("id_b"),
         F.col("vec").alias("vec_b"),
+        F.col("_nrm").alias("_nrm_b"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+    cos = dot / (F.col("_nrm_a") * F.col("_nrm_b"))
     out = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))

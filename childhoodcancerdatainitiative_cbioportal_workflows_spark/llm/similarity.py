@@ -253,10 +253,14 @@ def _ivf_topk_core(
     )
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
-    cv = v.toDF("c_id", "c_vec")
-    qv = qd.toDF("q_id", "q_vec")
+    # norms staged per ROW before the pair join: _norm inside the pair
+    # expression would re-run the fold+sqrt per scored pair per side
+    # (same lesson as the staged _vnorm above); the value — and the
+    # oracle hash — is bit-identical
+    cv = v.toDF("c_id", "c_vec").withColumn("_cnrm", _norm(F.col("c_vec")))
+    qv = qd.toDF("q_id", "q_vec").withColumn("_qnrm", _norm(F.col("q_vec")))
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+        F.col("_qnrm") * F.col("_cnrm")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
