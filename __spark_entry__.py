@@ -3539,6 +3539,205 @@ FROM documents d JOIN stats s USING (source)
 """
 
 
+# ------------------------------------------- SQL-surface relational breadth
+
+def _register_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for t in names:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape through the engine's SQL face: six-way join
+    (region→nation→customer/supplier→orders→lineitem) with the
+    local-supplier predicate, revenue per nation. Catalyst reorders the
+    joins and broadcasts every dim; the DECIMAL sum keeps the revenue
+    order-exact."""
+    _register_tables(
+        spark, sf_dir,
+        ["region", "nation", "customer", "supplier", "orders", "lineitem"],
+    )
+    return spark.sql("""
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                        AND s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'AMERICA'
+        GROUP BY n.n_name
+    """)
+
+
+SQL_TPCH_Q5_SHAPE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'AMERICA'
+GROUP BY n.n_name
+"""
+
+
+def q_tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery (TPC-H Q4 shape): orders with at least
+    one late-shipping lineitem, counted per priority. Catalyst rewrites
+    the EXISTS into a left-semi join — subquery decorrelation through the
+    SQL face."""
+    _register_tables(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """)
+
+
+SQL_TPCH_Q4_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q17_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (TPC-H Q17 shape): lineitems
+    below 40% of their part's average quantity. Decorrelates to an
+    aggregate + join; the comparison runs on exact DECIMAL averages so
+    the boundary is engine-independent."""
+    _register_tables(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql("""
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS below_avg_revenue,
+               COUNT(*) AS n_small
+        FROM lineitem l
+        WHERE CAST(l.l_quantity AS DECIMAL(18,4)) < (
+            SELECT CAST(0.4 AS DECIMAL(5,2))
+                   * AVG(CAST(l2.l_quantity AS DECIMAL(18,4)))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+    """)
+
+
+SQL_TPCH_Q17_AVG_SUBQUERY = """
+SELECT l.l_partkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS below_avg_revenue,
+       COUNT(*) AS n_small
+FROM lineitem l
+WHERE CAST(l.l_quantity AS DECIMAL(18,4)) < (
+    SELECT CAST(0.4 AS DECIMAL(5,2))
+           * AVG(CAST(l2.l_quantity AS DECIMAL(18,4)))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+"""
+
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join count distribution (TPC-H Q13 shape): orders-per-customer
+    histogram including zero-order customers — left outer + two-level
+    aggregation."""
+    _register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """)
+
+
+SQL_TPCH_Q13_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): the inverse of the pivot operator — the
+    per-flag aggregate table unpivoted to (flag, metric, value) rows.
+    Native UNPIVOT node, no explode-of-struct hand-rolling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice"), "sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "n_rows"],
+        "metric",
+        "value",
+    )
+
+
+SQL_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the cube/rollup faces): chosen
+    subtotal combinations with GROUPING() disambiguation of real nulls
+    vs subtotal rows."""
+    _register_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3627,6 +3826,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cooccurrence_top": (q_cooccurrence_top, SQL_COOCCURRENCE_TOP),
     "trending_hourly": (q_trending_hourly, SQL_TRENDING_HOURLY),
     "winsorize_lengths": (q_winsorize_lengths, SQL_WINSORIZE_LENGTHS),
+    "tpch_q5_shape": (q_tpch_q5_shape, SQL_TPCH_Q5_SHAPE),
+    "tpch_q4_exists": (q_tpch_q4_exists, SQL_TPCH_Q4_EXISTS),
+    "tpch_q17_avg_subquery": (q_tpch_q17_avg_subquery, SQL_TPCH_Q17_AVG_SUBQUERY),
+    "tpch_q13_custdist": (q_tpch_q13_custdist, SQL_TPCH_Q13_CUSTDIST),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
 }
 
 

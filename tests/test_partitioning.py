@@ -63,3 +63,24 @@ def test_multi_column_partitioning_roundtrip(spark, tmp_path):
     # pruning on the OUTER column alone also reaches the scan
     plan = back.filter(F.col("study") == "s0")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "study" in plan
+
+
+def test_sql_face_plans(spark):
+    """Plan shapes through the SQL face: Q5's dims broadcast with no
+    cartesian product; Q4's EXISTS decorrelates to a semi join; Q17's
+    correlated scalar aggregate decorrelates to an aggregate+join (no
+    per-row subquery node survives planning)."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    p5 = m.q_tpch_q5_shape(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p5 and "CartesianProduct" not in p5
+    p4 = m.q_tpch_q4_exists(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p4
+    p17 = (
+        m.q_tpch_q17_avg_subquery(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Subquery" not in p17 or "HashAggregate" in p17
