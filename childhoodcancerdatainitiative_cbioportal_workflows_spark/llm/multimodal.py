@@ -2,11 +2,14 @@
 
 Media (image/audio/video) ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side contract — schema, partition sizing, Arrow
-batch shape, UDF signature — is real and tested; the codecs are
-import-guarded: where PIL / soundfile exist the real decode path runs,
-otherwise a clearly-marked deterministic stub keeps the plan testable
-(neither library ships in this container; tests for the real path are
-skip-marked accordingly).
+batch shape, UDF signature — is real and tested. Decode paths, in order:
+
+* **dependency-free real codecs** (:mod:`.codecs`): raw PPM (P6) images
+  and PCM16 WAV audio decode with numpy alone — these branches run (and
+  are tested un-skipped) in any environment, including this container;
+* import-guarded PIL / soundfile for every other image/audio format;
+* a clearly-marked deterministic stub otherwise (ffmpeg-class video
+  decode is out of scope), which keeps the plan testable end-to-end.
 """
 
 from __future__ import annotations
@@ -94,6 +97,16 @@ def _decode_features(payload: bytes, mime: str, feat_dim: int) -> list[float]:
     payload) falls back to the deterministic stub."""
     mime = mime or ""
     try:
+        # dependency-free REAL decode paths first (always available):
+        # raw PPM images and PCM16 WAV need only numpy
+        if mime == "image/x-portable-pixmap":
+            from .codecs import ppm_gray_features
+
+            return ppm_gray_features(payload, feat_dim)
+        if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+            from .codecs import wav_pooled_features
+
+            return wav_pooled_features(payload, feat_dim)
         if _PILImage is not None and mime.startswith("image/"):
             from io import BytesIO
 
@@ -174,8 +187,16 @@ def sample_frames(
 
 
 def _resize_payload(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """PIL resize where importable; deterministic stub bytes otherwise (or
-    on a corrupt payload)."""
+    """Raw-PPM nearest-neighbor resize (dependency-free, always real);
+    PIL for other formats where importable; deterministic stub bytes
+    otherwise (or on a corrupt payload)."""
+    if payload and payload[:2] == b"P6":
+        try:
+            from .codecs import ppm_resize_nearest
+
+            return ppm_resize_nearest(payload, target_w, target_h)
+        except ValueError:
+            pass
     if _PILImage is not None:
         try:
             from io import BytesIO
