@@ -294,3 +294,106 @@ def test_asof_matches_pandas_merge_asof(spark):
         g, e = got[col].to_numpy(), expected[col].to_numpy()
         both_na = pd.isna(got[col]).to_numpy() & pd.isna(expected[col]).to_numpy()
         assert ((g == e) | both_na).all(), col
+
+
+def test_asof_forward_and_nearest(asof_frames):
+    left, right = asof_frames
+    fwd = _collect(
+        asof_join(
+            left, right, ["user_id"], "ts", ["value"],
+            tiebreak="event_id", direction="forward",
+        )
+    )
+    # left 1 @10:00: earliest at-or-after is ts=10:00; min event_id (11) wins
+    assert fwd[1]["asof_value"] == 2.0
+    # left 2 @12:00: nothing after -> null
+    assert fwd[2]["asof_value"] is None
+    # left 4 (u3): no right rows at all
+    assert fwd[4]["asof_value"] is None
+
+    near = _collect(
+        asof_join(
+            left, right, ["user_id"], "ts", ["value"],
+            tiebreak="event_id", direction="nearest",
+        )
+    )
+    # left 2 @12:00: backward 11:30 is the only candidate
+    assert near[2]["asof_value"] == 4.0
+    # left 3 (u2) @11:00: backward 10:59:59 (1s) is nearest
+    assert near[3]["asof_value"] == 5.0
+
+
+def test_asof_forward_nearest_match_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    base = np.datetime64("2024-01-01T00:00:00")
+    lts = base + rng.choice(50_000, 200, replace=False).astype("timedelta64[s]")
+    rts = base + rng.choice(50_000, 150, replace=False).astype("timedelta64[s]")
+    lp = pd.DataFrame(
+        {
+            "event_id": np.arange(200),
+            "user_id": rng.integers(0, 4, 200),
+            "ts": lts,
+        }
+    ).sort_values("ts")
+    rp = (
+        pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 4, 150),
+                "ts": rts,
+                "value": rng.uniform(0, 10, 150).round(3),
+                "event_id": np.arange(1000, 1150),
+            }
+        )
+        .sort_values("ts")
+        .drop_duplicates(["user_id", "ts"])
+    )
+    for direction in ("forward", "nearest"):
+        expected = pd.merge_asof(
+            lp,
+            rp[["user_id", "ts", "value"]].rename(
+                columns={"ts": "asof_ts", "value": "asof_value"}
+            ),
+            left_on="ts",
+            right_on="asof_ts",
+            by="user_id",
+            direction=direction,
+        ).sort_values("event_id")
+        got = (
+            asof_join(
+                spark.createDataFrame(lp),
+                spark.createDataFrame(rp),
+                ["user_id"],
+                "ts",
+                ["value"],
+                tiebreak="event_id",
+                direction=direction,
+            )
+            .toPandas()
+            .sort_values("event_id")
+        )
+        for col in ("asof_ts", "asof_value"):
+            g, e = got[col].to_numpy(), expected[col].to_numpy()
+            both_na = pd.isna(got[col]).to_numpy() & pd.isna(expected[col]).to_numpy()
+            assert ((g == e) | both_na).all(), (direction, col)
+
+
+def test_asof_nearest_single_exchange(asof_frames):
+    """nearest computes both directional carries over ONE hash exchange
+    (two local sorts), never a second shuffle or a range join."""
+    import re
+
+    left, right = asof_frames
+    plan = (
+        asof_join(
+            left, right, ["user_id"], "ts", ["value"],
+            tiebreak="event_id", direction="nearest",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Window") == 2
