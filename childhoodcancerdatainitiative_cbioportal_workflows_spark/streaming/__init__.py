@@ -11,6 +11,7 @@ from .events import (  # noqa: F401
     upsert_to_parquet,
     windowed_event_counts,
     sessionize,
+    trending_sink,
 )
 from .joins import interval_join_streams  # noqa: F401
 from .stateful import running_user_totals  # noqa: F401

@@ -247,6 +247,70 @@ def upsert_to_parquet(
     return writer.start()
 
 
+def trending_sink(
+    events: DataFrame,
+    store_path: str,
+    board_path: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+):
+    """Continuously-maintained hourly leaderboard: the streaming face of
+    the batch ``trending_hourly`` query, SAME ranking code path
+    (:func:`...operators.keep_topk`).
+
+    Per micro-batch: the windowed-count UPDATE rows merge into a keyed
+    counts store (latest window-count wins — counts are cumulative per
+    (window, event_type), so the newest row is the correct one), then the
+    top-k per window is recomputed from the store and published to
+    ``board_path``. Rank is not expressible inside a streaming agg
+    (update-mode windows re-emit, ranks would churn incrementally), so
+    the rank runs batch-side per trigger over the bounded store — the
+    standard leaderboard materialization shape. The store is
+    watermark-bounded upstream: closed windows stop receiving updates and
+    their board rows go stable."""
+    from ..operators import keep_topk
+
+    agg = windowed_event_counts(events, window=window, watermark=watermark)
+
+    def _update(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        batch = batch.withColumn("_bid", F.lit(batch_id))
+        if fs.exists(jpath):
+            existing = spark.read.parquet(store_path)
+            merged = existing.unionByName(batch, allowMissingColumns=True)
+        else:
+            merged = batch
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("window_start", "event_type").orderBy(
+            F.col("_bid").desc()
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        latest = latest.localCheckpoint(eager=True)
+        latest.write.mode("overwrite").parquet(store_path)
+        board = keep_topk(
+            latest.drop("_bid"),
+            ["window_start"],
+            [F.col("n").desc(), F.col("event_type").asc()],
+            k=k,
+            rank_col="rnk",
+        )
+        board.write.mode("overwrite").parquet(board_path)
+
+    writer = agg.writeStream.foreachBatch(_update).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

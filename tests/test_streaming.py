@@ -739,3 +739,74 @@ def test_incremental_dedup_stream(spark, tmp_path):
     )
     got = {r.doc_id for r in incremental_dedup_stream(batch, seen).collect()}
     assert got == {10}
+
+
+def test_trending_sink_matches_batch(spark, tmp_path):
+    """The streaming leaderboard converges to exactly what the batch
+    trending computation produces over the full event set — same
+    keep_topk code path, per-trigger store merge."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        keep_topk,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        trending_sink,
+    )
+
+    # enough events that hour 0 has a real top-3 cut
+    events = [
+        {"event_id": i, "ts": f"2024-01-01T00:{m:02d}:00", "user_id": 1,
+         "event_type": t, "value": 1.0, "props": "{}"}
+        for i, (m, t) in enumerate(
+            [(1, "click"), (2, "click"), (3, "click"), (4, "view"), (5, "view"),
+             (6, "error"), (7, "error"), (8, "signup"), (9, "purchase"),
+             (10, "purchase"), (11, "purchase"), (12, "purchase")]
+        )
+    ] + [
+        {"event_id": 100, "ts": "2024-01-01T02:30:00", "user_id": 2,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    src = str(tmp_path / "ev_in")
+    _write_event_files(src, [events[:5], events[5:]])
+
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = trending_sink(
+        stream,
+        store_path=str(tmp_path / "store"),
+        board_path=str(tmp_path / "board"),
+        k=3,
+        watermark="10 hours",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = (
+        spark.read.parquet(str(tmp_path / "board"))
+        .toPandas()
+        .sort_values(["window_start", "rnk"])
+        .reset_index(drop=True)
+    )
+    batch = spark.createDataFrame(pd.DataFrame(events)).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    hourly = windowed_event_counts(batch, window="1 hour").select(
+        "window_start", "window_end", "event_type", "n", "sum_value"
+    )
+    want = (
+        keep_topk(
+            hourly,
+            ["window_start"],
+            [F.col("n").desc(), F.col("event_type").asc()],
+            k=3,
+            rank_col="rnk",
+        )
+        .toPandas()
+        .sort_values(["window_start", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    # hour 0 has 5 types -> exactly 3 survive the cut
+    h0 = got[got["window_start"] == got["window_start"].min()]
+    assert len(h0) == 3 and list(h0["event_type"]) == ["purchase", "click", "error"]
