@@ -3738,6 +3738,53 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def q_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with orders in BOTH priority classes
+    (INTERSECT) and high-priority-only customers (EXCEPT), one labeled
+    union. Spark plans both as hash joins over distinct sets."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    lo = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = hi.intersect(lo).withColumn("class", F.lit("both"))
+    # subtract = EXCEPT (distinct); exceptAll would leave leftover
+    # multiplicities for customers holding more urgent than low orders
+    only_hi = hi.subtract(lo).withColumn("class", F.lit("urgent_only"))
+    return both.unionByName(only_hi)
+
+
+SQL_EXCEPT_INTERSECT = """
+WITH hi AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     lo AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+SELECT o_custkey, 'both' AS class
+FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM lo)
+UNION ALL
+SELECT o_custkey, 'urgent_only' AS class
+FROM (SELECT DISTINCT o_custkey FROM hi
+      EXCEPT SELECT DISTINCT o_custkey FROM lo)
+"""
+
+
+def q_array_agg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: per-order sorted linenumber list
+    plus its max — collect_list is partition-order-dependent, so the
+    engine pins sort_array (the order-explicit-dedup discipline applied
+    to array building)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.max("l_linenumber").alias("max_line"),
+    )
+
+
+SQL_ARRAY_AGG_LINES = """
+SELECT l_orderkey,
+       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+       MAX(l_linenumber) AS max_line
+FROM lineitem WHERE l_orderkey < 2000
+GROUP BY l_orderkey
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3832,6 +3879,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q13_custdist": (q_tpch_q13_custdist, SQL_TPCH_Q13_CUSTDIST),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
+    "array_agg_lines": (q_array_agg_lines, SQL_ARRAY_AGG_LINES),
 }
 
 
