@@ -3785,6 +3785,217 @@ GROUP BY l_orderkey
 """
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-gram blocked Levenshtein self-join (operators/fuzzy): part-name
+    pairs within 1 edit — entity-resolution shape; exact result, but
+    candidates come from a trigram equi-join + length prefilter, never
+    the n² cross product (soundness bound checked against the corpus's
+    min string length)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    return fuzzy_self_join(p, "p_partkey", "p_name", max_dist=1, q=3)
+
+
+SQL_FUZZY_JOIN = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""
+
+
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price (TWAP) per user per day: each event's
+    value holds until the next event or end-of-day, weights are holding
+    seconds. One window (lead) + one aggregation; value*weight rides
+    DECIMAL so the weighted sum is order-exact. Cross-midnight carry is
+    intentionally clipped at the day boundary (documented simplification
+    — a LOCF resample would seed the next day)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    day = F.date_trunc("day", F.col("ts"))
+    day_end = day + F.expr("interval 1 day")
+    nxt = F.lead("ts").over(w)
+    hold_until = F.least(F.coalesce(nxt, day_end), day_end)
+    # integer MICROsecond weights: whole-second casts truncate and
+    # DuckDB's epoch() returns fractional doubles — micros are exact
+    # bigints in both engines
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    weighted = e.select(
+        "user_id",
+        day.cast("date").alias("day"),
+        (us(hold_until) - us(F.col("ts"))).alias("w_us"),
+        F.col("value"),
+    ).filter(F.col("w_us") > 0)
+    return weighted.groupBy("user_id", "day").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)") * F.col("w_us"))
+            .cast("double")
+            / F.sum("w_us").cast("double"),
+            6,
+        ).alias("twap"),
+        F.sum("w_us").cast("long").alias("covered_us"),
+    )
+
+
+SQL_TWAP_DAILY = """
+WITH x AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         epoch_us(LEAST(COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id),
+                                 date_trunc('day', ts) + INTERVAL 1 DAY),
+                        date_trunc('day', ts) + INTERVAL 1 DAY))
+           - epoch_us(ts) AS w_us,
+         value
+  FROM events
+)
+SELECT user_id, day,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4)) * w_us) AS DOUBLE)
+             / CAST(SUM(w_us) AS DOUBLE), 6) AS twap,
+       CAST(SUM(w_us) AS BIGINT) AS covered_us
+FROM x WHERE w_us > 0
+GROUP BY user_id, day
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-dup pair graph (a<b<c edge-join
+    ordering, each triangle counted once) — the density statistic that
+    distinguishes tight duplicate cliques from chains before
+    canonicalization."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    e = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    e1 = e.toDF("a", "b")
+    e2 = e.toDF("b", "c")
+    e3 = e.toDF("a", "c")
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+)
+SELECT COUNT(*) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.id_a = e1.id_b
+JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+"""
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling: 2 documents per source by md5
+    hash order (keep_topk over the hash) — the per-stratum quota sampler
+    that composes with domain_mix's fractional sampler."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        keep_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    return keep_topk(
+        d, ["source"], [F.col("h").asc(), F.col("doc_id").asc()], k=2,
+        rank_col="rnk",
+    ).drop("h")
+
+
+SQL_GROUP_SAMPLE = """
+SELECT doc_id, source, rnk FROM (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS INT) AS rnk
+  FROM documents
+) WHERE rnk <= 2
+"""
+
+
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration: percent_rank within each
+    source maps raw quality onto [0,1] uniformly — comparable across
+    sources with different score distributions (the quantile-normalize
+    step before cross-source quality-weighted sampling). Rank arithmetic
+    is integer, so the result is engine-exact without rounding."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+        quality_score,
+    )
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("quality").asc())
+    return (
+        d.select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+        .withColumn("calibrated", F.percent_rank().over(w))
+    )
+
+
+SQL_SCORE_CALIBRATION = """
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, source, text, toks,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS sw,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         FLOOR(GREATEST(LEAST(
+             0.25 * LEAST(n / 100.0, 1.0)
+           + 0.25 * distinct_ratio
+           + 0.35 * LEAST(sw * 5, 1.0)
+           + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 1.0 END * 4, 1.0)),
+           1.0), 0.0) * 10000) / 10000 AS quality
+  FROM m
+)
+SELECT doc_id, source, quality,
+       PERCENT_RANK() OVER (PARTITION BY source ORDER BY quality ASC)
+         AS calibrated
+FROM q
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -3881,6 +4092,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "except_intersect": (q_except_intersect, SQL_EXCEPT_INTERSECT),
     "array_agg_lines": (q_array_agg_lines, SQL_ARRAY_AGG_LINES),
+    "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
+    "twap_daily": (q_twap_daily, SQL_TWAP_DAILY),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
+    "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
 }
 
 

@@ -7,3 +7,4 @@ from .sketches import approx_profile  # noqa: F401
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .resample import resample_locf  # noqa: F401
+from .fuzzy import fuzzy_self_join  # noqa: F401

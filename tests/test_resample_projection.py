@@ -114,3 +114,48 @@ def test_cooccurrence_counts_reference(spark):
             for i in range(len(tk) - d):
                 ref[(tk[i], tk[i + d], d)] += 1
     assert got == dict(ref)
+
+
+def test_fuzzy_self_join_matches_bruteforce(spark):
+    import itertools
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    names = [
+        "small ring", "small rung", "smell ring", "red widget", "red widgets",
+        "blue bolt!", "blue bolts", "hot gearbox", "hot gearbix", "cold gearbox",
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_self_join(df, "id", "name", max_dist=1).collect()
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = sorted(
+        (i, j, lev(names[i], names[j]))
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    )
+    assert got == want and len(want) >= 4
+
+
+def test_fuzzy_self_join_rejects_unsound_params(spark):
+    import pytest as _pytest
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "tin")], "id long, name string")
+    with _pytest.raises(ValueError, match="unsound"):
+        fuzzy_self_join(df, "id", "name", max_dist=2, q=3)
