@@ -3786,23 +3786,32 @@ GROUP BY l_orderkey
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q-gram blocked Levenshtein self-join (operators/fuzzy): part-name
-    pairs within 1 edit — entity-resolution shape; exact result, but
-    candidates come from a trigram equi-join + length prefilter, never
-    the n² cross product (soundness bound checked against the corpus's
-    min string length)."""
+    """q-gram blocked Levenshtein self-join (operators/fuzzy) over the
+    DISTINCT part-name dictionary (min partkey as representative) —
+    entity resolution matches name VARIANTS, so the dictionary is the
+    right input; joining raw rows would just emit every dup-class
+    quadratically (3.9M pairs at sf0.1 from 64 names). Exact result;
+    candidates from a trigram equi-join + length prefilter, never the
+    n² cross product."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         fuzzy_self_join,
     )
 
-    p = load_table(spark, sf_dir, "part")
-    return fuzzy_self_join(p, "p_partkey", "p_name", max_dist=1, q=3)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("rep_id"))
+    )
+    return fuzzy_self_join(p, "rep_id", "p_name", max_dist=1, q=3)
 
 
 SQL_FUZZY_JOIN = """
-SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+WITH d AS (
+  SELECT p_name, MIN(p_partkey) AS rep_id FROM part GROUP BY p_name
+)
+SELECT a.rep_id AS id_a, b.rep_id AS id_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+FROM d a JOIN d b ON a.rep_id < b.rep_id
 WHERE levenshtein(a.p_name, b.p_name) <= 1
 """
 
