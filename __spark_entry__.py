@@ -4005,6 +4005,114 @@ FROM q
 """
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 validity intervals (operators/scd.scd2_intervals):
+    each user's signup events become [valid_from, valid_to) state rows
+    with an open current interval — the warehouse CDC materialization.
+    One shuffle, one lead window."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        scd2_intervals,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    ).select("event_id", "user_id", "ts", "value")
+    return scd2_intervals(e, ["user_id"], "ts", tiebreak="event_id")
+
+
+SQL_SCD2_INTERVALS = """
+SELECT event_id, user_id, ts, value,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (ntile): per-source document-length
+    deciles with bounds and counts — the quantile-bucket profile a
+    curation run uses to choose length cutoffs. The window partitions by
+    source: a GLOBAL ntile funnels the corpus through one reducer, so at
+    scale the global variant is approx-percentile cutpoints + bucketing
+    (operators/sketches), never an unpartitioned window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("source", "n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+SQL_DECILE_STATS = """
+SELECT source, decile, COUNT(*) AS n_docs,
+       MIN(n_chars) AS lo, MAX(n_chars) AS hi
+FROM (
+  SELECT source, n_chars,
+         CAST(NTILE(10) OVER (PARTITION BY source
+              ORDER BY n_chars ASC, doc_id ASC) AS INT) AS decile
+  FROM documents
+)
+GROUP BY source, decile
+"""
+
+
+def q_balance_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional cumulative sum with reset: per-user running spend that
+    resets at every signup event — the cumsum-of-reset-flags trick turns
+    'reset' into a derived sub-partition, so the whole thing stays two
+    window passes over ONE shuffle (no iterative logic)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.sum(
+        (F.col("event_type") == "signup").cast("int")
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seg = Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")
+    run = seg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("epoch", epoch)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "epoch",
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(run)
+            .cast("double")
+            .alias("balance"),
+        )
+    )
+
+
+SQL_BALANCE_RESETS = """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS epoch
+  FROM events
+)
+SELECT event_id, user_id, ts, epoch,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id, epoch ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS balance
+FROM tagged
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -4106,6 +4214,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "group_sample": (q_group_sample, SQL_GROUP_SAMPLE),
     "score_calibration": (q_score_calibration, SQL_SCORE_CALIBRATION),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "decile_stats": (q_decile_stats, SQL_DECILE_STATS),
+    "balance_resets": (q_balance_resets, SQL_BALANCE_RESETS),
 }
 
 

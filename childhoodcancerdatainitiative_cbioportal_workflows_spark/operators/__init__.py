@@ -8,3 +8,4 @@ from .skew import salted_aggregate, salted_join  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .resample import resample_locf  # noqa: F401
 from .fuzzy import fuzzy_self_join  # noqa: F401
+from .scd import scd2_intervals  # noqa: F401
