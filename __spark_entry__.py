@@ -4113,6 +4113,62 @@ FROM tagged
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank, 3 iterations, over the near-dup pair graph
+    (operators/graph.pagerank_fixed): every rank is an integer in 1e-9
+    units and every step is floor division + integer sums, so the
+    iterative recurrence is BIT-comparable across engines — the
+    oracle-checkable face of iterative graph algorithms (components'
+    star contraction being the other)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        pagerank_fixed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    return pagerank_fixed(pairs, iters=3)
+
+
+_PAIRS_CTE_BODY = """WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 1000
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5"""
+
+
+def _sql_pagerank() -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        pagerank_fixed_sql,
+    )
+
+    return pagerank_fixed_sql(_PAIRS_CTE_BODY, iters=3)
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -4217,6 +4273,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "decile_stats": (q_decile_stats, SQL_DECILE_STATS),
     "balance_resets": (q_balance_resets, SQL_BALANCE_RESETS),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
 }
 
 

@@ -1,0 +1,125 @@
+"""Graph analytics over pair lists (the near-dup graph's second face).
+
+:func:`pagerank_fixed` is a bounded-iteration PageRank in FIXED-POINT
+integer arithmetic — every rank is a bigint in ``unit`` micro-units, every
+step is floor division and integer sums, so two engines running the same
+recurrence produce BIT-IDENTICAL ranks (floating-point PageRank cannot be
+oracle-diffed: per-node sums reorder across partitionings). The price is
+a deterministic rounding-down bias of < iters·(deg+1) units per node —
+irrelevant at unit=1e9 for ranking purposes.
+
+Scale shape: each iteration is one join (ranks onto edge sources) + one
+aggregation (sum contributions per destination) — two shuffles over the
+edge list, the same shape as one large-star round in components; driver
+holds only loop control, never data. Iterations are bounded by the
+caller (ranking use-cases need few); convergence detection would add a
+per-round distributed diff exactly like star_contraction's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank_fixed(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+    unit: int = 1_000_000_000,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """PageRank over the undirected graph of ``pairs`` (each pair becomes
+    two directed edges), ``iters`` fixed iterations, returning
+    (id, rank_fp) with rank_fp in integer ``unit`` units.
+
+    Recurrence (all integer):
+      r0        = floor(unit / n)
+      teleport  = floor((100-damp) * unit / (100 * n))
+      r_{t+1}(v) = teleport + floor(damp * S_v / 100),
+      S_v = sum over in-neighbors u of floor(r_t(u) / deg(u)).
+    The divisions run as ``floor(x / y)`` over doubles whose inputs are
+    exact integers below 2^53 — IEEE division + floor is deterministic,
+    so any engine evaluating the same expressions agrees exactly."""
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).unionByName(
+        pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n_df = deg.agg(F.count(F.lit(1)).alias("n"))
+    nodes = deg.crossJoin(F.broadcast(n_df))
+    r = nodes.select(
+        F.col("s").alias("id"),
+        "deg",
+        "n",
+        F.floor(F.lit(float(unit)) / F.col("n")).cast("long").alias("r"),
+    )
+    teleport = F.floor(
+        F.lit(float((100 - damp_pct) * unit)) / (F.lit(100.0) * F.col("n"))
+    ).cast("long")
+    for _ in range(iters):
+        contrib = (
+            e.join(r, e["s"] == r["id"])
+            .select(
+                F.col("d"),
+                F.floor(F.col("r").cast("double") / F.col("deg"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("S"))
+        )
+        r = (
+            r.select("id", "deg", "n")
+            .join(contrib, r["id"] == contrib["d"], "left")
+            .select(
+                "id",
+                "deg",
+                "n",
+                (
+                    teleport
+                    + F.floor(
+                        F.lit(float(damp_pct))
+                        * F.coalesce(F.col("S"), F.lit(0)).cast("double")
+                        / F.lit(100.0)
+                    ).cast("long")
+                ).alias("r"),
+            )
+        )
+    return r.select("id", F.col("r").alias("rank_fp"))
+
+
+def pagerank_fixed_sql(pairs_cte: str, iters: int = 3, unit: int = 1_000_000_000,
+                       damp_pct: int = 85) -> str:
+    """DuckDB oracle for :func:`pagerank_fixed`: ``pairs_cte`` must be the
+    body of a CTE producing (id_a, id_b); the same integer recurrence is
+    unrolled as chained CTEs."""
+    tele = f"CAST(FLOOR({(100 - damp_pct) * unit} / (100.0 * n)) AS BIGINT)"
+    sql = f"""WITH RECURSIVE pairs AS ({pairs_cte}), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), deg AS (
+  SELECT s, COUNT(*) AS deg FROM e GROUP BY s
+), nn AS (
+  SELECT COUNT(*) AS n FROM deg
+), r0 AS (
+  SELECT deg.s AS id, deg.deg, nn.n,
+         CAST(FLOOR({unit} / (1.0 * nn.n)) AS BIGINT) AS r
+  FROM deg, nn
+)"""
+    prev = "r0"
+    for t in range(1, iters + 1):
+        sql += f""", c{t} AS (
+  SELECT e.d, CAST(SUM(CAST(FLOOR(CAST({prev}.r AS DOUBLE) / {prev}.deg)
+                            AS BIGINT)) AS BIGINT) AS S
+  FROM e JOIN {prev} ON e.s = {prev}.id
+  GROUP BY e.d
+), r{t} AS (
+  SELECT {prev}.id, {prev}.deg, {prev}.n,
+         {tele} + CAST(FLOOR({damp_pct}.0 * COALESCE(c{t}.S, 0) / 100.0)
+                       AS BIGINT) AS r
+  FROM {prev} LEFT JOIN c{t} ON {prev}.id = c{t}.d
+)"""
+        prev = f"r{t}"
+    sql += f"\nSELECT id, r AS rank_fp FROM {prev}"
+    return sql

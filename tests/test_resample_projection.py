@@ -159,3 +159,28 @@ def test_fuzzy_self_join_rejects_unsound_params(spark):
     df = spark.createDataFrame([(1, "tiny"), (2, "tin")], "id long, name string")
     with _pytest.raises(ValueError, match="unsound"):
         fuzzy_self_join(df, "id", "name", max_dist=2, q=3)
+
+
+def test_pagerank_symmetry_and_determinism(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        pagerank_fixed,
+    )
+
+    # triangle + pendant: symmetric nodes 1,2 must tie exactly; hub 0
+    # outranks them; pendant 3 ranks lowest
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (0, 3)], "id_a long, id_b long"
+    )
+    r = {row["id"]: row["rank_fp"] for row in pagerank_fixed(pairs, iters=3).collect()}
+    assert r[1] == r[2]
+    assert r[0] > r[1] > r[3]
+    r2 = {
+        row["id"]: row["rank_fp"]
+        for row in pagerank_fixed(
+            spark.createDataFrame(
+                [(0, 1), (0, 2), (1, 2), (0, 3)], "id_a long, id_b long"
+            ).repartition(5),
+            iters=3,
+        ).collect()
+    }
+    assert r == r2  # fixed-point: exact under any partitioning
