@@ -6,3 +6,4 @@ from .sqldump import parse_sql_dump_counts  # noqa: F401
 from .audit import audit_files, audit_summary  # noqa: F401
 from .http import fetch_to_staging  # noqa: F401
 from .bucketing import write_bucketed, write_partitioned, read_table  # noqa: F401
+from .layout import interleave_bits, with_zvalue, write_zordered  # noqa: F401
