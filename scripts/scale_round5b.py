@@ -56,6 +56,8 @@ def main() -> None:
     )
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         asof_join,
+        fuzzy_self_join,
+        pagerank_fixed,
         resample_locf,
     )
 
@@ -99,6 +101,27 @@ def main() -> None:
         run("containment", containment_pairs(docs, threshold=0.8), measured)
         run("random_projection", random_projection(emb, k=8, dim=64), measured)
         run("quantize", quantize_embeddings(emb), measured)
+        # fuzzy join over a DIVERSE name dictionary (12-char random strings)
+        import pandas as pd
+        rng2 = np.random.default_rng(17)
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        names = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "name": ["".join(rng2.choice(letters, 12)) for _ in range(n)],
+        })
+        nd = spark.createDataFrame(names).repartition(64)
+        nd.persist().count()
+        run("fuzzy_join", fuzzy_self_join(nd, "id", "name", max_dist=1), measured)
+        nd.unpersist()
+        # pagerank over a random sparse pair graph, |E| = 4n
+        src = rng2.integers(0, n, 4 * n)
+        dst = rng2.integers(0, n, 4 * n)
+        pg = spark.createDataFrame(
+            pd.DataFrame({"id_a": src, "id_b": dst})
+        ).filter("id_a != id_b").repartition(64)
+        pg.persist().count()
+        run("pagerank_3iter", pagerank_fixed(pg, iters=3), measured)
+        pg.unpersist()
         for c in (docs, ev, emb):
             c.unpersist()
 
