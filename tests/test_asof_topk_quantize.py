@@ -350,34 +350,39 @@ def test_asof_forward_nearest_match_pandas(spark):
         .sort_values("ts")
         .drop_duplicates(["user_id", "ts"])
     )
-    for direction in ("forward", "nearest"):
-        expected = pd.merge_asof(
-            lp,
-            rp[["user_id", "ts", "value"]].rename(
-                columns={"ts": "asof_ts", "value": "asof_value"}
-            ),
-            left_on="ts",
-            right_on="asof_ts",
-            by="user_id",
-            direction=direction,
-        ).sort_values("event_id")
-        got = (
-            asof_join(
-                spark.createDataFrame(lp),
-                spark.createDataFrame(rp),
-                ["user_id"],
-                "ts",
-                ["value"],
-                tiebreak="event_id",
+    for direction in ("forward", "nearest", "backward"):
+        for exact in (True, False):
+            if direction == "nearest" and not exact:
+                continue  # pandas disallows the combination
+            expected = pd.merge_asof(
+                lp,
+                rp[["user_id", "ts", "value"]].rename(
+                    columns={"ts": "asof_ts", "value": "asof_value"}
+                ),
+                left_on="ts",
+                right_on="asof_ts",
+                by="user_id",
                 direction=direction,
+                allow_exact_matches=exact,
+            ).sort_values("event_id")
+            got = (
+                asof_join(
+                    spark.createDataFrame(lp),
+                    spark.createDataFrame(rp),
+                    ["user_id"],
+                    "ts",
+                    ["value"],
+                    tiebreak="event_id",
+                    direction=direction,
+                    allow_exact_matches=exact,
+                )
+                .toPandas()
+                .sort_values("event_id")
             )
-            .toPandas()
-            .sort_values("event_id")
-        )
-        for col in ("asof_ts", "asof_value"):
-            g, e = got[col].to_numpy(), expected[col].to_numpy()
-            both_na = pd.isna(got[col]).to_numpy() & pd.isna(expected[col]).to_numpy()
-            assert ((g == e) | both_na).all(), (direction, col)
+            for col in ("asof_ts", "asof_value"):
+                g, e = got[col].to_numpy(), expected[col].to_numpy()
+                both_na = pd.isna(got[col]).to_numpy() & pd.isna(expected[col]).to_numpy()
+                assert ((g == e) | both_na).all(), (direction, exact, col)
 
 
 def test_asof_nearest_single_exchange(asof_frames):

@@ -184,3 +184,12 @@ def test_pagerank_symmetry_and_determinism(spark):
         ).collect()
     }
     assert r == r2  # fixed-point: exact under any partitioning
+
+
+def test_fuzzy_self_join_empty_input(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    df = spark.createDataFrame([], "id long, name string")
+    assert fuzzy_self_join(df, "id", "name", max_dist=1).count() == 0
