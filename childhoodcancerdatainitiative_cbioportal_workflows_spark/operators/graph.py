@@ -44,6 +44,13 @@ def pagerank_fixed(
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).unionByName(
         pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     ).distinct()
+    # materialize the edge list ONCE: it feeds every iteration's contrib
+    # join, and an unmaterialized lineage re-executes the (potentially
+    # expensive) pair-derivation upstream per reference — observed as 86
+    # exchanges in the 3-iteration plan over the jaccard pair pipeline,
+    # vs 8 once persisted (the star_contraction lineage lesson)
+    e = e.persist()
+    e.count()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n_df = deg.agg(F.count(F.lit(1)).alias("n"))
     nodes = deg.crossJoin(F.broadcast(n_df))
@@ -85,7 +92,9 @@ def pagerank_fixed(
                 ).alias("r"),
             )
         )
-    return r.select("id", F.col("r").alias("rank_fp"))
+    from ..llm.dedup import _with_caches
+
+    return _with_caches(r.select("id", F.col("r").alias("rank_fp")), [e])
 
 
 def pagerank_fixed_sql(pairs_cte: str, iters: int = 3, unit: int = 1_000_000_000,
