@@ -4169,6 +4169,101 @@ def _sql_pagerank() -> str:
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_contingency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table profiling (source x lang): observed counts,
+    expected-under-independence, and per-cell chi-square contribution.
+    Expected values come from integer marginal products, so the doubles
+    are exact; only the final contribution is rounded. Per-CELL output
+    (no global chi2 sum) keeps everything order-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    rows = d.groupBy("source").agg(F.count(F.lit(1)).alias("_row_n"))
+    colsm = d.groupBy("lang").agg(F.count(F.lit(1)).alias("_col_n"))
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    j = (
+        cells.join(F.broadcast(rows), "source")
+        .join(F.broadcast(colsm), "lang")
+        .crossJoin(F.broadcast(total))
+    )
+    expected = (F.col("_row_n") * F.col("_col_n")).cast("double") / F.col("_total")
+    contrib = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    return j.select(
+        "source",
+        "lang",
+        "n",
+        F.round(expected, 4).alias("expected"),
+        F.round(contrib, 4).alias("chi2_contrib"),
+    )
+
+
+SQL_CONTINGENCY_PROFILE = """
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), r AS (SELECT source, COUNT(*) AS row_n FROM documents GROUP BY 1),
+   c AS (SELECT lang, COUNT(*) AS col_n FROM documents GROUP BY 1),
+   t AS (SELECT COUNT(*) AS total FROM documents)
+SELECT cells.source, cells.lang, cells.n,
+       ROUND(CAST(r.row_n * c.col_n AS DOUBLE) / t.total, 4) AS expected,
+       ROUND((cells.n - CAST(r.row_n * c.col_n AS DOUBLE) / t.total)
+             * (cells.n - CAST(r.row_n * c.col_n AS DOUBLE) / t.total)
+             / (CAST(r.row_n * c.col_n AS DOUBLE) / t.total), 4)
+         AS chi2_contrib
+FROM cells JOIN r USING (source) JOIN c USING (lang), t
+"""
+
+
+def q_correlation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group in EXACT arithmetic: value has two
+    decimals (x100 -> bigint) and hour-of-day is a small int, so every
+    sufficient statistic (S_x, S_y, S_xx, S_yy, S_xy) is an exact
+    integer sum; only the final r assembles doubles from exact ints —
+    order-independent where a naive corr() aggregation is not. Per
+    event_type: does spend correlate with time of day."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100, 0).cast("long")
+    h = F.hour(F.col("ts")).cast("long")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sx"),
+        F.sum(h).alias("sy"),
+        F.sum(v * v).alias("sxx"),
+        F.sum(h * h).alias("syy"),
+        F.sum(v * h).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(num / den, 6).alias("pearson_r"),
+    )
+
+
+SQL_CORRELATION_PROFILE = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                  * CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT))
+              AS BIGINT) AS syy,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                  * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM s
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -4274,6 +4369,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "decile_stats": (q_decile_stats, SQL_DECILE_STATS),
     "balance_resets": (q_balance_resets, SQL_BALANCE_RESETS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "contingency_profile": (q_contingency_profile, SQL_CONTINGENCY_PROFILE),
+    "correlation_profile": (q_correlation_profile, SQL_CORRELATION_PROFILE),
 }
 
 
