@@ -4264,6 +4264,69 @@ FROM s
 """
 
 
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size-k weighted sampling (llm/sampling.weighted_sample_k,
+    Efraimidis-Spirakis exponential keys): 100 documents drawn without
+    replacement with probability proportional to quality — guarantees
+    the sample size that Bernoulli quality_weighted_sample only hits in
+    expectation. TakeOrderedAndProject; the ln key is fixed-point at
+    birth."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions import (
+        quality_score,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        weighted_sample_k,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = quality_score(F.col("text")) + F.lit(0.01)
+    return weighted_sample_k(d, w, k=100).select("doc_id", "source", "logkey_fp")
+
+
+SQL_WEIGHTED_SAMPLE_K = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, source, text, toks,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS sw,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         FLOOR(GREATEST(LEAST(
+             0.25 * LEAST(n / 100.0, 1.0)
+           + 0.25 * distinct_ratio
+           + 0.35 * LEAST(sw * 5, 1.0)
+           + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 1.0 END * 4, 1.0)),
+           1.0), 0.0) * 10000) / 10000 + 0.01 AS w
+  FROM m
+), hx AS (
+  SELECT doc_id, source, w, md5(doc_id::VARCHAR) AS h FROM q
+), b AS (
+  SELECT doc_id, source, w,
+         ({_NIBFOLD_SPLIT} % 10000 + 1) / 10001.0 AS u
+  FROM hx
+)
+SELECT doc_id, source,
+       CAST(FLOOR(ln(u) / w * 1000000) AS BIGINT) AS logkey_fp
+FROM b
+ORDER BY logkey_fp DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -4371,6 +4434,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "contingency_profile": (q_contingency_profile, SQL_CONTINGENCY_PROFILE),
     "correlation_profile": (q_correlation_profile, SQL_CORRELATION_PROFILE),
+    "weighted_sample_k": (q_weighted_sample_k, SQL_WEIGHTED_SAMPLE_K),
 }
 
 

@@ -42,6 +42,7 @@ from .sampling import (  # noqa: F401
     pack_sequences,
     stratified_hash_sample,
     weighted_hash_sample,
+    weighted_sample_k,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

@@ -192,6 +192,38 @@ def weighted_hash_sample(
     return df.filter(hash_bucket(F.col(key_col)) < bound)
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str = "doc_id",
+    logkey_col: str = "logkey_fp",
+) -> DataFrame:
+    """Exact-size-k weighted sampling WITHOUT replacement via exponential
+    keys (Efraimidis & Spirakis 2006, public algorithm): each row draws a
+    deterministic uniform u from its md5 bucket and keeps key =
+    ln(u)/weight; the k largest keys are the sample — inclusion
+    probability proportional to weight, one TakeOrdered, no shuffle
+    before the top-k cut.
+
+    Complements :func:`weighted_hash_sample` (Bernoulli, EXPECTED-size);
+    this face guarantees exactly k rows. Determinism: u = (bucket+1) /
+    (NUM_BUCKETS+1) in (0,1] from the shared md5 bucket, the key is
+    floor-scaled to 1e-6 fixed point at birth (the quality_lm ln
+    discipline — transcendentals never ride a comparison as raw doubles),
+    ties break by ``key_col``. ``weight`` must be strictly positive;
+    callers add an epsilon floor to zero-able scores."""
+    u = (hash_bucket(F.col(key_col)) + 1).cast("double") / F.lit(
+        float(NUM_BUCKETS + 1)
+    )
+    key_fp = F.floor(F.log(u) / weight * 1_000_000).cast("long")
+    return (
+        df.withColumn(logkey_col, key_fp)
+        .orderBy(F.col(logkey_col).desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -263,3 +263,27 @@ def test_chunk_documents_no_shuffle(spark):
     df = spark.createDataFrame([(0, "a b c d e f")], ["doc_id", "text"])
     p = chunk_documents(df, 4, 1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_weighted_sample_k_proportional_and_exact_size(spark):
+    """A-ES sampling: exactly k rows; high-weight rows are sampled far
+    more often than low-weight rows across disjoint key populations."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        weighted_sample_k,
+    )
+
+    # ids 0..999 weight 1.0; ids 1000..1999 weight 0.05
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit(1.0)).otherwise(F.lit(0.05)).alias("w"),
+    )
+    out = weighted_sample_k(df, F.col("w"), k=200).collect()
+    assert len(out) == 200
+    heavy = sum(1 for r in out if r["doc_id"] < 1000)
+    assert heavy > 150  # weight ratio 20:1 -> heavy side dominates
+
+    # deterministic under repartitioning
+    again = weighted_sample_k(df.repartition(13), F.col("w"), k=200).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
