@@ -37,10 +37,13 @@ _SIDE = "_asof_side"
 _TIE = "_asof_tie"
 
 
-def _secs(c: Column) -> Column:
-    # double cast: TIMESTAMP_NTZ (nanos parquet sources) cannot cast to
-    # long directly; ts -> timestamp -> epoch seconds works for both
-    return c.cast("timestamp").cast("long")
+def _micros(c: Column) -> Column:
+    # microsecond-exact epoch: the events table carries sub-second
+    # timestamps, so whole-second truncation could tie/invert nearest
+    # distances and misjudge tolerance by up to ~1s (the same discipline
+    # twap_daily uses). cast("timestamp") first so TIMESTAMP_NTZ sources
+    # (nanos parquet) take the supported path.
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -134,8 +137,8 @@ def asof_join(
     elif direction == "forward":
         chosen = F.col("_carry_f")
     else:
-        d_b = _secs(F.col(ts)) - _secs(F.col(f"_carry_b.{ts}"))
-        d_f = _secs(F.col(f"_carry_f.{ts}")) - _secs(F.col(ts))
+        d_b = _micros(F.col(ts)) - _micros(F.col(f"_carry_b.{ts}"))
+        d_f = _micros(F.col(f"_carry_f.{ts}")) - _micros(F.col(ts))
         # equal distance breaks backward (pandas nearest convention)
         chosen = (
             F.when(F.col("_carry_b").isNull(), F.col("_carry_f"))
@@ -155,8 +158,8 @@ def asof_join(
         # materialize the flag BEFORE nulling: the first carried column is
         # the matched ts itself, and a per-column rewrite would evaluate
         # later columns' staleness against the already-nulled ts
-        dist = F.abs(_secs(F.col(ts)) - _secs(F.col(f"{prefix}{ts}")))
-        stale = dist > F.lit(tolerance_seconds)
+        dist = F.abs(_micros(F.col(ts)) - _micros(F.col(f"{prefix}{ts}")))
+        stale = dist > F.lit(int(tolerance_seconds * 1_000_000))
         out = out.select(
             *left_out,
             *[

@@ -1,5 +1,6 @@
 from .events import (  # noqa: F401
     EVENTS_SCHEMA,
+    UPSERT_BUCKET_COL,
     dedup_stream,
     enrich_stream,
     merge_provider,

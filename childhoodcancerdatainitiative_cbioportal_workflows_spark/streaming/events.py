@@ -201,24 +201,43 @@ def upsert_sink(
     return upsert_to_parquet(stream, path, keys, order_col, checkpoint)
 
 
+#: partition column the parquet upsert store is laid out on (key-hash bucket)
+UPSERT_BUCKET_COL = "_bucket"
+
+
 def upsert_to_parquet(
     stream: DataFrame,
     path: str,
     keys: list[str],
     order_col: str = "ts",
     checkpoint: str | None = None,
+    n_buckets: int = 16,
 ):
     """Keyed latest-wins upsert sink via ``foreachBatch``: per micro-batch,
     merge the batch with the existing snapshot and keep the newest row per
     key (order by ``order_col`` desc). Parquet has no transactional merge,
-    so the rewrite is read-union-overwrite — correct for a single writer
-    (enforced by checkpointing); :func:`upsert_sink` with ``fmt="delta"``
-    is the transactional MERGE INTO path when a provider is available.
-    Returns the started StreamingQuery."""
+    but the snapshot is laid out partitioned by a key-hash bucket
+    (``UPSERT_BUCKET_COL`` = pmod(xxhash64(keys), n_buckets)) so each
+    micro-batch only READS the buckets its keys land in (partition
+    pruning on the scan) and only REWRITES those buckets (dynamic
+    partition overwrite) — per-batch cost is O(touched buckets), not
+    O(snapshot), and untouched partitions keep their files byte-for-byte.
+    Correct for a single writer (enforced by checkpointing);
+    :func:`upsert_sink` with ``fmt="delta"`` is the transactional MERGE
+    INTO path when a provider is available. A pre-existing UNpartitioned
+    snapshot (written by the old fallback) is migrated in place on the
+    first batch. Returns the started StreamingQuery."""
     from pyspark.sql import Window
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        bucket = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+        batch = batch.withColumn(UPSERT_BUCKET_COL, bucket)
+        # the batch is tiny (one micro-batch); its touched-bucket set is
+        # at most n_buckets values and drives partition pruning below
+        touched = [
+            r[0] for r in batch.select(UPSERT_BUCKET_COL).distinct().collect()
+        ]
         # probe existence through Hadoop's FileSystem (like
         # plans/runner._complete) instead of catching read errors: a bare
         # except would treat ANY failure (transient IO, corrupt footer,
@@ -227,8 +246,19 @@ def upsert_to_parquet(
         # upserted key. Real read errors must propagate and fail the batch.
         jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        migrate = False
         if fs.exists(jpath):
             existing = spark.read.parquet(path)
+            if UPSERT_BUCKET_COL not in existing.columns:
+                # legacy unpartitioned snapshot: one-time full migration
+                # (bucket every old row, rewrite the whole layout once)
+                existing = existing.withColumn(UPSERT_BUCKET_COL, bucket)
+                migrate = True
+            else:
+                # partition pruning: only the buckets this batch touches
+                existing = existing.filter(
+                    F.col(UPSERT_BUCKET_COL).isin(touched)
+                )
             merged = existing.unionByName(batch, allowMissingColumns=True)
         else:  # first batch: nothing to merge yet
             merged = batch
@@ -239,7 +269,25 @@ def upsert_to_parquet(
             .drop("_rn")
         )
         # materialize before overwriting the directory being read
-        latest.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        latest = latest.localCheckpoint(eager=True)
+        if migrate:
+            # full overwrite replaces the legacy flat files with the
+            # partitioned layout (static mode clears the old layout)
+            (
+                latest.write.mode("overwrite")
+                .partitionBy(UPSERT_BUCKET_COL)
+                .parquet(path)
+            )
+        else:
+            # dynamic overwrite: only partitions present in `latest`
+            # (= the touched buckets) are replaced; the rest keep their
+            # files untouched
+            (
+                latest.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(UPSERT_BUCKET_COL)
+                .parquet(path)
+            )
 
     writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint:
@@ -255,6 +303,7 @@ def trending_sink(
     window: str = "1 hour",
     watermark: str = "2 hours",
     checkpoint: str | None = None,
+    retention: str | None = "auto",
 ):
     """Continuously-maintained hourly leaderboard: the streaming face of
     the batch ``trending_hourly`` query, SAME ranking code path
@@ -266,13 +315,22 @@ def trending_sink(
     top-k per window is recomputed from the store and published to
     ``board_path``. Rank is not expressible inside a streaming agg
     (update-mode windows re-emit, ranks would churn incrementally), so
-    the rank runs batch-side per trigger over the bounded store — the
-    standard leaderboard materialization shape. The store is
-    watermark-bounded upstream: closed windows stop receiving updates and
-    their board rows go stable."""
+    the rank runs batch-side per trigger over the store — the standard
+    leaderboard materialization shape.
+
+    The upstream watermark only stops UPDATES to closed windows; it does
+    not bound the store itself, so the merge also PRUNES rows whose
+    ``window_end`` has fallen more than ``retention`` behind the newest
+    window in the store — keeping per-trigger cost proportional to the
+    retained horizon instead of growing with stream lifetime. ``"auto"``
+    retains ``watermark + window`` (every window that could still change,
+    plus the newest closed one); pass an explicit interval string to
+    keep a longer board, or ``None`` to keep ALL history (per-trigger
+    cost then grows linearly — only for short-lived streams)."""
     from ..operators import keep_topk
 
     agg = windowed_event_counts(events, window=window, watermark=watermark)
+    keep = f"{watermark} + interval {window}" if retention == "auto" else retention
 
     def _update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -294,6 +352,19 @@ def trending_sink(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if keep is not None:
+            # horizon = newest window_end in the store (event time, not
+            # wall clock — replays prune identically). One-row agg,
+            # broadcast back: the store is never globally shuffled.
+            bounds = latest.agg(F.max("window_end").alias("_horizon"))
+            latest = (
+                latest.join(F.broadcast(bounds))
+                .filter(
+                    F.col("window_end")
+                    >= F.col("_horizon") - F.expr(f"interval {keep}")
+                )
+                .drop("_horizon")
+            )
         latest = latest.localCheckpoint(eager=True)
         latest.write.mode("overwrite").parquet(store_path)
         board = keep_topk(

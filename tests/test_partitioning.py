@@ -83,4 +83,12 @@ def test_sql_face_plans(spark):
         .executedPlan()
         .toString()
     )
-    assert "Subquery" not in p17 or "HashAggregate" in p17
+    # the correlated scalar subquery must be decorrelated away entirely —
+    # assert the absence of any surviving per-row subquery node directly
+    # (the old `"Subquery" not in p17 or "HashAggregate" in p17` was
+    # vacuous: every aggregate plan contains a HashAggregate)
+    assert "ScalarSubquery" not in p17 and "Subquery" not in p17
+    # and the decorrelated shape: the avg is a join input, not a probe
+    assert "HashAggregate" in p17 and (
+        "SortMergeJoin" in p17 or "BroadcastHashJoin" in p17 or "ShuffledHashJoin" in p17
+    )

@@ -149,7 +149,7 @@ def test_fuzzy_self_join_matches_bruteforce(spark):
     assert got == want and len(want) >= 4
 
 
-def test_fuzzy_self_join_rejects_unsound_params(spark):
+def test_fuzzy_self_join_rejects_unsound_params_strict(spark):
     import pytest as _pytest
 
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
@@ -158,7 +158,62 @@ def test_fuzzy_self_join_rejects_unsound_params(spark):
 
     df = spark.createDataFrame([(1, "tiny"), (2, "tin")], "id long, name string")
     with _pytest.raises(ValueError, match="unsound"):
-        fuzzy_self_join(df, "id", "name", max_dist=2, q=3)
+        fuzzy_self_join(df, "id", "name", max_dist=2, q=3, strict=True)
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+def test_fuzzy_self_join_total_on_mixed_lengths(spark):
+    """Short strings below the q-gram soundness bound no longer raise:
+    the short stratum is length-bucket brute-forced, the long stratum
+    blocked, and the union is still exact vs brute force — including
+    short/short pairs, short/long pairs straddling the bound, and
+    1-char strings (deletion to a 2-char neighbor)."""
+    import itertools
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    names = [
+        "a", "b", "ab", "abc", "abd", "abcd", "abcde", "abcdX",
+        "small ring", "small rung", "smell ring",
+        "red widget", "red widgets", "hot gearbox", "hot gearbix",
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_self_join(df, "id", "name", max_dist=1, q=3).collect()
+    )
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert got == want
+    # the mix genuinely exercises both strata: short/short ("a"-"b",
+    # "ab"-"abc") and blocked-long ("small ring"-"small rung") pairs
+    assert (0, 1, 1) in want and (8, 9, 1) in want
+
+
+def test_fuzzy_self_join_empty_schema_follows_id_type(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    df = spark.createDataFrame([], "id string, name string")
+    out = fuzzy_self_join(df, "id", "name", max_dist=1)
+    assert out.count() == 0
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema) == {
+        "id_a": "string", "id_b": "string", "dist": "int",
+    }
 
 
 def test_pagerank_symmetry_and_determinism(spark):

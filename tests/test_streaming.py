@@ -810,3 +810,145 @@ def test_trending_sink_matches_batch(spark, tmp_path):
     # hour 0 has 5 types -> exactly 3 survive the cut
     h0 = got[got["window_start"] == got["window_start"].min()]
     assert len(h0) == 3 and list(h0["event_type"]) == ["purchase", "click", "error"]
+
+
+def test_upsert_parquet_prunes_untouched_partitions(spark, tmp_path):
+    """The parquet upsert store is bucket-partitioned; a micro-batch must
+    only rewrite the buckets its keys hash into — every other partition's
+    data files keep their exact paths and mtimes."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        UPSERT_BUCKET_COL,
+        upsert_to_parquet,
+    )
+
+    src = str(tmp_path / "prune_in")
+    sink = str(tmp_path / "prune_snapshot")
+    n_buckets = 8
+    # pick two event_ids that land in DIFFERENT buckets (computed with the
+    # same expression the sink uses, so the test can't drift from it)
+    ids = list(range(1, 33))
+    bmap = {
+        r["event_id"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in ids], "event_id long")
+        .select(
+            "event_id",
+            F.pmod(F.xxhash64("event_id"), F.lit(n_buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    id0 = ids[0]
+    id1 = next(i for i in ids if bmap[i] != bmap[id0])
+
+    def ev(eid, ts, tag):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": tag, "value": 1.0, "props": "{}"}
+
+    _write_event_files(src, [[ev(id0, "2024-01-01T00:00:00", "v0")]])
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = upsert_to_parquet(
+        stream, sink, keys=["event_id"],
+        checkpoint=str(tmp_path / "ckpt_prune"), n_buckets=n_buckets,
+    )
+    try:
+        q.processAllAvailable()
+
+        def files_of(bucket):
+            d = os.path.join(sink, f"{UPSERT_BUCKET_COL}={bucket}")
+            return {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")
+            } if os.path.isdir(d) else {}
+
+        before = files_of(bmap[id0])
+        assert before, "first batch must have created id0's bucket partition"
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(json.dumps(ev(id1, "2024-01-01T01:00:00", "v1")) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # id0's partition was not touched by batch 1: same files, same mtimes
+    assert files_of(bmap[id0]) == before
+    assert files_of(bmap[id1]), "batch 1 must have created id1's bucket"
+    snap = spark.read.parquet(sink).toPandas().sort_values("event_id")
+    assert snap.event_id.tolist() == sorted([id0, id1])  # merge semantics intact
+
+
+def test_upsert_parquet_migrates_legacy_layout(spark, tmp_path):
+    """A pre-existing UNpartitioned snapshot (old fallback layout) is
+    migrated on the first batch: nothing lost, latest still wins."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        UPSERT_BUCKET_COL,
+        upsert_to_parquet,
+    )
+
+    sink = str(tmp_path / "legacy_snapshot")
+    legacy = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00", 1, "old", 1.0, "{}"),
+         (2, "2024-01-01T00:00:00", 2, "old", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    legacy.write.parquet(sink)  # flat files, no bucket dirs
+
+    src = str(tmp_path / "legacy_in")
+    _write_event_files(src, [[{
+        "event_id": 1, "ts": "2024-01-01T02:00:00", "user_id": 1,
+        "event_type": "new", "value": 9.0, "props": "{}",
+    }]])
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = upsert_to_parquet(
+        stream, sink, keys=["event_id"], checkpoint=str(tmp_path / "ckpt_legacy")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.read.parquet(sink).toPandas().sort_values("event_id")
+    assert snap.event_id.tolist() == [1, 2]
+    assert snap[snap.event_id == 1].event_type.iloc[0] == "new"
+    assert snap[snap.event_id == 2].event_type.iloc[0] == "old"
+    # layout is now bucket-partitioned
+    assert any(d.startswith(f"{UPSERT_BUCKET_COL}=") for d in os.listdir(sink))
+
+
+def test_trending_sink_prunes_stale_windows(spark, tmp_path):
+    """The counts store is horizon-bounded: windows older than
+    watermark+window behind the newest window are pruned at merge time,
+    so per-trigger cost tracks the retained horizon, not stream
+    lifetime. Windows inside the horizon are untouched."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        trending_sink,
+    )
+
+    def ev(eid, ts, tag):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": tag, "value": 1.0, "props": "{}"}
+
+    # hour 0 falls 2+1h behind the newest window end (ts 10:30 -> end
+    # 11:00; horizon = 11:00 - 3h = 08:00) and must be pruned; hour 9-10
+    # survives
+    batch0 = [ev(1, "2024-01-01T00:10:00", "click"),
+              ev(2, "2024-01-01T00:20:00", "view")]
+    batch1 = [ev(3, "2024-01-01T09:30:00", "view"),
+              ev(4, "2024-01-01T10:30:00", "click")]
+    src = str(tmp_path / "trend_in")
+    _write_event_files(src, [batch0, batch1])
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = trending_sink(
+        stream,
+        store_path=str(tmp_path / "trend_store"),
+        board_path=str(tmp_path / "trend_board"),
+        k=3,
+        window="1 hour",
+        watermark="2 hours",
+        checkpoint=str(tmp_path / "ckpt_trend"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    store = spark.read.parquet(str(tmp_path / "trend_store")).toPandas()
+    starts = sorted(store["window_start"].astype(str).unique())
+    assert all(s >= "2024-01-01 08:00:00" for s in starts), starts
+    assert "2024-01-01 09:00:00" in starts and "2024-01-01 10:00:00" in starts
+    board = spark.read.parquet(str(tmp_path / "trend_board")).toPandas()
+    assert sorted(board["window_start"].astype(str).unique()) == starts
