@@ -3329,7 +3329,7 @@ WITH e AS (
 SELECT user_id,
        COUNT(*) AS n_views,
        CAST(SUM(CASE WHEN np IS NOT NULL
-                      AND epoch_us(np) - epoch_us(ts) <= 3600 * 1000000
+                      AND epoch_us(np) - epoch_us(ts) <= CAST(3600 AS BIGINT) * 1000000
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM f
 WHERE event_type = 'view'
