@@ -240,8 +240,11 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") * 13) % 100000).alias("start"),
         (((F.col("o_orderkey") * 13) % 100000) + 600).alias("end"),
     )
+    # auto-derived bin width (derive_bin_size): the result is width-
+    # invariant, so the oracle stays exact while the driver certifies the
+    # auto path; cnv_matrix keeps a pinned width to cover the other path.
     j = interval_join(
-        genes, segs, bin_size=10_000, min_overlap_frac=0.5,
+        genes, segs, bin_size="auto", min_overlap_frac=0.5,
         left_prefix="g_", right_prefix="s_",
     )
     return j.select(
@@ -3880,18 +3883,26 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting over the near-dup pair graph (a<b<c edge-join
     ordering, each triangle counted once) — the density statistic that
     distinguishes tight duplicate cliques from chains before
-    canonicalization."""
+    canonicalization. The pair list is persisted before the triple
+    self-join (same lineage lesson as pagerank's edge list,
+    operators/graph.py): unpersisted, the whole shingle->jaccard
+    derivation would execute once per join branch."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
         ngram_jaccard_pairs,
     )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    e = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    e = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b").persist()
     e1 = e.toDF("a", "b")
     e2 = e.toDF("b", "c")
     e3 = e.toDF("a", "c")
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return _with_caches(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles")), [e]
+    )
 
 
 SQL_TRIANGLE_COUNT = """

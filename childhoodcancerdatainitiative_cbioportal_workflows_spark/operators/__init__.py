@@ -1,4 +1,4 @@
-from .interval_join import interval_join  # noqa: F401
+from .interval_join import derive_bin_size, interval_join  # noqa: F401
 from .dedup import keep_first, keep_topk, dedup_with_preference  # noqa: F401
 from .pairing import pair_rows  # noqa: F401
 from .pivot import to_wide_matrix, assert_unique_cells, wide_matrix_lines  # noqa: F401

@@ -31,6 +31,52 @@ from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_BIN = 1_000_000  # ~genomic Mb; segments/genes are << 1 Mb typically
 
+#: auto-derived bin width is clamped to this range (a 16 bp floor keeps
+#: degenerate all-1bp corpora from generating per-base join keys; the cap
+#: keeps one bin from swallowing a whole chromosome)
+_AUTO_BIN_MIN, _AUTO_BIN_MAX = 16, 1 << 30
+
+
+def derive_bin_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str, str] = ("chrom", "start", "end"),
+    right_cols: tuple[str, str, str] = ("chrom", "start", "end"),
+) -> int:
+    """Pick the bin width from the data (the auto-P/auto-m/auto-shards
+    house pattern applied to the one custom physical strategy). The result
+    of :func:`interval_join` is IDENTICAL for any width — only the plan's
+    replication/skew changes — so this is purely a physical knob.
+
+    The tension: an interval of length L explodes into ``ceil(L/W)`` bin
+    rows (W too small -> whole-chromosome segments replicate millions of
+    times), while every interval inside one W-window lands on one join
+    key (W too big -> per-key quadratic fan-out). Taking
+    ``W >= mean(len)`` bounds TOTAL replication to <= 2x the input rows
+    (sum(len_i)/W <= N·mean/W <= N), and ``W >= p95(len)`` keeps 95% of
+    intervals on <= 2 bins, so a pathological mix (1 bp reads + arm-length
+    segments) can neither explode the long stratum nor key-collapse the
+    short one. Rounded up to a power of two for stable, cache-friendly
+    widths. One narrow aggregate over both inputs (at 100 TB, feed a
+    sample); callers that need a pinned plan pass an int ``bin_size``."""
+    lc, ls, le = left_cols
+    rc, rs, re_ = right_cols
+    lens = (
+        left.select((F.col(le) - F.col(ls)).cast("long").alias("len"))
+        .unionByName(
+            right.select((F.col(re_) - F.col(rs)).cast("long").alias("len"))
+        )
+    )
+    row = lens.agg(
+        F.mean("len").alias("mean"),
+        F.percentile_approx("len", 0.95, 10_000).alias("p95"),
+    ).first()
+    if row is None or row["mean"] is None:
+        return DEFAULT_BIN
+    w = int(max(row["p95"], row["mean"], _AUTO_BIN_MIN))
+    w = 1 << (w - 1).bit_length()  # next power of two
+    return min(w, _AUTO_BIN_MAX)
+
 
 def _binned(df: DataFrame, chrom: str, start: str, end: str, bin_size: int, prefix: str) -> DataFrame:
     out = df
@@ -54,7 +100,7 @@ def interval_join(
     *,
     left_cols: tuple[str, str, str] = ("chrom", "start", "end"),
     right_cols: tuple[str, str, str] = ("chrom", "start", "end"),
-    bin_size: int = DEFAULT_BIN,
+    bin_size: int | str = "auto",
     min_overlap_frac: float | None = None,
     left_prefix: str = "l_",
     right_prefix: str = "r_",
@@ -62,9 +108,15 @@ def interval_join(
 ) -> DataFrame:
     """Overlap-join two interval DataFrames; emit all columns (prefixed) plus
     the overlap width. ``min_overlap_frac`` filters pairs whose overlap is
-    < frac * left interval length (bedtools ``-f``)."""
+    < frac * left interval length (bedtools ``-f``). ``bin_size="auto"``
+    derives the width from the data (:func:`derive_bin_size` — the result
+    is identical for any width; pass an int to pin the plan)."""
     lc, ls, le = left_cols
     rc, rs, re_ = right_cols
+    if bin_size == "auto":
+        bin_size = derive_bin_size(left, right, left_cols, right_cols)
+    elif not isinstance(bin_size, int):
+        raise ValueError(f"bin_size must be an int or 'auto', got {bin_size!r}")
     lb = _binned(left, lc, ls, le, bin_size, left_prefix)
     rb = _binned(right, rc, rs, re_, bin_size, right_prefix)
 

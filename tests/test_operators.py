@@ -229,6 +229,62 @@ def test_interval_join_bin_sizes(spark):
     assert results[0] == results[1] == results[2]
     assert (1, 7, 2000) in results[0] and (2, 7, 100) in results[0]
     assert (1, 8, 1) in results[0]
+    # auto width produces the same result as every pinned width
+    auto = interval_join(
+        genes, segs, bin_size="auto", left_prefix="g_", right_prefix="s_"
+    ).toPandas()
+    assert sorted(zip(auto.g_gid, auto.s_sid, auto.overlap_bp)) == results[0]
+
+
+def test_interval_join_auto_bin_bounds_pathological_mixes(spark):
+    """The auto-derived width keeps replication bounded on the worst
+    length mixes SURVEY §7 flags: many 1 bp reads + a few chromosome-arm
+    segments (small-p95 corpora must not shred the arms into millions of
+    bins), and the reverse (arm-dominated corpora must not key-collapse
+    the reads). Bound: total binned rows <= 3x input intervals, which is
+    exactly the sum(ceil(len/W)) <= 2N guarantee of W >= mean plus slack
+    for the pow2 rounding."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.interval_join import (
+        _binned,
+        derive_bin_size,
+    )
+
+    arm = 50_000_000
+    reads = pd.DataFrame(
+        {
+            "rid": range(2000),
+            "chrom": ["c1"] * 2000,
+            "start": [i * 17 % 1_000_000 for i in range(2000)],
+        }
+    )
+    reads["end"] = reads["start"] + 1
+    segs = pd.DataFrame(
+        {
+            "sid": range(5),
+            "chrom": ["c1"] * 5,
+            "start": [0, arm, 2 * arm, 0, arm],
+            "end": [arm, 2 * arm, 3 * arm, 2 * arm, 3 * arm],
+        }
+    )
+    for l_pd, r_pd in [(reads, segs), (segs, reads)]:
+        l_df = spark.createDataFrame(l_pd)
+        r_df = spark.createDataFrame(r_pd)
+        w = derive_bin_size(l_df, r_df)
+        n_in = len(l_pd) + len(r_pd)
+        n_binned = (
+            _binned(l_df, "chrom", "start", "end", w, "l_").count()
+            + _binned(r_df, "chrom", "start", "end", w, "r_").count()
+        )
+        assert n_binned <= 3 * n_in, (w, n_binned, n_in)
+        # and the join over the auto width is still exact vs brute force
+        got = interval_join(
+            l_df, r_df, bin_size=w, left_prefix="l_", right_prefix="r_"
+        )
+        brute = l_df.toPandas().merge(r_df.toPandas(), on="chrom", suffixes=("_l", "_r"))
+        brute = brute[
+            (brute.start_l < brute.end_r) & (brute.start_r < brute.end_l)
+        ]
+        assert got.count() == len(brute)
 
 
 def test_reconcile_counts(spark):
