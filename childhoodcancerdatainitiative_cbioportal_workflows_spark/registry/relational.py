@@ -1,0 +1,353 @@
+"""Core relational operators: counts, distinct, joins (broadcast/semi/anti/full), dedup, pivot, windows.
+
+Each q_* returns a DataFrame; each SQL_* is its DuckDB oracle
+(value-exact at any SF). Split out of __spark_entry__.py (round 6)."""
+
+from ._common import *  # noqa: F401,F403
+from ._common import (  # noqa: F401
+    _BM25_K1P1,
+    _BM25_TERMS,
+    _DUCK_NIBFOLD,
+    _NIBFOLD_SPLIT,
+    _PAIRS_CTE_BODY,
+    _dsum,
+    _duck_bucket_expr,
+    _duck_plane_lit,
+    _duck_shingle_cte,
+    _ivf_centroid_ids,
+    _projection_sql,
+    _register_tables,
+    _sql_ann_ivf,
+    _sql_ann_ivf_trained,
+    _sql_ann_lsh,
+    _sql_bm25,
+    _sql_embedding_dups_lsh,
+    _sql_ivf_body,
+    _sql_kmeans_clusters,
+    _sql_minhash_universal,
+    _sql_pagerank,
+    _sql_semantic_dedup,
+    _sql_simhash_md5,
+)
+
+
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas value_counts (vcf_anno.py:430) == groupBy().count()."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_VALUE_COUNTS = """
+SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates / sort|uniq (cnv.py:619,692) == dropDuplicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+SQL_DISTINCT_ROWS = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+def q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-detection QA (cnv.py:42-52): keys occurring more than once."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DUP_DETECTION = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain with broadcast dims (restore_db.py:115 shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dsum(F.col("c_acctbal"), "sum_acctbal"))
+    )
+
+
+SQL_JOIN_DIMS = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join manifest<-counts shape (vcf_anno.py:426,434)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+SQL_LEFT_JOIN_COUNTS = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list / isin filter (mci:27) == left_semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN filter (vcf_anno.py:468, pedmatch:303) == left_anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_reconcile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-vs-observed reconciliation (cnv.py:686-711): full-outer join
+    of two count tables, null->0, mismatch flag."""
+    o = load_table(spark, sf_dir, "orders")
+    expected = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("expected"))
+    )
+    observed = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    return reconcile_counts(expected, observed, ["custkey"])
+
+
+SQL_RECONCILE_COUNTS = """
+WITH expected AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS expected FROM orders
+  WHERE o_orderstatus = 'O' GROUP BY 1
+), observed AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS observed FROM orders
+  WHERE o_totalprice > 100000 GROUP BY 1
+)
+SELECT COALESCE(e.custkey, ob.custkey) AS custkey,
+       COALESCE(e.expected, 0) AS expected,
+       COALESCE(ob.observed, 0) AS observed,
+       COALESCE(e.expected, 0) <> COALESCE(ob.observed, 0) AS mismatch
+FROM expected e FULL OUTER JOIN observed ob ON e.custkey = ob.custkey
+"""
+
+
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_values().drop_duplicates(keep='first') (cnv.py:372) == window
+    top-1: first line of each order by (shipdate, linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return keep_first(
+        li, ["l_orderkey"], [F.col("l_shipdate").asc(), F.col("l_linenumber").asc()]
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_shipdate")
+
+
+SQL_TOP1_PER_GROUP = """
+SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) = 1
+"""
+
+
+def q_dedup_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-with-source-preference (mci_clinical_variant_merge.py:263-282):
+    one event per user, 'purchase' rows preferred, then earliest."""
+    e = load_table(spark, sf_dir, "events")
+    pref = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    return dedup_with_preference(
+        e, ["user_id"], pref, [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_id", "event_type", "ts")
+
+
+SQL_DEDUP_PREFERENCE = """
+SELECT user_id, event_id, event_type, ts FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id
+  ORDER BY CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, ts, event_id
+) = 1
+"""
+
+
+def q_pair_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fusion breakend pairing (pedmatch:123-151): consecutive rows per group
+    taken 2-at-a-time via row_number + lead."""
+    e = load_table(spark, sf_dir, "events")
+    paired = pair_rows(
+        e.select("user_id", "event_id", "event_type"),
+        group_col="user_id",
+        order_col="event_id",
+        pair_cols=["event_id", "event_type"],
+    )
+    return paired.select(
+        "user_id", "pair_id", "event_id_1", "event_id_2", "event_type_1", "event_type_2"
+    )
+
+
+SQL_PAIR_ROWS = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS event_id_2,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS event_type_2
+  FROM events
+)
+SELECT user_id, CAST((rn - 1) / 2 AS BIGINT) AS pair_id,
+       event_id AS event_id_1, event_id_2,
+       event_type AS event_type_1, event_type_2
+FROM ordered WHERE rn % 2 = 1 AND event_id_2 IS NOT NULL
+"""
+
+
+def q_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide matrix pivot (cnv.py:650-684): priority x status counts."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wide = to_wide_matrix(
+        counts, index="o_orderpriority", column="o_orderstatus",
+        value="n", fill=0, column_values=["O", "F", "P"],
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("O").alias("n_open"),
+        F.col("F").alias("n_finished"),
+        F.col("P").alias("n_pending"),
+    )
+
+
+SQL_PIVOT_MATRIX = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_mafs semantics (vcf_anno.py:350-398): union already-schematized
+    parts, then the line-count ledger as one aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A")
+    b = li.filter(F.col("l_returnflag") != "A")
+    return (
+        a.unionByName(b)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), _dsum(F.col("l_quantity"), "sum_qty"))
+    )
+
+
+SQL_UNION_CONCAT = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM (
+  SELECT * FROM lineitem WHERE l_returnflag = 'A'
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_returnflag <> 'A'
+)
+GROUP BY l_returnflag
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group (operators/dedup.keep_topk, the k>1 form of the
+    reference's sort+drop_duplicates window at cnv.py:372): top 3 orders
+    per customer by price. One shuffle; row_number under a total order."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        keep_topk,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return keep_topk(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+        rank_col="rnk",
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frames (rowsBetween): per-customer running spend and
+    3-order moving average. Sums ride DECIMAL so the prefix/frame
+    aggregation is order-exact in both engines (DuckDB's windowed SUM
+    uses a segment tree — double addition order differs)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(dec).over(run).cast("double").alias("cum_spend"),
+        (F.sum(dec).over(last3).cast("double")
+         / F.count(F.lit(1)).over(last3)).alias("ma3"),
+    )
+
+
+SQL_RUNNING_WINDOW = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (w ROWS 2 PRECEDING) AS DOUBLE)
+         / COUNT(*) OVER (w ROWS 2 PRECEDING) AS ma3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
