@@ -385,6 +385,69 @@ def test_asof_forward_nearest_match_pandas(spark):
                 assert ((g == e) | both_na).all(), (direction, exact, col)
 
 
+def test_asof_subsecond_timestamps_match_pandas(spark):
+    """Microsecond-resolution cross-check: the events table carries
+    sub-second timestamps, and whole-second truncation (the pre-r6 bug)
+    can tie/invert nearest distances when candidates sit within ~2s of
+    each other, and misjudge tolerance by up to ~1s. Dense microsecond
+    offsets force many such near-ties; distances must be microsecond-
+    exact to agree with pandas."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # all timestamps inside a 30-second span -> nearest candidates
+    # routinely within 2s of each other, fractional parts everywhere
+    lus = rng.choice(30_000_000, 250, replace=False).astype("timedelta64[us]")
+    rus = rng.choice(30_000_000, 180, replace=False).astype("timedelta64[us]")
+    lp = pd.DataFrame(
+        {"event_id": np.arange(250), "user_id": rng.integers(0, 4, 250),
+         "ts": base + lus}
+    ).sort_values("ts")
+    rp = (
+        pd.DataFrame(
+            {"user_id": rng.integers(0, 4, 180), "ts": base + rus,
+             "value": rng.uniform(0, 10, 180).round(3),
+             "event_id": np.arange(1000, 1180)}
+        )
+        .sort_values("ts")
+        .drop_duplicates(["user_id", "ts"])
+    )
+    cases = [("backward", None), ("forward", None), ("nearest", None),
+             ("nearest", 2), ("backward", 1)]
+    for direction, tol in cases:
+        expected = pd.merge_asof(
+            lp,
+            rp[["user_id", "ts", "value"]].rename(
+                columns={"ts": "asof_ts", "value": "asof_value"}
+            ),
+            left_on="ts",
+            right_on="asof_ts",
+            by="user_id",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values("event_id")
+        got = (
+            asof_join(
+                spark.createDataFrame(lp),
+                spark.createDataFrame(rp),
+                ["user_id"],
+                "ts",
+                ["value"],
+                tiebreak="event_id",
+                direction=direction,
+                tolerance_seconds=tol,
+            )
+            .toPandas()
+            .sort_values("event_id")
+        )
+        for col in ("asof_ts", "asof_value"):
+            g, e = got[col].to_numpy(), expected[col].to_numpy()
+            both_na = pd.isna(got[col]).to_numpy() & pd.isna(expected[col]).to_numpy()
+            assert ((g == e) | both_na).all(), (direction, tol, col)
+
+
 def test_asof_nearest_single_exchange(asof_frames):
     """nearest computes both directional carries over ONE hash exchange
     (two local sorts), never a second shuffle or a range join."""
