@@ -18,6 +18,8 @@ from .dedup import (  # noqa: F401
     embedding_dup_pairs,
     embedding_dup_pairs_lsh,
     incremental_dedup,
+    boilerplate_ngrams,
+    soft_dedup_weights,
     release_plan_caches,
 )
 from .clustering import (  # noqa: F401
@@ -41,6 +43,9 @@ from .sampling import (  # noqa: F401
     hash_sample,
     pack_sequences,
     stratified_hash_sample,
+    temperature_sample,
+    collocations,
+    curriculum_buckets,
     weighted_hash_sample,
     weighted_sample_k,
 )

@@ -1345,3 +1345,77 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-passage detection: the n-gram spans that
+    occur in many DISTINCT documents — boilerplate headers/footers,
+    license blocks, templated text, benchmark leakage. Doc-level dedup
+    never sees these (the surrounding documents differ); span-level
+    df-counting does, and the hot spans are exactly what a cleaning pass
+    strips or a decontamination pass audits.
+
+    Per-doc distinct shingles (array_distinct before the explode, so a
+    doc repeating its own header counts once), ONE map-side-combined
+    aggregation keyed by the shingle — the exchange is bounded by the
+    distinct shingle vocabulary, never corpus token count — then a
+    deterministic top-k (docs desc, shingle asc; TakeOrderedAndProject)."""
+    sh = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n=n))
+        ).alias("shingle"),
+    )
+    out = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return out.orderBy(
+        F.col("n_docs").desc(), F.col("shingle").asc()
+    ).limit(top_k)
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, weight
+    every document by the inverse size of its duplicate cluster
+    (``weight_fp = floor(scale / cluster_size)``), so a k-way duplicated
+    page contributes ~one document of training mass in total while rare
+    text keeps full weight — the keep-and-downweight alternative to hard
+    dedup. Documents in no pair keep weight ``scale`` exactly.
+
+    Composes :func:`dedup_components` (O(log n) star contraction / driver
+    union-find on the tiny pair graph) with one cluster-size aggregate
+    and a LEFT join back to the corpus — the weight table is
+    pair-graph-sized, so the join broadcasts; the corpus is scanned once
+    and never shuffled. floor(scale / k) is exact in any engine (the
+    double ratio only hits an integer when k divides scale)."""
+    comp = dedup_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
+    weights = comp.join(F.broadcast(sizes), "component").select(
+        F.col("id").alias("_wid"),
+        F.floor(F.lit(scale) / F.col("_csize")).cast("long").alias("weight_fp"),
+    )
+    out = (
+        docs.select(F.col(id_col))
+        .join(F.broadcast(weights), docs[id_col] == weights["_wid"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("weight_fp"), F.lit(scale).cast("long")).alias(
+                "weight_fp"
+            ),
+        )
+    )
+    return _with_caches(out, getattr(comp, "_spark_graft_caches", []))

@@ -444,3 +444,151 @@ def chunk_documents(
             F.array_join("c.ctoks", " ").alias("chunk_text"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.3,
+    budget_frac: float = 0.2,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-corpus
+    standard, cf. the alpha-sampling of mC4/XLM-R; public technique):
+    sample domain d at a rate proportional to ``n_d^(alpha-1)`` so small
+    domains are up-weighted and huge ones down-weighted, with the total
+    expected kept volume = ``budget_frac`` of the corpus. The scale
+    constant is ``c = budget * N / sum_d n_d^alpha``; a domain whose rate
+    caps at 1 contributes everything it has (the budget is then an upper
+    bound — exact water-filling would re-spread the shortfall; this is
+    the standard one-shot form).
+
+    Membership is the same md5 bucket as every other sampler here, so
+    temperature samples NEST with splits/strata samples and are stable
+    under re-partitioning and re-runs.
+
+    Scale shape: one tiny per-domain aggregate (|domains| rows), one
+    scalar reduce over it, broadcast the (domain -> bucket bound) table
+    back, narrow filter. The corpus itself is scanned once and never
+    shuffled. Returns the kept rows plus the integer ``rate_bound``
+    (bucket bound in [0, NUM_BUCKETS]) so the realized rate is auditable."""
+    counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    totals = counts.agg(
+        F.sum("_nd").alias("_n"),
+        F.sum(F.pow(F.col("_nd").cast("double"), F.lit(alpha))).alias("_z"),
+    )
+    rates = (
+        counts.join(F.broadcast(totals))
+        .select(
+            "_dom",
+            F.least(
+                F.lit(NUM_BUCKETS),
+                F.floor(
+                    F.lit(budget_frac)
+                    * F.col("_n")
+                    / F.col("_z")
+                    * F.pow(F.col("_nd").cast("double"), F.lit(alpha - 1.0))
+                    * NUM_BUCKETS
+                ),
+            )
+            .cast("int")
+            .alias("rate_bound"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == rates["_dom"])
+        .filter(hash_bucket(F.col(key_col)) < F.col("rate_bound"))
+        .drop("_dom")
+    )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI-style collocation mining: rank adjacent pairs by the pointwise
+    likelihood ratio ``n_ab * T / (n_a * n_b)`` (T = total bigram count) —
+    monotone in PMI but computed in EXACT integer arithmetic
+    (``lr_fp = (n_ab * T * 1e6) div (n_a * n_b)``), so the ranking is
+    bit-identical across engines with no log/pow ULP hazard. ``min_count``
+    drops the unstable low-frequency tail (classic PMI pathology: hapax
+    pairs score highest).
+
+    Scale: one bigram aggregate + one unigram aggregate (both map-side
+    combined); the min_count-filtered bigram side is collocation-sized,
+    so both stat joins broadcast it against the unigram vocabulary."""
+    from ..core.session import spread
+    from ..functions.text import ws_tokens
+
+    bc = bigram_counts(df, text_col=text_col)
+    total = bc.agg(F.sum("n").alias("_t"))
+    uni = (
+        spread(df)
+        .select(F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_nu"))
+    )
+    cand = bc.filter(F.col("n") >= min_count).join(F.broadcast(total))
+    out = (
+        cand.join(uni.withColumnRenamed("token", "token_a"), "token_a")
+        .withColumnRenamed("_nu", "_na")
+        .join(uni.withColumnRenamed("token", "token_b"), "token_b")
+        .withColumnRenamed("_nu", "_nb")
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n").alias("n_pair"),
+            F.expr("n * _t * 1000000 div (_na * _nb)").alias("lr_fp"),
+        )
+    )
+    return out.orderBy(
+        F.col("lr_fp").desc(), F.col("token_a").asc(), F.col("token_b").asc()
+    ).limit(top_k)
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-curriculum bucketing: rank the corpus by quality score
+    (fixed-pointed, ties broken by id — a total order, so ntile is
+    deterministic) and cut it into ``n_buckets`` equal-count phases with
+    per-phase document and token budgets. The schedule table a curriculum
+    trainer consumes: phase 1 = highest quality.
+
+    Scale note: Spark executes an unpartitioned ntile window on a single
+    partition — acceptable here only because the windowed projection is
+    NARROW (id, q_fp, n_tokens: ~24 B/row); at 100 TB swap the exact
+    ntile for an approx-quantile cut of q_fp (percentile_approx bounds,
+    then a broadcast range lookup), trading exact equal counts for a
+    fully parallel plan."""
+    from ..functions.text import quality_score, ws_tokens
+
+    from pyspark.sql import Window
+
+    # quality_score is already floor-scaled to 1e-4; re-multiplying gives
+    # k +/- 1 ulp, so ROUND (never floor — floor(k - ulp) = k-1) recovers
+    # the exact integer in any engine
+    q_fp = F.round(quality_score(F.col(text_col)) * 10_000).cast("long")
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        q_fp.alias("q_fp"),
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("q_fp").desc(), F.col("_id").asc())
+    return (
+        staged.withColumn("phase", F.ntile(n_buckets).over(w))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("q_fp").alias("q_max"),
+            F.min("q_fp").alias("q_min"),
+        )
+    )

@@ -774,3 +774,141 @@ FROM b
 ORDER BY logkey_fp DESC, doc_id ASC
 LIMIT 100
 """
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (llm/sampling.
+    temperature_sample): sample source d at rate ∝ n_d^(alpha-1)
+    (alpha=0.3, the multilingual-corpus standard) with total budget 20%
+    of the corpus — small sources up-weighted, huge ones down-weighted.
+    One tiny per-source aggregate, broadcast rate table, narrow md5
+    filter; the corpus is never shuffled."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        temperature_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_sample(d, domain_col="source", alpha=0.3, budget_frac=0.2)
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH c AS (
+  SELECT source AS dom, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(nd) AS BIGINT) AS n,
+         SUM(pow(CAST(nd AS DOUBLE), 0.3)) AS z
+  FROM c
+), r AS (
+  SELECT dom,
+         CAST(LEAST(10000, FLOOR(
+             0.2 * n / z * pow(CAST(nd AS DOUBLE), -0.7) * 10000
+         )) AS INT) AS rate_bound
+  FROM c, tot
+), hx AS (
+  SELECT doc_id, source, md5(doc_id::VARCHAR) AS h FROM documents
+), b AS (
+  SELECT doc_id, source, {_NIBFOLD_SPLIT} % 10000 AS bucket FROM hx
+)
+SELECT b.doc_id, b.source, r.rate_bound
+FROM b JOIN r ON r.dom = b.source
+WHERE b.bucket < r.rate_bound
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocation mining (llm/sampling.collocations): adjacent
+    pairs ranked by the pointwise likelihood ratio n_ab*T/(n_a*n_b) in
+    EXACT integer arithmetic (bigint mul + floor div — monotone in PMI,
+    zero log/pow ULP hazard), min_count=5 against the hapax pathology.
+    Two map-side-combined aggregates; the filtered bigram side broadcasts
+    into both unigram-stat joins."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        collocations,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return collocations(d, min_count=5, top_k=20)
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH d AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), p AS (
+  SELECT tk[i] AS token_a, tk[i + 1] AS token_b
+  FROM d, unnest(range(1, len(tk))) AS r(i)
+), bc AS (
+  SELECT token_a, token_b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t FROM bc
+), u AS (
+  SELECT unnest(tk) AS token FROM d
+), uc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS nu FROM u GROUP BY token
+)
+SELECT bc.token_a, bc.token_b, bc.n AS n_pair,
+       (bc.n * tot.t * 1000000) // (ua.nu * ub.nu) AS lr_fp
+FROM bc, tot
+JOIN uc ua ON ua.token = bc.token_a
+JOIN uc ub ON ub.token = bc.token_b
+WHERE bc.n >= 5
+ORDER BY lr_fp DESC, token_a ASC, token_b ASC
+LIMIT 20
+"""
+
+
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum schedule (llm/sampling.curriculum_buckets):
+    rank the corpus by fixed-point quality (ties broken by doc_id — a
+    total order, so ntile is deterministic) and cut into 10 equal-count
+    phases with per-phase doc and token budgets."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        curriculum_buckets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return curriculum_buckets(d, n_buckets=10)
+
+
+SQL_CURRICULUM_BUCKETS = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS distinct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','that','it','for')))
+                   / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS sw,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) AS punct
+  FROM t
+), s AS (
+  SELECT doc_id,
+         CAST(ROUND(FLOOR(GREATEST(LEAST(
+             0.25 * LEAST(n / 100.0, 1.0)
+           + 0.25 * distinct_ratio
+           + 0.35 * LEAST(sw * 5, 1.0)
+           + 0.15 * (1 - LEAST(CASE WHEN length(text) > 0 THEN punct / length(text) ELSE 1.0 END * 4, 1.0)),
+           1.0), 0.0) * 10000) / 10000 * 10000) AS BIGINT) AS q_fp,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM m
+), r AS (
+  SELECT doc_id, q_fp, n_tokens,
+         CAST(ntile(10) OVER (ORDER BY q_fp DESC, doc_id ASC) AS INT) AS phase
+  FROM s
+)
+SELECT phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MAX(q_fp) AS q_max,
+       MIN(q_fp) AS q_min
+FROM r GROUP BY phase
+"""

@@ -637,3 +637,72 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs_prefix(d, n=3, threshold=0.5)
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (llm/dedup.
+    boilerplate_ngrams): the 5-gram spans appearing in the most DISTINCT
+    documents — boilerplate / license blocks / templated text that
+    doc-level dedup never sees. Per-doc distinct shingles, one map-side-
+    combined aggregate keyed by the shingle, deterministic top-20."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        boilerplate_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(d, n=5, min_docs=2, top_k=20)
+
+
+SQL_BOILERPLATE_NGRAMS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 5
+           THEN list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))
+           ELSE [] END)) AS shingle
+  FROM t
+)
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sh GROUP BY shingle
+HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, shingle ASC
+LIMIT 20
+"""
+
+
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (llm/dedup.soft_dedup_weights): every document
+    weighted by the inverse size of its near-dup cluster (connected
+    components over the n-gram Jaccard pairs; weight_fp =
+    floor(1e6/cluster_size)) — the keep-and-downweight alternative to
+    hard dedup. Docs in no pair keep weight 1e6 exactly; the weight table
+    is pair-graph-sized and broadcasts onto the corpus."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        soft_dedup_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return soft_dedup_weights(d, ngram_jaccard_pairs(d, threshold=0.5))
+
+
+SQL_DEDUP_WEIGHTS = SQL_DEDUP_COMPONENTS.replace(
+    "SELECT id, MIN(comp) AS component FROM walk GROUP BY id",
+    """SELECT d.doc_id,
+       COALESCE(w.weight_fp, CAST(1000000 AS BIGINT)) AS weight_fp
+FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+LEFT JOIN (
+  SELECT comp.id,
+         CAST(FLOOR(1000000.0 / s.csize) AS BIGINT) AS weight_fp
+  FROM (SELECT id, MIN(comp) AS component FROM walk GROUP BY id) comp
+  JOIN (SELECT component, COUNT(*) AS csize
+        FROM (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+        GROUP BY component) s USING (component)
+) w ON w.id = d.doc_id""",
+)

@@ -287,3 +287,105 @@ def test_weighted_sample_k_proportional_and_exact_size(spark):
     # deterministic under repartitioning
     again = weighted_sample_k(df.repartition(13), F.col("w"), k=200).collect()
     assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in again)
+
+
+def test_temperature_sample_upweights_small_domains(spark):
+    """alpha<1 must give the SMALL domain a strictly higher sampling rate
+    than the big one (rate ∝ n^(alpha-1)), keep totals near the budget,
+    and stay deterministic under repartitioning. The shared testdata has
+    uniform sources, so the differential path is pinned here on a skewed
+    synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        temperature_sample,
+    )
+
+    # domain A: 3000 docs, domain B: 100 docs
+    df = spark.range(3100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3000, F.lit("big")).otherwise(F.lit("small")).alias(
+            "source"
+        ),
+    )
+    out = temperature_sample(
+        df, domain_col="source", alpha=0.3, budget_frac=0.2
+    )
+    rates = {
+        r["source"]: r["rate_bound"]
+        for r in out.select("source", "rate_bound").distinct().collect()
+    }
+    # uncapped rate ratio = (100/3000)^(0.3-1) = 30^0.7 ≈ 10.8x in favor
+    # of small — which caps at 1.0 here (rate_bound 10000) while big
+    # samples at ~15%
+    assert rates["small"] == 10000
+    assert rates["big"] < 2000
+    rows = out.collect()
+    kept = len(rows)
+    # expected kept = 0.2*3100 = 620 (small caps at 1.0: expected
+    # small-rate = min(1, c*100^-0.7); verify the realized total is the
+    # analytic expectation within hash noise)
+    import math
+
+    z = 3000**0.3 + 100**0.3
+    c = 0.2 * 3100 / z
+    expect = sum(
+        n * min(1.0, math.floor(c * n ** (-0.7) * 10000) / 10000)
+        for n in (3000, 100)
+    )
+    assert abs(kept - expect) < 0.15 * expect
+    again = temperature_sample(
+        df.repartition(13), domain_col="source", alpha=0.3, budget_frac=0.2
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+
+
+def test_soft_dedup_weights_inverse_cluster_size(spark):
+    """weight_fp = floor(1e6 / cluster size) exactly; unpaired docs keep
+    1e6; a chain pair-list (a-b, b-c) forms ONE cluster of 3."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        release_plan_caches,
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = soft_dedup_weights(docs, pairs)
+    got = {r["doc_id"]: r["weight_fp"] for r in out.collect()}
+    release_plan_caches(out)
+    assert got == {
+        0: 333333, 1: 333333, 2: 333333,  # chain -> one 3-cluster
+        3: 500000, 4: 500000,             # pair
+        5: 1000000,                       # untouched
+    }
+
+
+def test_collocations_exact_integer_ratio(spark):
+    """lr_fp is exact integer arithmetic: verify against a hand-computed
+    likelihood ratio on a tiny corpus, min_count filtering included."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        collocations,
+    )
+
+    # "new york" appears 5x (passes min_count), tokens: new 5, york 5;
+    # filler "a b" appears 6x with very common tokens -> low ratio
+    corpus = ["new york " + "a b " * 3] * 5 + ["a b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    rows = {
+        (r["token_a"], r["token_b"]): (r["n_pair"], r["lr_fp"])
+        for r in collocations(df, min_count=5, top_k=10).collect()
+    }
+    # totals: per rep doc tokens = [new, york, a, b, a, b, a, b] -> bigrams 7 each
+    # T = 5*7 + 1 = 36 bigrams
+    assert ("new", "york") in rows
+    n_pair, lr = rows[("new", "york")]
+    assert n_pair == 5
+    assert lr == (5 * 36 * 1_000_000) // (5 * 5)  # exact integer ratio
+    # the boilerplate pair ranks below the collocation
+    assert rows[("new", "york")][1] > rows.get(("a", "b"), (0, 0))[1]
