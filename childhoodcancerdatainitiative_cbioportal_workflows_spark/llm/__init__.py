@@ -70,4 +70,5 @@ from .quantize import (  # noqa: F401
     quantize_embeddings,
     quantize_vec,
 )
+from .bpe import EOW, segment_words, train_bpe_merges  # noqa: F401
 from .projection import projection_matrix, projection_sql, random_projection  # noqa: F401

@@ -912,3 +912,44 @@ SELECT phase,
        MIN(q_fp) AS q_min
 FROM r GROUP BY phase
 """
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE round-1 statistics (llm/bpe): adjacent character-symbol pairs
+    over the word-frequency vocabulary, weighted by word count, with the
+    Sennrich </w> end-of-word marker — the aggregation every merge round
+    of the distributed trainer runs (the full iterative loop is
+    reference-cross-checked in tests/test_bpe.py; this face pins its
+    per-round statistic bit-exactly). Deterministic top-50 by
+    (count desc, pair asc)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.bpe import (
+        _initial_vocab,
+        _pair_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _pair_counts(_initial_vocab(d, "text"))
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(50)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+), v AS (
+  SELECT n, list_append(string_split(word, ''), '</w>') AS syms FROM wc
+), p AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, n
+  FROM v, unnest(range(1, len(syms))) AS r(i)
+)
+SELECT a, b, CAST(SUM(n) AS BIGINT) AS cnt
+FROM p GROUP BY a, b
+ORDER BY cnt DESC, a ASC, b ASC
+LIMIT 50
+"""
