@@ -46,6 +46,7 @@ from .sampling import (  # noqa: F401
     temperature_sample,
     collocations,
     curriculum_buckets,
+    curriculum_buckets_approx,
     weighted_hash_sample,
     weighted_sample_k,
 )

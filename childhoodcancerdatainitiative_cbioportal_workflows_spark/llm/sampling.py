@@ -592,3 +592,55 @@ def curriculum_buckets(
             F.min("q_fp").alias("q_min"),
         )
     )
+
+
+def curriculum_buckets_approx(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB face of :func:`curriculum_buckets`: phase boundaries
+    from ONE mergeable ``percentile_approx`` aggregate over the
+    fixed-point quality (plus the id-hash tiebreak folded into the sort
+    key so ties split deterministically), then a broadcast range lookup —
+    no global window, no single-partition sort, fully parallel. Phase
+    sizes are approximately equal (within the sketch's rank error at
+    ``accuracy``) instead of exactly equal; same schema as the exact
+    form, so the two are drop-in interchangeable."""
+    from ..functions.text import quality_score, ws_tokens
+
+    q_fp = F.round(quality_score(F.col(text_col)) * 10_000).cast("long")
+    # composite sort key: quality in the high bits, id-hash bucket in the
+    # low bits — ties inside one quality value spread uniformly, so a
+    # corpus dominated by one score still cuts into n_buckets phases
+    key = q_fp * NUM_BUCKETS + hash_bucket(F.col(id_col))
+    staged = df.select(
+        key.alias("_key"),
+        q_fp.alias("q_fp"),
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = staged.agg(
+        F.percentile_approx(
+            F.col("_key"), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+        ).alias("_cuts")
+    )
+    # phase = 1 + number of cut points BELOW the key, counted from the
+    # TOP (phase 1 = highest quality, like the exact form)
+    ranked = staged.join(F.broadcast(cuts))
+    phase = (
+        F.lit(n_buckets)
+        - F.size(F.filter(F.col("_cuts"), lambda c: c < F.col("_key")))
+    ).cast("int")
+    return (
+        ranked.withColumn("phase", phase)
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("q_fp").alias("q_max"),
+            F.min("q_fp").alias("q_min"),
+        )
+    )

@@ -389,3 +389,36 @@ def test_collocations_exact_integer_ratio(spark):
     assert lr == (5 * 36 * 1_000_000) // (5 * 5)  # exact integer ratio
     # the boilerplate pair ranks below the collocation
     assert rows[("new", "york")][1] > rows.get(("a", "b"), (0, 0))[1]
+
+
+def test_curriculum_approx_tracks_exact(spark):
+    """The parallel approx-quantile curriculum must produce near-equal
+    phases whose quality ordering agrees with the exact ntile form:
+    phase 1 holds the best docs, per-phase counts within 25% of N/k, and
+    q ranges are monotone non-increasing across phases."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        curriculum_buckets,
+        curriculum_buckets_approx,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+        load_table,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    n = d.count()
+    exact = {r["phase"]: r for r in curriculum_buckets(d, n_buckets=5).collect()}
+    approx = {
+        r["phase"]: r for r in curriculum_buckets_approx(d, n_buckets=5).collect()
+    }
+    assert set(approx) == set(exact) == {1, 2, 3, 4, 5}
+    for p, row in approx.items():
+        assert abs(row["n_docs"] - n / 5) <= 0.25 * (n / 5), (p, row["n_docs"])
+    # quality ordering: each phase's min >= next phase's max (up to ties
+    # sharing one fixed-point value across the cut)
+    for p in range(1, 5):
+        assert approx[p]["q_min"] >= approx[p + 1]["q_max"] - 1
+    # top phase agrees with exact on where the best documents live
+    assert approx[1]["q_max"] == exact[1]["q_max"]
+    assert sum(r["n_docs"] for r in approx.values()) == n
