@@ -121,3 +121,39 @@ def test_sqldump_format_statement_relation(registered, tmp_path):
         .to_dict()
     )
     assert full == want and want["patients"] == 10 and want["empty_tbl"] == 0
+
+
+def test_xlsx_streaming_drop_zone(registered, tmp_path):
+    """readStream.format('xlsx'): new workbooks are picked up per
+    micro-batch, already-seen ones are not re-read, and rows land with
+    lineage."""
+    spark = registered
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    write_xlsx(str(zone / "w1.xlsx"), {"S": [["id", "v"], [1, "a"], [2, "b"]]})
+
+    stream = (
+        spark.readStream.format("xlsx")
+        .option("path", str(zone))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("xlsx_zone")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM xlsx_zone").collect()
+        assert {(r["id"], r["v"]) for r in first} == {("1", "a"), ("2", "b")}
+        write_xlsx(str(zone / "w2.xlsx"), {"S": [["id", "v"], [3, "c"]]})
+        q.processAllAvailable()
+        allrows = spark.sql("SELECT * FROM xlsx_zone").collect()
+        assert {(r["id"], r["v"]) for r in allrows} == {
+            ("1", "a"), ("2", "b"), ("3", "c"),
+        }
+        # no re-ingestion: w1's rows appear exactly once
+        assert len(allrows) == 3
+    finally:
+        q.stop()
