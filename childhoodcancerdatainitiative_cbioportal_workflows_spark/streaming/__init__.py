@@ -10,6 +10,7 @@ from .events import (  # noqa: F401
     read_rate_stream,
     upsert_sink,
     upsert_to_parquet,
+    compact_upsert_store,
     windowed_event_counts,
     sessionize,
     trending_sink,

@@ -295,6 +295,58 @@ def upsert_to_parquet(
     return writer.start()
 
 
+def compact_upsert_store(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 4,
+) -> list[int]:
+    """Small-file compaction for the bucket-partitioned upsert store:
+    every micro-batch's dynamic overwrite leaves its own parquet files in
+    the touched buckets, so a long-running sink accumulates
+    files-per-bucket ~ batches-touching-it. This maintenance pass
+    rewrites ONLY buckets holding more than ``max_files_per_bucket``
+    data files — one coalesced file each — and leaves every other bucket
+    untouched (same pruning discipline as the sink itself). Run it
+    between batches or from a scheduler; the sink's single-writer
+    contract (checkpointing) is the caller's lock. Returns the list of
+    compacted bucket ids."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    heavy: list[int] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{UPSERT_BUCKET_COL}=")):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n_files > max_files_per_bucket:
+            heavy.append(int(name.split("=", 1)[1]))
+    if not heavy:
+        return []
+    compacted = (
+        spark.read.parquet(path)
+        .filter(F.col(UPSERT_BUCKET_COL).isin(heavy))
+        # hash-repartition ON the bucket column: each bucket's rows land
+        # in exactly one task, so the rewrite emits exactly one file per
+        # bucket (coalesce would interleave buckets across tasks and
+        # leave several files each)
+        .repartition(max(1, len(heavy)), F.col(UPSERT_BUCKET_COL))
+        .localCheckpoint(eager=True)  # materialize before overwriting
+    )
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(UPSERT_BUCKET_COL)
+        .parquet(path)
+    )
+    return sorted(heavy)
+
+
 def trending_sink(
     events: DataFrame,
     store_path: str,

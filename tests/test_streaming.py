@@ -952,3 +952,58 @@ def test_trending_sink_prunes_stale_windows(spark, tmp_path):
     assert "2024-01-01 09:00:00" in starts and "2024-01-01 10:00:00" in starts
     board = spark.read.parquet(str(tmp_path / "trend_board")).toPandas()
     assert sorted(board["window_start"].astype(str).unique()) == starts
+
+
+def test_compact_upsert_store(spark, tmp_path):
+    """Compaction rewrites only over-fragmented buckets (one file each),
+    leaves light buckets' files untouched (mtimes pinned), and changes no
+    data."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        UPSERT_BUCKET_COL,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.events import (
+        compact_upsert_store,
+    )
+
+    sink = str(tmp_path / "frag_store")
+    n_buckets = 4
+    bucket = F.pmod(F.xxhash64("event_id"), F.lit(n_buckets)).cast("int")
+    # find an id set all hashing to ONE bucket (the fragmented one)
+    ids = spark.range(200).select(
+        F.col("id").alias("event_id"), bucket.alias("b")
+    ).toPandas()
+    frag_b = int(ids.b.iloc[0])
+    frag_ids = list(ids[ids.b == frag_b].event_id[:6])
+    other = ids[ids.b != frag_b].iloc[0]
+    # 6 separate appends -> 6 files in the fragmented bucket; 1 in the other
+    for i, eid in enumerate(frag_ids):
+        spark.createDataFrame(
+            [(int(eid), f"v{i}")], "event_id long, event_type string"
+        ).withColumn(UPSERT_BUCKET_COL, bucket).write.mode("append").partitionBy(
+            UPSERT_BUCKET_COL
+        ).parquet(sink)
+    spark.createDataFrame(
+        [(int(other.event_id), "w")], "event_id long, event_type string"
+    ).withColumn(UPSERT_BUCKET_COL, bucket).write.mode("append").partitionBy(
+        UPSERT_BUCKET_COL
+    ).parquet(sink)
+
+    def files_of(b):
+        d = os.path.join(sink, f"{UPSERT_BUCKET_COL}={b}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    assert len(files_of(frag_b)) == 6
+    light_before = files_of(int(other.b))
+    before = spark.read.parquet(sink).toPandas().sort_values("event_id")
+
+    done = compact_upsert_store(spark, sink, max_files_per_bucket=4)
+    assert done == [frag_b]
+    assert len(files_of(frag_b)) == 1  # one coalesced file
+    assert files_of(int(other.b)) == light_before  # untouched, same mtimes
+    after = spark.read.parquet(sink).toPandas().sort_values("event_id")
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    # idempotent: nothing left to compact
+    assert compact_upsert_store(spark, sink, max_files_per_bucket=4) == []
