@@ -20,5 +20,6 @@ from .stateful import running_user_totals  # noqa: F401
 from .corpus import (  # noqa: F401
     DOCS_SCHEMA,
     incremental_dedup_stream,
+    incremental_minhash_sink,
     read_document_stream,
 )

@@ -1007,3 +1007,79 @@ def test_compact_upsert_store(spark, tmp_path):
     assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
     # idempotent: nothing left to compact
     assert compact_upsert_store(spark, sink, max_files_per_bucket=4) == []
+
+
+def test_incremental_minhash_sink_cross_batch_neardups(spark, tmp_path):
+    """Continuous near-dup: a document arriving in a LATER micro-batch is
+    flagged against its near-duplicate from an EARLIER one via the band
+    store, intra-batch dups are caught too, and unrelated docs emit no
+    pairs."""
+    import json as _json
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.corpus import (
+        incremental_minhash_sink,
+        read_document_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every loud hunter"
+    )
+    near = base.replace("green", "dark")  # 1-word edit -> high jaccard
+    other = (
+        "completely unrelated text about spark structured streaming and "
+        "watermark semantics for bounded state in long running pipelines"
+    )
+    b0 = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00", "text": base},
+        {"doc_id": 2, "ts": "2024-01-01T00:00:01", "text": other},
+    ]
+    b1 = [
+        {"doc_id": 3, "ts": "2024-01-01T01:00:00", "text": near},
+        {"doc_id": 4, "ts": "2024-01-01T01:00:01", "text": near},
+    ]
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for d in b0:
+            f.write(_json.dumps(d) + "\n")
+    stream = read_document_stream(spark, src, max_files_per_trigger=1)
+    q = incremental_minhash_sink(
+        stream,
+        store_path=str(tmp_path / "band_store"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt_mh"),
+        threshold=0.5,
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for d in b1:
+                f.write(_json.dumps(d) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    # cross-batch: 3 and 4 each flagged against 1; intra-batch: (3,4)
+    assert (1, 3) in got and (1, 4) in got and (3, 4) in got
+    # the unrelated doc pairs with nothing
+    assert not any(2 in p for p in got)
+    # batch path agreement: the same pairs the batch LSH finds on the
+    # full corpus (restricted to distinct unordered pairs)
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        minhash_dedup_pairs,
+    )
+
+    full = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in b0 + b1], "doc_id long, text string"
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            full, threshold=0.5, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert {(min(a, b), max(a, b)) for a, b in got} == batch_pairs
