@@ -472,25 +472,46 @@ def temperature_sample(
     back, narrow filter. The corpus itself is scanned once and never
     shuffled. Returns the kept rows plus the integer ``rate_bound``
     (bucket bound in [0, NUM_BUCKETS]) so the realized rate is auditable."""
+    # Fixed-point discipline (learned the hard way: the first cut summed
+    # pow() doubles, whose ORDER depends on partitioning — at uniform
+    # domain sizes the rate lands exactly on an integer and floor()
+    # flipped between engines/partitionings). pow outputs are rounded to
+    # integer grids IMMEDIATELY (1e9 / 1e12 — round, never floor: round
+    # is 1-ulp-tolerant at the grid, floor flips on k +/- ulp), the
+    # normalizer is then an EXACT bigint sum, and every remaining op is
+    # scalar IEEE arithmetic on identical inputs — bit-identical in any
+    # engine. The final bucket bound is also round()ed: its knife edge
+    # sits at half-integers, which the analytic value never naturally
+    # hits (integers, which floor is sharp at, it DOES hit whenever
+    # rates come out exact).
     counts = df.groupBy(F.col(domain_col).alias("_dom")).agg(
         F.count(F.lit(1)).alias("_nd")
     )
-    totals = counts.agg(
+    nd = F.col("_nd").cast("double")
+    staged = counts.select(
+        "_dom",
+        "_nd",
+        F.round(F.pow(nd, F.lit(alpha)) * F.lit(1e9)).cast("long").alias("_pa_fp"),
+        F.round(F.pow(nd, F.lit(alpha - 1.0)) * F.lit(1e12))
+        .cast("long")
+        .alias("_pr_fp"),
+    )
+    totals = staged.agg(
         F.sum("_nd").alias("_n"),
-        F.sum(F.pow(F.col("_nd").cast("double"), F.lit(alpha))).alias("_z"),
+        F.sum("_pa_fp").alias("_z_fp"),  # exact bigint sum: order-free
     )
     rates = (
-        counts.join(F.broadcast(totals))
+        staged.join(F.broadcast(totals))
         .select(
             "_dom",
             F.least(
-                F.lit(NUM_BUCKETS),
-                F.floor(
+                F.lit(float(NUM_BUCKETS)),
+                F.round(
                     F.lit(budget_frac)
                     * F.col("_n")
-                    / F.col("_z")
-                    * F.pow(F.col("_nd").cast("double"), F.lit(alpha - 1.0))
-                    * NUM_BUCKETS
+                    / (F.col("_z_fp") / F.lit(1e9))
+                    * (F.col("_pr_fp") / F.lit(1e12))
+                    * F.lit(NUM_BUCKETS)
                 ),
             )
             .cast("int")

@@ -795,16 +795,21 @@ SQL_TEMPERATURE_MIX = f"""
 WITH c AS (
   SELECT source AS dom, CAST(COUNT(*) AS BIGINT) AS nd
   FROM documents GROUP BY source
+), pf AS (
+  SELECT dom, nd,
+         CAST(ROUND(pow(CAST(nd AS DOUBLE), 0.3) * 1000000000.0) AS BIGINT) AS pa_fp,
+         CAST(ROUND(pow(CAST(nd AS DOUBLE), -0.7) * 1000000000000.0) AS BIGINT) AS pr_fp
+  FROM c
 ), tot AS (
   SELECT CAST(SUM(nd) AS BIGINT) AS n,
-         SUM(pow(CAST(nd AS DOUBLE), 0.3)) AS z
-  FROM c
+         CAST(SUM(pa_fp) AS BIGINT) AS z_fp
+  FROM pf
 ), r AS (
   SELECT dom,
-         CAST(LEAST(10000, FLOOR(
-             0.2 * n / z * pow(CAST(nd AS DOUBLE), -0.7) * 10000
+         CAST(LEAST(10000.0, ROUND(
+             0.2 * n / (z_fp / 1000000000.0) * (pr_fp / 1000000000000.0) * 10000
          )) AS INT) AS rate_bound
-  FROM c, tot
+  FROM pf, tot
 ), hx AS (
   SELECT doc_id, source, md5(doc_id::VARCHAR) AS h FROM documents
 ), b AS (

@@ -141,3 +141,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PAGERANK = _sql_pagerank()
+
+
+def q_fuzzy_join_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Totalized fuzzy self-join over a MIXED-length dictionary
+    (operators/fuzzy, r6): nation names run 4-18 chars, so several sit
+    BELOW the q-gram soundness bound (len < 6 at q=3, k=1) and route
+    through the length-bucket short stratum — IRAN/IRAQ is a genuine
+    short-stratum edit pair — while the long names stay trigram-blocked.
+    The pre-r6 operator raised on this input; the oracle is plain brute
+    force, so the union of both strata is certified exact."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return fuzzy_self_join(n, "n_nationkey", "n_name", max_dist=1, q=3)
+
+
+SQL_FUZZY_JOIN_MIXED = """
+SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
+       CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 1
+"""

@@ -553,3 +553,69 @@ SELECT event_id, user_id, ts, epoch,
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS balance
 FROM tagged
 """
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/asof, direction='nearest'):
+    each purchase picks whichever click — most recent at-or-before or
+    earliest at-or-after — is CLOSER in microsecond-exact event time
+    (equal distance breaks backward, the pandas convention; ties within a
+    direction pinned by event_id). Driver-certifies the r6 unix_micros
+    distance discipline: whole-second truncation inverts picks when both
+    candidates sit within ~2s. Same single-exchange union+carry plan as
+    the backward face — the reversed-order window is a second local sort,
+    not a second shuffle."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        asof_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = e.filter(F.col("event_type") == "click")
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        ts="ts",
+        right_cols=["value"],
+        tiebreak="event_id",
+        direction="nearest",
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value,
+         (SELECT r.ts FROM events r
+           WHERE r.event_type = 'click' AND r.user_id = l.user_id
+             AND r.ts <= l.ts
+           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS b_ts,
+         (SELECT r.value FROM events r
+           WHERE r.event_type = 'click' AND r.user_id = l.user_id
+             AND r.ts <= l.ts
+           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS b_value,
+         (SELECT r.ts FROM events r
+           WHERE r.event_type = 'click' AND r.user_id = l.user_id
+             AND r.ts >= l.ts
+           ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS f_ts,
+         (SELECT r.value FROM events r
+           WHERE r.event_type = 'click' AND r.user_id = l.user_id
+             AND r.ts >= l.ts
+           ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS f_value
+  FROM l
+)
+SELECT event_id, user_id, ts, value,
+       CASE WHEN b_ts IS NULL THEN f_ts
+            WHEN f_ts IS NULL THEN b_ts
+            WHEN epoch_us(f_ts) - epoch_us(ts) < epoch_us(ts) - epoch_us(b_ts)
+                 THEN f_ts ELSE b_ts END AS asof_ts,
+       CASE WHEN b_ts IS NULL THEN f_value
+            WHEN f_ts IS NULL THEN b_value
+            WHEN epoch_us(f_ts) - epoch_us(ts) < epoch_us(ts) - epoch_us(b_ts)
+                 THEN f_value ELSE b_value END AS asof_value
+FROM c
+"""
