@@ -59,7 +59,18 @@ def main() -> None:
 
     for n in (warmup_n, *sizes):
         measured = n != warmup_n
-        docs = spark.createDataFrame(synth_documents(n, seed=1)).repartition(64)
+        docs = (
+            spark.createDataFrame(synth_documents(n, seed=1))
+            # skewed synthetic domains: source_i holds ~2^i-proportional mass
+            .withColumn(
+                "source",
+                F.concat(
+                    F.lit("src"),
+                    F.floor(F.log2(F.col("doc_id") + 1)).cast("int").cast("string"),
+                ),
+            )
+            .repartition(64)
+        )
         docs.persist().count()
 
         run("boilerplate_ngrams", boilerplate_ngrams(docs, n=5), measured)
