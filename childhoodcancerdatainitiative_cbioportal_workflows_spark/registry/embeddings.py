@@ -180,13 +180,22 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors for the ANN index families, plus the per-vector max
     reconstruction-error audit. Pure per-row HOF projection — zero
     shuffles; rounding pinned to floor(x/scale*127 + 0.5) so both
-    engines bit-match."""
+    engines bit-match. The face serializes the code array to a CSV
+    string (qvec_csv): the driver's canonicalizer sorts result columns
+    with pandas, which cannot order array cells (CORRECTNESS_r06 err) —
+    the operator itself still returns the typed array<tinyint>."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
         quantize_embeddings,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(e)
+    q = quantize_embeddings(e)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+        "max_err",
+    )
 
 
 SQL_QUANTIZE_EMBEDDINGS = """
@@ -204,7 +213,9 @@ WITH s AS (
              END AS INT)) AS qvec
   FROM s
 )
-SELECT vec_id, scale, qvec,
+SELECT vec_id, scale,
+       array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)),
+                       ',') AS qvec_csv,
        list_max(list_transform(range(1, len(embedding) + 1),
            i -> abs(CAST(embedding[i] AS DOUBLE)
                     - qvec[i] * scale / 127.0))) AS max_err

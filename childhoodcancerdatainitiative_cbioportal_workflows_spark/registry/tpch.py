@@ -431,17 +431,22 @@ def q_array_agg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: per-order sorted linenumber list
     plus its max — collect_list is partition-order-dependent, so the
     engine pins sort_array (the order-explicit-dedup discipline applied
-    to array building)."""
+    to array building). The face serializes the array to a CSV string —
+    the driver canonicalizer cannot sort array cells (same class of
+    failure as quantize_embeddings in CORRECTNESS_r06)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("line_numbers_csv"),
         F.max("l_linenumber").alias("max_line"),
     )
 
 
 SQL_ARRAY_AGG_LINES = """
 SELECT l_orderkey,
-       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+       array_to_string(list(CAST(l_linenumber AS VARCHAR)
+                            ORDER BY l_linenumber), ',') AS line_numbers_csv,
        MAX(l_linenumber) AS max_line
 FROM lineitem WHERE l_orderkey < 2000
 GROUP BY l_orderkey

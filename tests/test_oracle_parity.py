@@ -82,6 +82,28 @@ def test_rows_only_queries_run(spark, name):
     assert df.count() >= 0
 
 
+def test_no_driver_unsortable_outputs(spark):
+    """The driver's canonicalizer sorts result columns with raw
+    pandas.sort_values, which raises on array/map/struct cells
+    (unhashable list) — the exact failure that red-flagged
+    quantize_embeddings in CORRECTNESS_r06 while this local replica
+    stayed green (its astype(str) normalization is more lenient).
+    Guard the whole registry: every registered query face must emit
+    only scalar-typed columns. Operators may still return typed
+    arrays; the *face* must serialize them (array_join/to_json)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad: list[str] = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, SF_DIR).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "driver-unsortable output columns (serialize in the face): " + "; ".join(bad)
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
