@@ -535,9 +535,14 @@ def collocations(
     likelihood ratio ``n_ab * T / (n_a * n_b)`` (T = total bigram count) —
     monotone in PMI but computed in EXACT integer arithmetic
     (``lr_fp = (n_ab * T * 1e6) div (n_a * n_b)``), so the ranking is
-    bit-identical across engines with no log/pow ULP hazard. ``min_count``
-    drops the unstable low-frequency tail (classic PMI pathology: hapax
-    pairs score highest).
+    bit-identical across engines with no log/pow ULP hazard. The product
+    ``n_ab * T * 1e6`` is routed through DECIMAL(38,0) (HUGEINT on the
+    DuckDB oracle side): it exceeds int64 once ``n_ab * T > ~9.2e12``,
+    which modest corpora reach — under ANSI mode the bigint form ERRORS
+    there rather than wrapping. The quotient itself is bounded by
+    ``T * 1e6 / n_ab`` and cast back to bigint. ``min_count`` drops the
+    unstable low-frequency tail (classic PMI pathology: hapax pairs
+    score highest).
 
     Scale: one bigram aggregate + one unigram aggregate (both map-side
     combined); the min_count-filtered bigram side is collocation-sized,
@@ -563,7 +568,9 @@ def collocations(
             "token_a",
             "token_b",
             F.col("n").alias("n_pair"),
-            F.expr("n * _t * 1000000 div (_na * _nb)").alias("lr_fp"),
+            F.expr(
+                "(CAST(n AS DECIMAL(38,0)) * _t * 1000000) div (_na * _nb)"
+            ).alias("lr_fp"),
         )
     )
     return out.orderBy(

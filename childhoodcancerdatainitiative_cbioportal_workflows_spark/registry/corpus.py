@@ -854,7 +854,8 @@ WITH d AS (
   SELECT token, CAST(COUNT(*) AS BIGINT) AS nu FROM u GROUP BY token
 )
 SELECT bc.token_a, bc.token_b, bc.n AS n_pair,
-       (bc.n * tot.t * 1000000) // (ua.nu * ub.nu) AS lr_fp
+       CAST((CAST(bc.n AS HUGEINT) * tot.t * 1000000)
+            // (ua.nu * ub.nu) AS BIGINT) AS lr_fp
 FROM bc, tot
 JOIN uc ua ON ua.token = bc.token_a
 JOIN uc ub ON ub.token = bc.token_b

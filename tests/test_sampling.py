@@ -391,6 +391,37 @@ def test_collocations_exact_integer_ratio(spark):
     assert rows[("new", "york")][1] > rows.get(("a", "b"), (0, 0))[1]
 
 
+def test_collocations_survives_int64_overflow_regime(spark):
+    """ADVICE r6: n_pair * T * 1e6 exceeds int64 once n_pair * T >
+    ~9.2e12 — under ANSI mode the old bigint product ERRORED there. One
+    4M-repetition bigram gives n_ab*T ≈ 3.2e13; the DECIMAL(38,0) route
+    must return the exact quotient (verified against Python bigints)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        collocations,
+    )
+
+    reps = 4_000_000
+    df = spark.createDataFrame(
+        [(0, "alpha beta " * reps)], "doc_id long, text string"
+    )
+    rows = {
+        (r["token_a"], r["token_b"]): (r["n_pair"], r["lr_fp"])
+        for r in collocations(df, min_count=5, top_k=10).collect()
+    }
+    t = 2 * reps - 1  # total bigrams in the doc
+    n_ab = reps  # alpha->beta occurrences
+    assert n_ab * t * 1_000_000 > 2**63 - 1  # genuinely past int64
+    assert rows[("alpha", "beta")] == (
+        n_ab,
+        (n_ab * t * 1_000_000) // (reps * reps),
+    )
+    n_ba = reps - 1  # beta->alpha occurrences
+    assert rows[("beta", "alpha")] == (
+        n_ba,
+        (n_ba * t * 1_000_000) // (reps * reps),
+    )
+
+
 def test_curriculum_approx_tracks_exact(spark):
     """The parallel approx-quantile curriculum must produce near-equal
     phases whose quality ordering agrees with the exact ntile form:

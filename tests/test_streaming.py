@@ -1083,3 +1083,182 @@ def test_incremental_minhash_sink_cross_batch_neardups(spark, tmp_path):
         ).collect()
     }
     assert {(min(a, b), max(a, b)) for a, b in got} == batch_pairs
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_MH_KW = dict(
+    threshold=0.5,
+    num_hashes=32,
+    bands=8,
+    shingle_words=3,
+    text_col="text",
+    id_col="doc_id",
+    n_ranges=8,
+    bucket_prune_limit=1024,
+)
+
+
+_CORPUS = [
+    (
+        1,
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every loud hunter",
+    ),
+    (
+        2,
+        "completely unrelated text about spark structured streaming and "
+        "watermark semantics for bounded state in long running pipelines",
+    ),
+]
+_LATER = [
+    (
+        3,
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every loud hunter",
+    ),
+    (
+        4,
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from every loud hunter",
+    ),
+]
+
+
+def _read_pairs(spark, path):
+    return {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_minhash_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch with the
+    same batch_id (the restart/replay scenario ADVICE r6 flagged) must
+    leave both the pairs output and the band store byte-identical in
+    content — dynamic partition overwrite replaces the batch's own
+    partitions instead of double-appending."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.corpus import (
+        _minhash_batch,
+    )
+
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    kw = dict(_MH_KW, store_path=store, pairs_path=pairs)
+    _minhash_batch(_mk_docs(spark, _CORPUS), 0, **kw)
+    _minhash_batch(_mk_docs(spark, _LATER), 1, **kw)
+    pairs_before = _read_pairs(spark, pairs)
+    store_before = sorted(
+        map(tuple, spark.read.parquet(store).select("id", "band", "bucket").collect())
+    )
+    assert (1, 3, 1.0) in {(a, b, j) for a, b, j in pairs_before} or any(
+        (a, b) == (1, 3) for a, b, _ in pairs_before
+    )
+    # replay the LAST batch twice more with the same id
+    _minhash_batch(_mk_docs(spark, _LATER), 1, **kw)
+    _minhash_batch(_mk_docs(spark, _LATER), 1, **kw)
+    assert _read_pairs(spark, pairs) == pairs_before
+    store_after = sorted(
+        map(tuple, spark.read.parquet(store).select("id", "band", "bucket").collect())
+    )
+    assert store_after == store_before
+    # pair multiplicity check: no silent double rows hiding behind the set
+    n = spark.read.parquet(pairs).count()
+    assert n == len(pairs_before)
+
+
+def test_compact_band_store_prunes_and_preserves(spark, tmp_path):
+    """Compaction folds committed batches of heavy ranges into the
+    batch_id=-1 partition, leaves light ranges' files untouched
+    (mtime-pinned), never touches the latest (replayable) batch, and
+    detection results on a subsequent batch are identical to an
+    uncompacted replica of the same store."""
+    import shutil
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.corpus import (
+        _minhash_batch,
+        compact_band_store,
+    )
+
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    kw = dict(_MH_KW, store_path=store, pairs_path=pairs)
+    # several single-doc batches → many small files in the touched ranges
+    texts = [
+        (i, f"document number {i} talks about topic {i % 3} with plenty of "
+            f"shared filler words that keep the shingle space interesting "
+            f"for minhash banding across batches number {i}")
+        for i in range(10, 16)
+    ]
+    for j, row in enumerate(texts):
+        _minhash_batch(_mk_docs(spark, [row]), j, **kw)
+    # replica for the equivalence check
+    store2, pairs2 = str(tmp_path / "store2"), str(tmp_path / "pairs2")
+    shutil.copytree(store, store2)
+    shutil.copytree(pairs, pairs2)
+
+    # pin mtimes of every parquet file, compact, then check light ranges
+    def _files(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = _files(store)
+    compacted = compact_band_store(spark, store, max_files_per_range=2)
+    assert compacted, "test corpus must produce at least one heavy range"
+    after = _files(store)
+    heavy_frag = [f"brange={r}/" for r in compacted]
+    for p, mt in after.items():
+        rel = os.path.relpath(p, store)
+        if not any(h in rel + "/" for h in heavy_frag) and p in before:
+            assert before[p] == mt, f"light-range file rewritten: {rel}"
+    # heavy ranges hold exactly one compacted file each + the latest batch
+    for r in compacted:
+        rd = os.path.join(store, f"brange={r}")
+        parts = sorted(os.listdir(rd))
+        batch_parts = [d for d in parts if d.startswith("batch_id=")]
+        ids = sorted(int(d.split("=", 1)[1]) for d in batch_parts)
+        assert ids[0] == -1, f"no compacted partition in brange={r}: {ids}"
+        assert all(i == -1 or i == max(ids) for i in ids), (
+            f"uncommitted fold or leftover source partitions in brange={r}: {ids}"
+        )
+    # store content identical to the uncompacted replica
+    cols = ["id", "band", "bucket"]
+    a = sorted(map(tuple, spark.read.parquet(store).select(*cols).collect()))
+    b = sorted(map(tuple, spark.read.parquet(store2).select(*cols).collect()))
+    assert a == b
+    # and a subsequent near-dup batch detects the same pairs on both stores
+    probe = [(99, texts[0][1])]  # near-dup of doc 10 (identical text)
+    kw2 = dict(_MH_KW, store_path=store2, pairs_path=pairs2)
+    _minhash_batch(_mk_docs(spark, probe), 50, **kw)
+    _minhash_batch(_mk_docs(spark, probe), 50, **kw2)
+    assert _read_pairs(spark, pairs) == _read_pairs(spark, pairs2)
+    got = {(a_, b_) for a_, b_, _ in _read_pairs(spark, pairs)}
+    assert (10, 99) in got
+
+
+def test_bucket_prune_semi_join_guard(spark, tmp_path):
+    """The store prune must produce identical pairs on both sides of
+    bucket_prune_limit: IN-literal below, broadcast left-semi above
+    (ADVICE r6: a million-doc batch must not build a giant IN list)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.corpus import (
+        _minhash_batch,
+    )
+
+    results = {}
+    for lim in (1, 1024):  # batch has 8 bands→≤8 distinct buckets: 1 forces
+        # the semi-join path, 1024 the IN-literal path
+        store = str(tmp_path / f"store_{lim}")
+        pairs = str(tmp_path / f"pairs_{lim}")
+        kw = dict(
+            _MH_KW, store_path=store, pairs_path=pairs, bucket_prune_limit=lim
+        )
+        _minhash_batch(_mk_docs(spark, _CORPUS), 0, **kw)
+        _minhash_batch(_mk_docs(spark, _LATER), 1, **kw)
+        results[lim] = _read_pairs(spark, pairs)
+    assert results[1] == results[1024]
+    assert any((a, b) == (1, 3) for a, b, _ in results[1])
