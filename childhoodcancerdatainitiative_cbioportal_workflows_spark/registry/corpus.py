@@ -959,3 +959,87 @@ FROM p GROUP BY a, b
 ORDER BY cnt DESC, a ASC, b ASC
 LIMIT 50
 """
+
+
+_BPE_MERGE_ROUNDS = 6
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's ITERATIVE LOOP itself (llm/bpe.train_bpe_merges),
+    driver-certified: the first 6 merge decisions (round, a, b, cnt) the
+    distributed Sennrich loop takes over the documents corpus. Each round
+    is one map-side-combined pair aggregation + a driver argmax (one
+    (pair,count) row — the pagerank bounded-collect pattern) + a narrow
+    F.aggregate fold rewrite of the word vocabulary; the merge table
+    returned IS the tiny artifact a tokenizer ships, so materializing it
+    on the driver is the semantics, not a shortcut. Oracle: the same k
+    rounds unrolled as chained CTEs (the pagerank pattern), with the
+    merge fold expressed as a left-to-right non-overlapping string
+    replace over marker-wrapped symbols — equivalent to the engine's
+    fold because a merged symbol can only re-match as LEFT context when
+    a+b == a, impossible for non-empty b."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.bpe import (
+        train_bpe_merges,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        release_plan_caches,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = train_bpe_merges(d, n_merges=_BPE_MERGE_ROUNDS)
+    release_plan_caches(vocab)
+    return spark.createDataFrame(
+        [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)],
+        "round int, a string, b string, cnt long",
+    )
+
+
+def _sql_bpe_merges(k: int = _BPE_MERGE_ROUNDS) -> str:
+    """Unrolled k-round BPE oracle. Symbols ride as a marker-wrapped
+    string chr(2)||sym||chr(3)... so replace() (non-overlapping,
+    left-to-right) implements the merge fold exactly; pairs re-split per
+    round for the weighted count; argmax tie-break (cnt desc, a, b)
+    matches the trainer. Assumes no early stop (every round's top pair
+    has count >= min_pair_count) — true on the shared documents corpus."""
+    sep = "chr(3) || chr(2)"
+    rounds = []
+    for r in range(1, k + 1):
+        prev = f"v{r - 1}"
+        rounds.append(f"""p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT n, string_split(trim(s, chr(2) || chr(3)), {sep}) AS syms
+        FROM {prev}),
+       unnest(range(1, len(syms))) AS r(i)
+  GROUP BY 1, 2
+), m{r} AS (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), v{r} AS (
+  SELECT n, replace(s,
+                    chr(2) || m{r}.a || chr(3) || chr(2) || m{r}.b || chr(3),
+                    chr(2) || m{r}.a || m{r}.b || chr(3)) AS s
+  FROM {prev}, m{r}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a, b, cnt FROM m{r}" for r in range(1, k + 1)
+    )
+    return f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+), v0 AS (
+  SELECT n,
+         chr(2) ||
+         array_to_string(list_append(string_split(word, ''), '</w>'),
+                         {sep}) ||
+         chr(3) AS s
+  FROM wc
+), {", ".join(rounds)}
+SELECT CAST(round AS INT) AS round, a, b, cnt FROM ({unions})
+ORDER BY round
+"""
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
