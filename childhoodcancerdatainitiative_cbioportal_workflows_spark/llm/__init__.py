@@ -29,6 +29,7 @@ from .clustering import (  # noqa: F401
 )
 from .relevance import (  # noqa: F401
     bm25_topk,
+    phrase_search,
     tfidf_features,
     unigram_logprob_profile,
 )

@@ -242,3 +242,41 @@ def unigram_logprob_profile(
             ).alias("mean_logprob"),
         )
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search through a distributed POSITIONAL inverted
+    index: postings (doc, position, term) from one posexplode, one
+    pruned postings slice per phrase token (the filter pushes into the
+    scan — only the phrase's terms survive), then a k-way equi-join on
+    (doc, position - token_offset): every row of the joined anchor set
+    is one occurrence of the whole phrase. Returns (id, n_hits) per
+    matching document.
+
+    Scale shape: this is the index plan — no document is re-scanned at
+    query time once postings are materialized; candidate size after the
+    FIRST join is bounded by the rarest token's postings. The registered
+    face's oracle is the naive token-window SCAN, certifying that index
+    plan == scan semantics (tokenization included)."""
+    from functools import reduce
+
+    assert len(phrase) >= 2, "phrase search needs at least two tokens"
+    postings = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias("pos", "term"),
+    )
+    slices = [
+        postings.filter(F.col("term") == w).select(
+            "_id", (F.col("pos") - F.lit(i)).alias("anchor")
+        )
+        for i, w in enumerate(phrase)
+    ]
+    hits = reduce(lambda a, b: a.join(b, ["_id", "anchor"]), slices)
+    return hits.groupBy("_id").agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.col("_id").alias(id_col), "n_hits"
+    )

@@ -9,4 +9,9 @@ from .asof import asof_join  # noqa: F401
 from .resample import resample_locf  # noqa: F401
 from .fuzzy import fuzzy_self_join  # noqa: F401
 from .scd import scd2_intervals  # noqa: F401
-from .graph import pagerank_fixed, pagerank_fixed_sql  # noqa: F401
+from .graph import (  # noqa: F401
+    kcore_peel,
+    kcore_peel_sql,
+    pagerank_fixed,
+    pagerank_fixed_sql,
+)

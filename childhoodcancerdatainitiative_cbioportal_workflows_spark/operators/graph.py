@@ -97,6 +97,78 @@ def pagerank_fixed(
     return _with_caches(r.select("id", F.col("r").alias("rank_fp")), [e])
 
 
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    iters: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Bounded-iteration k-core peeling over the undirected graph of
+    ``pairs``: each round removes every node whose current degree is
+    below ``k`` (and the edges touching it), ``iters`` fixed rounds —
+    the same bounded-loop discipline as :func:`pagerank_fixed`, so the
+    result is deterministic and oracle-diffable whether or not the peel
+    has converged (full k-core = run until no node drops; the registered
+    face documents convergence on its corpus). Returns surviving
+    (id, deg) — degree within the peeled subgraph.
+
+    Scale shape: per round one map-side-combined degree count + two
+    LEFT SEMI joins of the edge list against the (shrinking) survivor
+    set; the edge list is persisted per round and the previous round's
+    cache released, so lineage stays one-round deep (the pagerank /
+    star-contraction lesson). Driver holds loop control only."""
+    e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).unionByName(
+        pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    ).distinct()
+    e = e.persist()
+    e.count()
+    caches = [e]
+    for _ in range(iters):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        nxt = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.toDF("d"), "d", "left_semi")
+            .select("s", "d")
+            .persist()
+        )
+        nxt.count()
+        e.unpersist()
+        e = nxt
+        caches = [e]
+    out = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("s").alias("id"), "deg"
+    )
+    from ..llm.dedup import _with_caches
+
+    return _with_caches(out, caches)
+
+
+def kcore_peel_sql(pairs_cte: str, k: int = 2, iters: int = 3) -> str:
+    """DuckDB oracle for :func:`kcore_peel`: the same peel unrolled as
+    chained CTEs (the pagerank-oracle pattern)."""
+    sql = f"""WITH pairs AS ({pairs_cte}), e0 AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+)"""
+    prev = "e0"
+    for t in range(1, iters + 1):
+        sql += f""", k{t} AS (
+  SELECT s FROM {prev} GROUP BY s HAVING COUNT(*) >= {k}
+), e{t} AS (
+  SELECT {prev}.s, {prev}.d
+  FROM {prev}
+  JOIN k{t} ka ON {prev}.s = ka.s
+  JOIN k{t} kb ON {prev}.d = kb.s
+)"""
+        prev = f"e{t}"
+    sql += f"""
+SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM {prev} GROUP BY s"""
+    return sql
+
+
 def pagerank_fixed_sql(pairs_cte: str, iters: int = 3, unit: int = 1_000_000_000,
                        damp_pct: int = 85) -> str:
     """DuckDB oracle for :func:`pagerank_fixed`: ``pairs_cte`` must be the

@@ -1,0 +1,176 @@
+"""Distribution-drift statistics (two-sample Kolmogorov–Smirnov).
+
+Training-data pipelines drift-check every refresh: did this week's crawl
+shift the length/quality/price distribution vs the reference sample? The
+KS statistic D = max_x |F_a(x) - F_b(x)| is the standard answer; this
+module computes it EXACTLY in integer arithmetic — the ECDF difference is
+compared as the cross product ``|c_a(x)·n_b - c_b(x)·n_a|`` (bigint), so
+two engines agree bit-for-bit with no float ECDF division anywhere.
+
+Scale shape — the naive form is a GLOBAL ordered window (one partition,
+the curriculum-exact trap). This implementation is a two-phase
+distributed prefix sum instead:
+
+1. one aggregation collapses both samples to distinct-value rows
+   ``(val, cnt_a, cnt_b)``;
+2. values are range-bucketed by ``percentile_approx`` boundaries
+   (mergeable sketch, broadcast lookup — the curriculum_buckets_approx
+   trick). Bucket boundaries only affect WHERE the prefix sum is split,
+   never its value, so the sketch's rank error is irrelevant to the
+   result;
+3. per-bucket subtotals (tiny: n_buckets rows) get cumulative offsets
+   through a window over buckets; the per-value cumulative count is then
+   offset + a window partitioned BY bucket — every partition-sized sort
+   is bucket-local.
+
+The final max is one map-side-combinable agg. No global sort, no single
+partition anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    n_buckets: int = 64,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Exact two-sample KS between ``a[value_col]`` and ``b[value_col]``.
+
+    Returns one row: ``n_a, n_b, d_cross`` (max |c_a·n_b - c_b·n_a|, an
+    exact bigint) and ``d_fp`` = the KS statistic in integer ``unit``
+    units, ``(d_cross * unit) div (n_a * n_b)`` routed through
+    DECIMAL(38,0) so modest sample sizes can't overflow int64 (the PMI
+    lesson)."""
+    tagged = a.select(F.col(value_col).alias("val"), F.lit(1).alias("_ga")).unionByName(
+        b.select(F.col(value_col).alias("val"), F.lit(0).alias("_ga"))
+    )
+    vals = tagged.groupBy("val").agg(
+        F.sum("_ga").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("_ga")).cast("long").alias("cb"),
+    )
+    # range-bucket boundaries from a mergeable sketch; correctness does
+    # not depend on their accuracy (see module docstring)
+    if n_buckets < 2:  # degenerate: single bucket, no boundary sketch
+        bucketed = vals.select("val", "ca", "cb", F.lit(0).alias("bkt"))
+    else:
+        bounds = vals.agg(
+            F.percentile_approx(
+                "val", [i / n_buckets for i in range(1, n_buckets)], 10_000
+            ).alias("bs")
+        )
+        bucketed = vals.crossJoin(F.broadcast(bounds)).select(
+            "val",
+            "ca",
+            "cb",
+            F.size(F.filter("bs", lambda x: x < F.col("val"))).alias("bkt"),
+        )
+    per_bucket = bucketed.groupBy("bkt").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    owin = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )  # n_buckets rows: a tiny single-partition window, not a data one
+    offsets = per_bucket.select(
+        "bkt",
+        F.coalesce(F.sum("ba").over(owin), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("bb").over(owin), F.lit(0)).alias("ob"),
+    )
+    vwin = Window.partitionBy("bkt").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bucketed.join(F.broadcast(offsets), "bkt").select(
+        (F.col("oa") + F.sum("ca").over(vwin)).alias("c1"),
+        (F.col("ob") + F.sum("cb").over(vwin)).alias("c2"),
+    )
+    totals = vals.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            # cross-multiply in DECIMAL(38,0): c·n wraps int64 once both
+            # samples pass ~3e9 rows; the final bigint cast is LOUD under
+            # ANSI if the max itself ever exceeds int64
+            F.max(
+                F.abs(
+                    F.expr("CAST(c1 AS DECIMAL(38,0)) * n_b")
+                    - F.expr("CAST(c2 AS DECIMAL(38,0)) * n_a")
+                )
+            )
+            .cast("long")
+            .alias("d_cross"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_cross",
+            F.expr(
+                f"CAST((CAST(d_cross AS DECIMAL(38,0)) * {unit})"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("d_fp"),
+        )
+    )
+
+
+def trend_slopes(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    y_scale: int = 100,
+    unit: int = 1_000_000,
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-key OLS trend slope in EXACT integer arithmetic — the drift
+    feature ("is this user's value rising?") computed so two engines
+    agree bit-for-bit: x = whole seconds since the key's first event
+    (exact integer µs division; OLS slope is shift-invariant, and the
+    shift keeps x² inside int64), y = value on a 1/y_scale fixed-point
+    grid, and slope_fp = (n·Σxy − Σx·Σy) · unit div (n·Σx² − (Σx)²)
+    with the numerator product routed through DECIMAL(38,0) (the PMI
+    overflow lesson). Output: (key, n, slope_fp) — slope in y-units per
+    second, scaled by unit.
+
+    Scale shape: one map-side-combinable agg for the per-key t0, one
+    shuffle-sharing agg for the sufficient statistics; no window, no
+    sort. Keys with < min_points points or zero x-variance are dropped
+    (their slope is undefined — and ANSI division would rightly error)."""
+    t0 = df.groupBy(key_col).agg(F.min(ts_col).alias("_t0"))
+    # x in whole seconds via exact integer µs division (`div`, not `/`:
+    # long / long is double division in Spark)
+    staged = df.join(t0, key_col).select(
+        F.col(key_col),
+        F.expr(
+            # cast: unix_micros rejects TIMESTAMP_NTZ; the difference is
+            # timezone-invariant so the session-tz interpretation cancels
+            f"(unix_micros(CAST({ts_col} AS TIMESTAMP))"
+            " - unix_micros(CAST(_t0 AS TIMESTAMP))) div 1000000"
+        ).alias("x"),
+        F.round(F.col(value_col) * y_scale).cast("long").alias("y"),
+    )
+    stats = staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        stats.withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .filter((F.col("n") >= min_points) & (F.col("den") != 0))
+        .select(
+            key_col,
+            "n",
+            F.expr(
+                f"CAST((CAST(num AS DECIMAL(38,0)) * {unit}) div den AS BIGINT)"
+            ).alias("slope_fp"),
+        )
+    )

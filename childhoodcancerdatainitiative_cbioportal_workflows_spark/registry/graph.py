@@ -143,6 +143,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (operators/graph.kcore_peel, k=2, 3 rounds)
+    over the near-dup pair graph — the subgraph-density face of the
+    iterative-graph family (pagerank = weights, components = membership,
+    k-core = cohesion): chains and pendant nodes peel away, duplicate
+    cliques survive. Three rounds converge on this corpus (verified in
+    tests), so the bounded peel equals the true 2-core here; the oracle
+    unrolls the identical rounds as chained CTEs."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        kcore_peel,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    return kcore_peel(pairs, k=2, iters=3)
+
+
+def _sql_kcore() -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        kcore_peel_sql,
+    )
+
+    return kcore_peel_sql(_PAIRS_CTE_BODY, k=2, iters=3)
+
+
+SQL_KCORE = _sql_kcore()
+
+
 def q_fuzzy_join_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Totalized fuzzy self-join over a MIXED-length dictionary
     (operators/fuzzy, r6): nation names run 4-18 chars, so several sit

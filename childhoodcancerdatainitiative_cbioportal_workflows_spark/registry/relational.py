@@ -351,3 +351,138 @@ SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift check
+    (operators/stats.ks_drift): URGENT vs LOW order totalprice
+    distributions. The engine runs a DISTRIBUTED two-phase prefix sum
+    (sketch-bucketed, bucket-local windows — no global sort); the oracle
+    is the naive single-window cumsum. The ECDF difference is the exact
+    integer cross product |c_a*n_b - c_b*n_a| (DECIMAL-routed), so both
+    plans agree bit-for-bit even though their physical shapes differ
+    completely — the point of the query."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        ks_drift,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_totalprice")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_totalprice")
+    return ks_drift(a, b, "o_totalprice")
+
+
+SQL_DISTRIBUTION_DRIFT = """
+WITH t AS (
+  SELECT o_totalprice AS val,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), v AS (
+  SELECT val, CAST(SUM(ga) AS BIGINT) AS ca,
+         CAST(SUM(1 - ga) AS BIGINT) AS cb
+  FROM t GROUP BY val
+), c AS (
+  SELECT SUM(ca) OVER (ORDER BY val) AS c1,
+         SUM(cb) OVER (ORDER BY val) AS c2
+  FROM v
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM v
+)
+SELECT tot.n_a, tot.n_b,
+       CAST(MAX(ABS(CAST(c1 AS HUGEINT) * tot.n_b
+                    - CAST(c2 AS HUGEINT) * tot.n_a)) AS BIGINT) AS d_cross,
+       CAST((CAST(MAX(ABS(CAST(c1 AS HUGEINT) * tot.n_b
+                          - CAST(c2 AS HUGEINT) * tot.n_a)) AS HUGEINT)
+             * 1000000) // (tot.n_a * tot.n_b) AS BIGINT) AS d_fp
+FROM c, tot
+GROUP BY tot.n_a, tot.n_b
+"""
+
+
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join certified against plain-join semantics
+    (operators/skew.salted_join): lineitem joined to the nation dim
+    through supplier with the big side salted 8 ways and the small side
+    replicated — the hot-key mitigation AQE can't always reach. The
+    oracle is the PLAIN join: salting must be a physical rewrite only,
+    never visible in the result."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.skew import (
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        F.col("s_suppkey").alias("l_suppkey"), "n_name"
+    )
+    joined = salted_join(li, dim, on=["l_suppkey"])
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+SQL_SKEW_JOIN_SALTED = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_delta_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh
+    (operators/incremental.merge_partial_aggs): mergeable partial state
+    (count/sum/min/max — never avg) over the cold orders partition
+    (o_orderdate < 1995-01-01), then the 1995+ delta folded in with
+    delta-sized work. The oracle is the FULL recompute over all orders —
+    the fold algebra must be invisible in the result. Sums ride
+    DECIMAL(18,4) so the two-step fold is order-free."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.incremental import (
+        merge_partial_aggs,
+        partial_agg_state,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+    aggs = {
+        "n_orders": ("price", "count"),
+        "sum_total": ("price", "sum"),
+        "min_total": ("price", "min"),
+        "max_total": ("price", "max"),
+    }
+    base = partial_agg_state(
+        o.filter(F.col("o_orderdate") < cutoff), ["o_orderpriority"], aggs
+    )
+    merged = merge_partial_aggs(
+        base, o.filter(F.col("o_orderdate") >= cutoff), ["o_orderpriority"], aggs
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        F.col("min_total").cast("double").alias("min_total"),
+        F.col("max_total").cast("double").alias("max_total"),
+    )
+
+
+SQL_DELTA_AGG_MAINTENANCE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS min_total,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS max_total
+FROM orders
+GROUP BY o_orderpriority
+"""

@@ -678,3 +678,34 @@ SELECT event_type, n,
                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
 FROM s
 """
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-token phrase search via the distributed positional
+    inverted index (llm/relevance.phrase_search): pruned postings
+    slices k-way-joined on (doc, pos - offset). The oracle is the naive
+    token-window SCAN over the same whitespace tokenization — the query
+    certifies index plan == scan semantics, occurrence counts included."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        phrase_search,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, ["stream", "table", "hash"])
+
+
+SQL_PHRASE_SEARCH = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), hits AS (
+  SELECT doc_id
+  FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+  WHERE toks[i] = 'stream' AND toks[i + 1] = 'table'
+    AND toks[i + 2] = 'hash'
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM hits GROUP BY doc_id
+"""

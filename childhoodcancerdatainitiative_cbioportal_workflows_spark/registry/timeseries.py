@@ -619,3 +619,79 @@ SELECT event_id, user_id, ts, value,
                  THEN f_value ELSE b_value END AS asof_value
 FROM c
 """
+
+
+def q_throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-user event throttle (operators/throttle): keep an event
+    iff it is >= 24h after the previously KEPT event of that user — the
+    alert-dedup semantics no window function expresses (lag sees the
+    previous ROW, not the previous kept row). The engine side is the
+    package's canonical legitimate applyInPandas fold; the oracle replays
+    the identical fold as a linear recursive CTE, so the Pandas-UDF code
+    path is driver-certified like any declarative plan."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return throttle_events(
+        e, key_col="user_id", ts_col="ts", gap_seconds=86400, tiebreak_col="event_id"
+    )
+
+
+def _sql_throttle_events() -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events_sql,
+    )
+
+    return throttle_events_sql(
+        "SELECT user_id, event_id, ts FROM events",
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=86400,
+        tiebreak_col="event_id",
+        out_cols="user_id, event_id, ts",
+    )
+
+
+SQL_THROTTLE_EVENTS = _sql_throttle_events()
+
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value-trend slope in exact integer arithmetic
+    (operators/stats.trend_slopes): x = whole seconds since the user's
+    first event, y = value on a 0.01 grid, slope as an integer
+    fixed-point ratio with the numerator DECIMAL-routed — the per-entity
+    drift feature computed with two shuffle-sharing aggregations, no
+    window, no sort."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        trend_slopes,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return trend_slopes(e, "user_id", "ts", "value")
+
+
+SQL_TREND_SLOPES = """
+WITH t0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+), s AS (
+  SELECT e.user_id,
+         (epoch_us(e.ts) - epoch_us(t0.t0)) // 1000000 AS x,
+         CAST(round(e.value * 100) AS BIGINT) AS y
+  FROM events e JOIN t0 USING (user_id)
+), st AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST((CAST(n * sxy - sx * sy AS HUGEINT) * 1000000)
+            // (n * sxx - sx * sx) AS BIGINT) AS slope_fp
+FROM st
+WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+"""

@@ -208,6 +208,53 @@ def test_wide_matrix_lines_matches_pivot(spark):
         assert lines.loc[gene, "line"] == expected
 
 
+def test_pivot_max_values_boundary(spark):
+    """At the documented spark.sql.pivotMaxValues boundary the wide writer
+    must fail LOUDLY (not truncate), and the long/text path must render
+    the identical matrix — the drop-in scale face (VERDICT r6 task 8)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        wide_matrix_lines,
+    )
+
+    n_samples = 8
+    pdf = pd.DataFrame(
+        {
+            "g": ["TP53"] * n_samples + ["EGFR"] * n_samples,
+            "s": [f"s{i}" for i in range(n_samples)] * 2,
+            "v": [str(round(0.1 * i, 1)) for i in range(2 * n_samples)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.pivotMaxValues")
+    spark.conf.set("spark.sql.pivotMaxValues", str(n_samples - 1))
+    try:
+        # width > pivotMaxValues and no explicit column_values: the wide
+        # writer must raise (Spark's overflow error names the conf), never
+        # silently drop columns
+        with pytest.raises(Exception, match="pivotMaxValues|overflow"):
+            to_wide_matrix(df, "g", "s", "v").collect()
+        # the long/text path has no width bound and needs no conf change
+        samples = [f"s{i}" for i in range(n_samples)]
+        lines = {
+            r["g"]: r["line"]
+            for r in wide_matrix_lines(
+                df, "g", "s", "v", column_values=samples
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.pivotMaxValues", old)
+    # identical matrix: compare against the wide pivot rendered with the
+    # cap restored (explicit column_values skips the distinct job)
+    wide = (
+        to_wide_matrix(df, "g", "s", "v", fill="NA", column_values=samples)
+        .toPandas()
+        .set_index("g")
+    )
+    assert set(lines) == {"TP53", "EGFR"}
+    for gene, line in lines.items():
+        assert line == "\t".join([gene] + [str(wide.loc[gene, s]) for s in samples])
+
+
 def test_interval_join_bin_sizes(spark):
     """Result must be invariant to bin width (intervals >> bin and << bin)."""
     genes = spark.createDataFrame(
@@ -407,3 +454,69 @@ def test_contract_empty_string_semantics(spark):
     )
     with pytest.raises(ContractViolation, match="null"):
         validate(withnull, Contract(no_null=("sample_id",), empty_is_null=False))
+
+
+def test_kcore_peel_chain_vs_clique(spark):
+    """2-core semantics on a known graph: a 4-chain peels away entirely
+    (iteratively — endpoints first, then the rest), a 4-clique survives
+    with degree 3, and a pendant vertex on the clique is removed without
+    harming it. Also pins convergence: iters=3 equals iters=6 here."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        kcore_peel,
+    )
+
+    edges = [
+        # chain 10-11-12-13
+        (10, 11), (11, 12), (12, 13),
+        # clique 1,2,3,4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # pendant 5 on the clique
+        (4, 5),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["deg"] for r in kcore_peel(pairs, k=2, iters=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    got6 = {r["id"]: r["deg"] for r in kcore_peel(pairs, k=2, iters=6).collect()}
+    assert got6 == got
+
+
+def test_kcore_face_converged_on_corpus(spark):
+    """The registered face documents that 3 peel rounds converge on the
+    shared documents pair graph — verify iters=3 == iters=4 there."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+        load_table,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        kcore_peel,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 1000
+    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    pairs = pairs.persist()
+    a = sorted(map(tuple, kcore_peel(pairs, k=2, iters=3).collect()))
+    b = sorted(map(tuple, kcore_peel(pairs, k=2, iters=4).collect()))
+    pairs.unpersist()
+    assert a == b and len(a) > 0
+
+
+def test_ks_drift_known_value(spark):
+    """Exact KS on hand-checkable samples: a=[1,2,3,4], b=[3,4,5,6] →
+    D = 1/2 at x just below 3 (c_a=2,c_b=0): d_cross = |2*4-0*4| = 8,
+    d_fp = 500000. Identical values across bucket counts (boundaries
+    must never affect the statistic)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        ks_drift,
+    )
+
+    a = spark.createDataFrame([(v,) for v in [1, 2, 3, 4]], "v int")
+    b = spark.createDataFrame([(v,) for v in [3, 4, 5, 6]], "v int")
+    for nb in (1, 2, 64):
+        row = ks_drift(a, b, "v", n_buckets=nb).collect()[0]
+        assert (row["n_a"], row["n_b"], row["d_cross"], row["d_fp"]) == (
+            4, 4, 8, 500000,
+        ), f"n_buckets={nb}: {row}"
