@@ -19,6 +19,7 @@ from .dedup import (  # noqa: F401
     embedding_dup_pairs_lsh,
     incremental_dedup,
     boilerplate_ngrams,
+    exact_substring_spans,
     soft_dedup_weights,
     release_plan_caches,
 )

@@ -1419,3 +1419,99 @@ def soft_dedup_weights(
         )
     )
     return _with_caches(out, getattr(comp, "_spark_graft_caches", []))
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    gram_words: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (the RefinedWeb / "exact
+    substring deduplication" shape): find every position where a
+    ``gram_words``-token span recurs in >= ``min_docs`` distinct
+    documents, merge overlapping/adjacent duplicated spans per document
+    into maximal islands, and report per-doc duplication coverage —
+    (doc, n_islands, dup_tokens, n_tokens, dup_frac_fp). The curation
+    action (cut the spans, drop the doc) is the caller's; this computes
+    the exact span map.
+
+    Engine shape: one posexploded gram table; duplicated grams found
+    with a map-side-combined distinct-doc count (exchange bounded by the
+    distinct-gram vocabulary — the boilerplate_ngrams argument); a
+    LEFT SEMI join marks duplicated positions; islands via the classic
+    gaps-and-islands window PARTITIONED BY DOC (no global sort). The
+    gram STRING rides the shuffle for oracle-exactness; production swaps
+    it for xxhash64(gram) — identical plan, 8-byte keys (the
+    minhash_lsh_md5-vs-xxhash discipline). Integer coverage arithmetic
+    throughout: island coverage = (max_pos - min_pos) + L, dup_frac on a
+    1/unit fixed-point grid via truncating div — bit-identical in any
+    engine."""
+    from pyspark.sql import Window
+
+    from ..core.session import spread
+    from ..functions.text import ws_tokens
+
+    L = gram_words
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    staged = toks.select(
+        "_id",
+        F.size("_toks").alias("n_tokens"),
+        F.explode(
+            F.when(
+                F.size("_toks") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - L + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("_toks", i, L), " ").alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+        ).alias("pg"),
+    ).select("_id", "n_tokens", "pg.pos", "pg.gram")
+    dup_grams = (
+        staged.groupBy("gram")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    dup_pos = staged.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy("_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > L),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "island",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("_id", "n_tokens", "island")
+        .agg((F.max("pos") - F.min("pos") + L).alias("_covered"))
+    )
+    return (
+        islands.groupBy("_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("_covered").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_islands",
+            "dup_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(f"(dup_tokens * {unit}) div n_tokens").alias("dup_frac_fp"),
+        )
+    )

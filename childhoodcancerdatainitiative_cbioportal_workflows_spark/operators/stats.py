@@ -174,3 +174,42 @@ def trend_slopes(
             ).alias("slope_fp"),
         )
     )
+
+
+def anomaly_flags(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    y_scale: int = 100,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-key z-score outlier flags WITHOUT computing a z-score: flag a
+    row when |x - mean| > k·std, evaluated as the cross-multiplied
+    integer inequality ``(n·x - Σy)² > k²·(n·Σy² - (Σy)²)`` — no float
+    mean, no sqrt, no division, so two engines agree on every boundary
+    case bit-for-bit. Values ride a 1/y_scale fixed-point grid; the
+    squares are DECIMAL(38,0)-routed (n·x alone wraps int64 near 1e10
+    rows — the PMI lesson).
+
+    Scale shape: one map-side-combinable stats agg per key + one
+    broadcast-or-shuffle join back; no window. Keys with fewer than
+    ``min_points`` rows are skipped (their std is noise). Returns the
+    flagged rows: (key, id, y_fp, n)."""
+    y = F.round(F.col(value_col) * y_scale).cast("long")
+    staged = df.select(
+        F.col(key_col), F.col(id_col), y.alias("y_fp")
+    )
+    stats = staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y_fp").alias("sy"),
+        F.sum(F.col("y_fp") * F.col("y_fp")).alias("syy"),
+    ).filter(F.col("n") >= min_points)
+    lhs = F.expr("CAST(n * y_fp - sy AS DECIMAL(38,0))")
+    rhs = F.expr(f"CAST({k * k} AS DECIMAL(38,0)) * (n * syy - sy * sy)")
+    return (
+        staged.join(stats, key_col)
+        .filter((lhs * lhs) > rhs)
+        .select(key_col, id_col, "y_fp", "n")
+    )

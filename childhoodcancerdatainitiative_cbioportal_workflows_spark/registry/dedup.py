@@ -706,3 +706,55 @@ LEFT JOIN (
         GROUP BY component) s USING (component)
 ) w ON w.id = d.doc_id""",
 )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span map (llm/dedup.
+    exact_substring_spans, 8-token grams, >=2 docs): per-document island
+    count and duplicated-token coverage — the RefinedWeb exact-substring
+    shape as one declarative plan (vocabulary-bounded gram count,
+    left-semi position marking, per-doc gaps-and-islands window)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        exact_substring_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(d, gram_words=8, min_docs=2)
+
+
+SQL_SUBSTRING_DEDUP = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, len(toks) AS n_tokens, i AS pos,
+         array_to_string(toks[i:i+7], ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 7 + 1)) AS r(i)
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), p AS (
+  SELECT g.doc_id, g.n_tokens, g.pos
+  FROM g JOIN d USING (gram)
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM (SELECT doc_id, n_tokens, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM p)
+), cov AS (
+  SELECT doc_id, n_tokens, island,
+         MAX(pos) - MIN(pos) + 8 AS covered
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       (CAST(SUM(covered) AS BIGINT) * 1000000) // CAST(n_tokens AS BIGINT)
+         AS dup_frac_fp
+FROM cov GROUP BY doc_id, n_tokens
+"""

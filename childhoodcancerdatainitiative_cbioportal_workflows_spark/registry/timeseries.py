@@ -695,3 +695,38 @@ SELECT user_id, n,
 FROM st
 WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
 """
+
+
+def q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-sigma outlier events (operators/stats.anomaly_flags):
+    |x - mean| > 3*std evaluated as the cross-multiplied integer
+    inequality (n*x - sum)^2 > 9*(n*sumsq - sum^2) — no float mean, no
+    sqrt, DECIMAL-routed squares, so every boundary case is bit-stable
+    across engines. One stats agg + one join back, no window."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        anomaly_flags,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return anomaly_flags(e, "user_id", "value", "event_id", k=3)
+
+
+SQL_ANOMALY_FLAGS = """
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS y_fp
+  FROM events
+), st AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y_fp) AS BIGINT) AS sy,
+         CAST(SUM(y_fp * y_fp) AS BIGINT) AS syy
+  FROM s GROUP BY user_id
+  HAVING COUNT(*) >= 3
+)
+SELECT s.user_id, s.event_id, s.y_fp, st.n
+FROM s JOIN st USING (user_id)
+WHERE CAST(st.n * s.y_fp - st.sy AS HUGEINT)
+      * CAST(st.n * s.y_fp - st.sy AS HUGEINT)
+      > CAST(9 AS HUGEINT) * (st.n * st.syy - st.sy * st.sy)
+"""

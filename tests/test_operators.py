@@ -520,3 +520,97 @@ def test_ks_drift_known_value(spark):
         assert (row["n_a"], row["n_b"], row["d_cross"], row["d_fp"]) == (
             4, 4, 8, 500000,
         ), f"n_buckets={nb}: {row}"
+
+
+def test_phrase_search_overlapping_and_boundaries(spark):
+    """Index-plan semantics pinned on hand-built docs: overlapping
+    occurrences both count ('a a a' contains 'a a' twice), phrases never
+    match across the token boundary of a longer token ('ab c' is not
+    'a b'), and every occurrence in a doc is counted."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),          # 'a a' at positions 0 and 1 -> 2 hits
+            (2, "x a b y a b"),    # 'a b' twice
+            (3, "ab c a"),         # substring trap: no 'a b' here
+            (4, "b a"),            # reversed: no hit
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(docs, ["a", "a"]).collect()
+    }
+    assert got == {1: 2}
+    got2 = {
+        r["doc_id"]: r["n_hits"]
+        for r in phrase_search(docs, ["a", "b"]).collect()
+    }
+    assert got2 == {2: 2}
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    """Fold algebra: base partial state + delta == full recompute for
+    every mergeable fn, including keys present only in the delta and
+    only in the base."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.incremental import (
+        merge_partial_aggs,
+        partial_agg_state,
+    )
+
+    rows = [
+        ("x", 1.0), ("x", 2.0), ("y", 10.0),           # base
+        ("x", 4.0), ("z", 7.0),                        # delta (z is new)
+    ]
+    full = spark.createDataFrame(rows, "k string, v double")
+    base_rows, delta_rows = rows[:3], rows[3:]
+    aggs = {
+        "n": ("v", "count"),
+        "s": ("v", "sum"),
+        "mn": ("v", "min"),
+        "mx": ("v", "max"),
+    }
+    base = partial_agg_state(
+        spark.createDataFrame(base_rows, "k string, v double"), ["k"], aggs
+    )
+    merged = merge_partial_aggs(
+        base, spark.createDataFrame(delta_rows, "k string, v double"), ["k"], aggs
+    )
+    want = {
+        tuple(r)
+        for r in partial_agg_state(full, ["k"], aggs).collect()
+    }
+    assert {tuple(r) for r in merged.collect()} == want
+    assert {r["k"] for r in merged.collect()} == {"x", "y", "z"}
+
+
+def test_throttle_events_greedy_not_lag(spark):
+    """The chain case that separates throttle (previous KEPT) from a lag
+    window (previous ROW): events at t=0,3,5 with gap 4 keep {0, 5} —
+    a lag-based filter would drop 5 (only 2 after 3). Also: ties broken
+    by the tiebreak column, first event always kept, keys independent."""
+    import datetime as dt
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0),
+        (1, 11, t0 + dt.timedelta(seconds=3)),
+        (1, 12, t0 + dt.timedelta(seconds=5)),
+        (2, 20, t0),  # other key unaffected
+        (2, 21, t0),  # same-ts tie: event_id 20 kept, 21 throttled
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    kept = {
+        r["event_id"]
+        for r in throttle_events(
+            df, "user_id", "ts", gap_seconds=4, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert kept == {10, 12, 20}
