@@ -115,15 +115,20 @@ def kcore_peel(
 
     Scale shape: per round one map-side-combined degree count + two
     LEFT SEMI joins of the edge list against the (shrinking) survivor
-    set; the edge list is persisted per round and the previous round's
-    cache released, so lineage stays one-round deep (the pagerank /
-    star-contraction lesson). Driver holds loop control only."""
+    set. Each round's edge list is ``localCheckpoint``ed, not merely
+    persisted: every round references the previous round's edges THREE
+    times (the edge scan + both survivor sides), so an unpersisted
+    lineage grows 3^rounds analyzer nodes — checkpointing truncates the
+    plan to one round deep (the star-contraction discipline; plain
+    persist keeps runtime fine but leaves the exponential STATIC plan).
+    Driver holds loop control only."""
+    from ..llm.dedup import _CheckpointHandle, _with_caches
+
     e = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d")).unionByName(
         pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     ).distinct()
-    e = e.persist()
-    e.count()
-    caches = [e]
+    e = e.localCheckpoint(eager=True)
+    caches = [_CheckpointHandle(e)]
     for _ in range(iters):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("s")
@@ -131,17 +136,14 @@ def kcore_peel(
             e.join(keep, "s", "left_semi")
             .join(keep.toDF("d"), "d", "left_semi")
             .select("s", "d")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        nxt.count()
-        e.unpersist()
+        caches[0].unpersist()
         e = nxt
-        caches = [e]
+        caches = [_CheckpointHandle(e)]
     out = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("s").alias("id"), "deg"
     )
-    from ..llm.dedup import _with_caches
-
     return _with_caches(out, caches)
 
 
