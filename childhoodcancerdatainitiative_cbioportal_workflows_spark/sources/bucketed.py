@@ -1,0 +1,52 @@
+"""Bucketed table layout: pre-shuffled storage for exchange-free joins.
+
+At 100 TB the dominant cost of a fact-to-fact equi-join is the shuffle.
+Spark's table bucketing (``bucketBy`` + ``saveAsTable``) moves that
+shuffle to WRITE time, once: both tables hash-partitioned into the same
+number of buckets on the join key are co-located, and Catalyst plans the
+join with NO Exchange on either side (the FileScan reports
+``SelectedBucketsCount``; with ``sortBy`` the per-bucket sort is free
+too). The price is a fixed bucket count chosen at write time — size it
+so one bucket of the LARGER table fits an executor core's working set
+(e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket pre-compression; use
+bucket counts with many divisors so differently-bucketed tables can
+still coalesce 4.1+-style).
+
+Bucket pruning: equality predicates on the bucket key scan only the
+matching bucket's files. Both effects are plan-asserted in
+``tests/test_partitioning.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (optionally bucket-sorted) table.
+    ``path`` makes it external (data outside the warehouse dir). The
+    write itself shuffles once on the keys — that is the point: pay the
+    exchange at write time, never again at read time."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *keys
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table WITH its bucket metadata (a plain
+    ``spark.read.parquet`` on the files would lose it and re-shuffle)."""
+    return spark.table(table)
