@@ -730,3 +730,165 @@ WHERE CAST(st.n * s.y_fp - st.sy AS HUGEINT)
       * CAST(st.n * s.y_fp - st.sy AS HUGEINT)
       > CAST(9 AS HUGEINT) * (st.n * st.syy - st.sy * st.sy)
 """
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-path mining: per (user, session) the ORDERED event-type
+    path string ('view>click>purchase'), sessions cut at >30min
+    inactivity via the gaps-and-islands window. Determinism discipline:
+    the path is array_join over array_sort of (ts, event_id, type)
+    structs — collect_list alone is partition-order-dependent, the
+    explicit sort key makes it total."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (
+                    # NTZ needs the intermediate timestamp cast; the
+                    # difference cancels the session-tz interpretation
+                    F.col("ts").cast("timestamp").cast("long")
+                    - F.col("_prev").cast("timestamp").cast("long")
+                    > 1800
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "sid",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+    ).select("user_id", "session_start", "n_events", "path")
+
+
+SQL_SESSION_PATHS = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), i AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+FROM i GROUP BY user_id, sid
+"""
+
+
+def q_cumulative_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user growth curve: per day, the users seen for
+    the FIRST time and the cumulative distinct total — the classic
+    'running COUNT(DISTINCT)' that naive window SQL cannot express
+    scalably. Engine shape: one groupBy(user) for first-seen dates, one
+    per-date count, then a prefix sum over the (tiny) date spine — the
+    distinct state never enters a window."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_ACTIVES = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), d AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+def q_attribution_lastclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (operators/asof reused as marketing
+    attribution): each purchase joined to the user's most recent click
+    at-or-before it, within a 7-day window — the asof operator's
+    backward+tolerance mode wearing its other hat. Output keeps
+    unattributed purchases (null click) to make the coverage visible."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.asof import (
+        asof_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts="ts",
+        right_cols=["click_id"],
+        tiebreak="click_id",
+        direction="backward",
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("asof_click_id").alias("click_id"),
+        # exact integer µs difference then truncating div: per-side
+        # second-truncation (cast long) disagrees with the oracle's
+        # difference-then-truncate by 1 on fractional seconds
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP))"
+            " - unix_micros(CAST(asof_ts AS TIMESTAMP))) div 1000000"
+        ).alias("gap_seconds"),
+    )
+
+
+SQL_ATTRIBUTION_LASTCLICK = """
+SELECT p.user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events c
+  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c ON TRUE
+WHERE p.event_type = 'purchase'
+"""

@@ -16,7 +16,7 @@ from .events import (  # noqa: F401
     trending_sink,
 )
 from .joins import interval_join_streams  # noqa: F401
-from .stateful import running_user_totals  # noqa: F401
+from .stateful import running_user_totals, throttle_stream  # noqa: F401
 from .corpus import (  # noqa: F401
     DOCS_SCHEMA,
     incremental_dedup_stream,

@@ -86,3 +86,79 @@ def running_user_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+THROTTLE_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_kept_ts", T.TimestampType())]
+)
+
+THROTTLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def throttle_stream(
+    events: DataFrame,
+    gap_seconds: float,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming face of ``operators/throttle.throttle_events``: keep an
+    event iff it is >= ``gap_seconds`` after the previously KEPT event of
+    its key — the greedy alert-dedup fold, with the per-key state being
+    exactly ONE timestamp. For event streams arriving in event-time order
+    per key (per-batch rows are sorted; cross-batch order is the source's
+    contract), the kept set is identical to the batch operator on the
+    same data — pinned in tests/test_streaming.py.
+
+    Bounded state: once the watermark passes last_kept + gap, every
+    non-late future event trivially passes the gap check, so the key's
+    state is expired via an event-time timeout (the epoch-0 first-batch
+    guard as in :func:`running_user_totals`). Rows older than the
+    watermark follow the standard watermark contract: after expiry a
+    too-late event may be kept that a batch replay would throttle."""
+    import pandas as pd
+
+    gap_ns = int(round(gap_seconds * 1_000_000_000))
+    gap_ms = int(round(gap_seconds * 1_000))
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        last_ns = None if last is None else pd.Timestamp(last).value
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            for eid, t, t_ns in zip(pdf["event_id"], pdf["ts"], ts_ns):
+                if last_ns is None or t_ns - last_ns >= gap_ns:
+                    out.append(
+                        {"user_id": user_id, "event_id": eid, "ts": t}
+                    )
+                    last_ns = int(t_ns)
+        if last_ns is not None:
+            state.update((pd.Timestamp(last_ns),))
+            state.setTimeoutTimestamp(
+                max(
+                    last_ns // 1_000_000 + gap_ms,
+                    state.getCurrentWatermarkMs() + 1_000,
+                )
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1262,3 +1262,65 @@ def test_bucket_prune_semi_join_guard(spark, tmp_path):
         results[lim] = _read_pairs(spark, pairs)
     assert results[1] == results[1024]
     assert any((a, b) == (1, 3) for a, b, _ in results[1])
+
+
+def test_throttle_stream_matches_batch(spark, tmp_path):
+    """Streaming throttle == batch throttle on in-order event streams: the
+    per-key last-kept timestamp carries across micro-batches (event 4,
+    30 min after KEPT event 1 and 20 min after throttled event 2, must be
+    throttled too — a lag-style or state-less implementation would keep
+    it). Gap = 45 min."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        throttle_stream,
+    )
+
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "a", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:00:00", "user_id": 2, "event_type": "a", "value": 5.0, "props": "{}"},
+    ]
+    b1 = [
+        {"event_id": 4, "ts": "2024-01-01T00:30:00", "user_id": 1, "event_type": "a", "value": 4.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T00:50:00", "user_id": 1, "event_type": "a", "value": 4.0, "props": "{}"},
+        {"event_id": 6, "ts": "2024-01-01T01:00:00", "user_id": 2, "event_type": "a", "value": 4.0, "props": "{}"},
+    ]
+    src = str(tmp_path / "events_throttle")
+    _write_event_files(src, [b0])
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = (
+        throttle_stream(stream, gap_seconds=2700)
+        .writeStream.format("memory")
+        .queryName("throttled")
+        .option("checkpointLocation", str(tmp_path / "ckpt_throttle"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for e in b1:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+        got = {
+            r["event_id"] for r in spark.sql("select * from throttled").collect()
+        }
+    finally:
+        q.stop()
+    # kept: 1 (first), 5 (50 min > 45 after 1); throttled: 2, 4 (cross-batch
+    # state!); user 2: 3 (first), 6 (60 min later)
+    assert got == {1, 5, 3, 6}
+    # identical to the batch operator on the full data
+    full = spark.createDataFrame(
+        [(e["user_id"], e["event_id"], e["ts"]) for e in b0 + b1],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch_kept = {
+        r["event_id"]
+        for r in throttle_events(
+            full, "user_id", "ts", gap_seconds=2700, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == batch_kept
