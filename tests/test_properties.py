@@ -191,3 +191,108 @@ def test_weighted_sample_monotone_in_weight(spark, n, frac_lo):
     lo = {r.doc_id for r in weighted_hash_sample(df, F.lit(frac_lo)).collect()}
     hi = {r.doc_id for r in weighted_hash_sample(df, F.lit(frac_lo + 0.4)).collect()}
     assert lo <= hi
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400)),  # (key, t-sec)
+        min_size=1,
+        max_size=25,
+    ),
+    gap=st.sampled_from([1, 7, 50]),
+)
+@SETTINGS
+def test_throttle_matches_greedy_model(spark, events, gap):
+    """throttle_events == the obvious sequential greedy fold, for any
+    key mix, duplicate timestamps included (tiebreak = event id)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+    )
+
+    import datetime as dt
+
+    rows = [
+        (k, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t))
+        for i, (k, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, ts timestamp")
+    got = {
+        r["eid"]
+        for r in throttle_events(df, "k", "ts", gap, "eid").collect()
+    }
+    want = set()
+    for k in {r[0] for r in rows}:
+        last = None
+        for kk, eid, ts in sorted(
+            (r for r in rows if r[0] == k), key=lambda r: (r[2], r[1])
+        ):
+            if last is None or (ts - last).total_seconds() >= gap:
+                want.add(eid)
+                last = ts
+    assert got == want
+
+
+@given(
+    a=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+    b=st.lists(st.integers(-50, 50), min_size=1, max_size=30),
+)
+@SETTINGS
+def test_ks_drift_matches_numpy_model(spark, a, b):
+    """ks_drift's integer cross-product KS == the textbook ECDF sup
+    distance computed with numpy over the pooled support."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        ks_drift,
+    )
+
+    da = spark.createDataFrame([(v,) for v in a], "v int")
+    db = spark.createDataFrame([(v,) for v in b], "v int")
+    row = ks_drift(da, db, "v", n_buckets=4).collect()[0]
+    xs = np.array(sorted(set(a) | set(b)))
+    ca = np.array([sum(1 for v in a if v <= x) for x in xs])
+    cb = np.array([sum(1 for v in b if v <= x) for x in xs])
+    d_cross = int(np.max(np.abs(ca * len(b) - cb * len(a))))
+    assert (row["n_a"], row["n_b"], row["d_cross"]) == (len(a), len(b), d_cross)
+    assert row["d_fp"] == (d_cross * 1_000_000) // (len(a) * len(b))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@SETTINGS
+def test_kcore_matches_python_peel(spark, edges, k):
+    """kcore_peel at high iters == the classic repeat-until-fixed-point
+    peel on the same undirected simple graph."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        kcore_peel,
+    )
+
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not e:
+        return
+    pairs = spark.createDataFrame(sorted(e), "id_a long, id_b long")
+    got = {
+        (r["id"], r["deg"])
+        for r in kcore_peel(pairs, k=k, iters=13).collect()
+    }
+    cur = set(e)
+    while True:
+        deg: dict[int, int] = {}
+        for x, y in cur:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        nxt = {(x, y) for x, y in cur if x in alive and y in alive}
+        if nxt == cur:
+            break
+        cur = nxt
+    deg = {}
+    for x, y in cur:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    want = {(v, d) for v, d in deg.items()}
+    assert got == want
