@@ -213,3 +213,96 @@ def anomaly_flags(
         .filter((lhs * lhs) > rhs)
         .select(key_col, id_col, "y_fp", "n")
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    grid: int = 100,
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """EXACT quantiles without a global sort: classic two-phase
+    distributed selection. ``value_col`` must live on a 1/``grid``
+    fixed-point lattice (prices, scores — anything stored with fixed
+    decimals); values are scaled to exact integers up front.
+
+    Phase 1: one full-scan histogram over ``n_buckets`` equal-width
+    ranges (map-side combinable) whose cumulative counts locate, for
+    each requested p, the bucket containing rank ``ceil(p·n)`` — the
+    bucket table is parameter-sized (never data-sized), so its driver
+    collect is the bounded pagerank-style control-flow collect.
+    Phase 2: one filtered scan of ONLY the target buckets, per-value
+    counts, and a per-bucket cumulative window — the partition is
+    bounded by the bucket's VALUE-GRID width (range/n_buckets/grid
+    values), not by its row count, so a skewed bucket cannot blow up
+    the window.
+
+    Returns (p, value, rank): the rank-th smallest value (1-indexed,
+    rank = ceil(p·n)) — DuckDB ``quantile_disc`` semantics, which the
+    registered face's oracle states as an explicit ROW_NUMBER query."""
+    import math
+
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col) * grid).cast("long")
+    staged = df.select(v.alias("_v")).persist()
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo"),
+        F.max("_v").alias("hi"),
+    ).collect()[0]
+    n, lo, hi = agg["n"], agg["lo"], agg["hi"]
+    if n == 0:
+        staged.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "p double, value double, rank long"
+        )
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    hist = (
+        staged.groupBy(((F.col("_v") - lo) / width).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cum, acc = {}, 0
+    for row in sorted(hist, key=lambda r: r["b"]):
+        cum[row["b"]] = (acc, acc + row["c"])  # [start, end) ranks
+        acc += row["c"]
+    targets = {}  # bucket -> [(p, rank, rank_within_bucket_base)]
+    for p in ps:
+        rank = max(1, math.ceil(p * n))
+        for b, (s, e) in cum.items():
+            if s < rank <= e:
+                targets.setdefault(b, []).append((p, rank, s))
+                break
+    bucket_ids = sorted(targets)
+    in_bucket = (
+        staged.withColumn(
+            "b", ((F.col("_v") - lo) / width).cast("long")
+        )
+        .filter(F.col("b").isin(bucket_ids))
+        .groupBy("b", "_v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("b").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = in_bucket.select(
+        "b", "_v", F.sum("c").over(w).alias("cum_in_bucket")
+    ).collect()
+    by_bucket: dict[int, list] = {}
+    for r in ranked:
+        by_bucket.setdefault(r["b"], []).append((r["_v"], r["cum_in_bucket"]))
+    out = []
+    for b, wants in targets.items():
+        vals = sorted(by_bucket[b])
+        for p, rank, base in wants:
+            need = rank - base  # rank within the bucket
+            for val, cumc in vals:
+                if cumc >= need:
+                    out.append((float(p), val / grid, rank))
+                    break
+    staged.unpersist()
+    return df.sparkSession.createDataFrame(
+        sorted(out), "p double, value double, rank long"
+    )

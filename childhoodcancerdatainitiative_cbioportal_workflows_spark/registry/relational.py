@@ -486,3 +486,37 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 """
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-statistic quantiles of o_totalprice WITHOUT a global
+    sort (operators/stats.exact_quantiles): one histogram scan locates
+    each rank's bucket, one filtered scan + per-bucket window resolves
+    the exact value — distributed selection, rank = ceil(p*n), DuckDB
+    quantile_disc semantics. The oracle states the ground truth as the
+    naive ROW_NUMBER query; the engine must agree bit-for-bit while
+    never sorting more than one bucket's value-grid."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        exact_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return exact_quantiles(o, "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+SQL_EXACT_QUANTILES = """
+WITH s AS (
+  SELECT o_totalprice AS v FROM orders
+), r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s
+), n AS (
+  SELECT COUNT(*) AS c FROM s
+), t AS (
+  SELECT CAST(p AS DOUBLE) AS p,
+         CAST(CEIL(p * n.c) AS BIGINT) AS rank
+  FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS ps(p), n
+)
+SELECT t.p, CAST(r.v AS DOUBLE) AS value, t.rank
+FROM t JOIN r ON r.rn = t.rank
+ORDER BY t.p
+"""
