@@ -107,6 +107,10 @@ def ks_drift(
             .cast("long")
             .alias("d_cross"),
         )
+        # KS is undefined when either sample is empty: emit NO row (not a
+        # null row, not an ANSI divide-by-zero). The filter runs before
+        # the projection so the division can never see a zero divisor.
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select(
             "n_a",
             "n_b",
