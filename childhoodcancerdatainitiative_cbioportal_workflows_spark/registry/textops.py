@@ -709,3 +709,72 @@ WITH t AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM hits GROUP BY doc_id
 """
+
+
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch certified BIT-EXACTLY (operators/sketches
+    countmin_sketch/estimate): md5-derived hash rows make the sketch
+    itself engine-reproducible — unlike HLL/KLL internals — so the
+    oracle rebuilds the identical 4x1024 counter table and must agree on
+    every estimate. Face: the exact top-20 tokens with their true
+    counts AND their CMS estimates (est >= exact always; the gap IS the
+    collision error, certified rather than hand-waved)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    toks = toks.persist()
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    sketch = countmin_sketch(toks, "token")
+    est = countmin_estimate(sketch, exact.select("token"), "token")
+    out = exact.join(est, "token").select("token", "exact_n", "est_n")
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    return _with_caches(out, [toks])
+
+
+_CMS_FOLD = (
+    "list_reduce(list_transform(range(1,9), i -> "
+    "(CASE WHEN ascii(h[i]) >= 97 THEN ascii(h[i])-87 "
+    "ELSE ascii(h[i])-48 END)::BIGINT), (a,b) -> a*16+b)"
+)
+
+SQL_COUNTMIN_TOKENS = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), e AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM t GROUP BY token
+  ORDER BY exact_n DESC, token ASC LIMIT 20
+), hb AS (
+  SELECT token, r, md5(CAST(r AS VARCHAR) || ':' || token) AS h
+  FROM t CROSS JOIN range(0, 4) AS rr(r)
+), c AS (
+  SELECT r, {_CMS_FOLD} % 1024 AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hb GROUP BY r, bucket
+), pb AS (
+  SELECT e.token, e.exact_n, rr.r,
+         md5(CAST(rr.r AS VARCHAR) || ':' || e.token) AS h
+  FROM e CROSS JOIN range(0, 4) AS rr(r)
+), p AS (
+  SELECT token, exact_n, r, {_CMS_FOLD} % 1024 AS bucket FROM pb
+)
+SELECT p.token, p.exact_n,
+       CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est_n
+FROM p LEFT JOIN c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY p.token, p.exact_n
+"""

@@ -614,3 +614,39 @@ def test_throttle_events_greedy_not_lag(spark):
         ).collect()
     }
     assert kept == {10, 12, 20}
+
+
+def test_countmin_merge_and_upper_bound(spark):
+    """The Count-Min sketch is LINEAR: sketches of disjoint shards sum
+    counter-wise into the full-corpus sketch (the property that makes it
+    a 100 TB structure), and every estimate upper-bounds the true
+    count."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    words = (["spark"] * 30 + ["hash"] * 20 + ["scan"] * 10
+             + [f"rare{i}" for i in range(40)])
+    full = spark.createDataFrame([(w,) for w in words], "token string")
+    half_a = spark.createDataFrame([(w,) for w in words[:50]], "token string")
+    half_b = spark.createDataFrame([(w,) for w in words[50:]], "token string")
+    d, w = 4, 64  # narrow width -> collisions guaranteed, bound still holds
+    sk_full = {(r["row"], r["bucket"]): r["c"]
+               for r in countmin_sketch(full, "token", d, w).collect()}
+    merged: dict = {}
+    for shard in (half_a, half_b):
+        for r in countmin_sketch(shard, "token", d, w).collect():
+            key = (r["row"], r["bucket"])
+            merged[key] = merged.get(key, 0) + r["c"]
+    assert merged == sk_full
+    probes = full.select("token").distinct()
+    est = {
+        r["token"]: r["est_n"]
+        for r in countmin_estimate(
+            countmin_sketch(full, "token", d, w), probes, "token", d, w
+        ).collect()
+    }
+    true = {w_: words.count(w_) for w_ in set(words)}
+    assert all(est[t] >= n for t, n in true.items())
+    assert est["spark"] >= 30 and est["hash"] >= 20
