@@ -43,11 +43,16 @@ def ks_drift(
 
     Returns one row: ``n_a, n_b, d_cross`` (max |c_a·n_b - c_b·n_a|, an
     exact bigint) and ``d_fp`` = the KS statistic in integer ``unit``
-    units, ``(d_cross * unit) div (n_a * n_b)`` routed through
-    DECIMAL(38,0) so modest sample sizes can't overflow int64 (the PMI
-    lesson)."""
-    tagged = a.select(F.col(value_col).alias("val"), F.lit(1).alias("_ga")).unionByName(
-        b.select(F.col(value_col).alias("val"), F.lit(0).alias("_ga"))
+    units, ``(d_cross * unit) div (n_a * n_b)`` with EVERY product
+    (numerator AND the n_a·n_b divisor) operand-cast to DECIMAL(38,0)
+    before multiplying, so two ~3e9-row samples can't wrap int64 (the
+    PMI lesson). NULL values are excluded up front — an ECDF over NULLs
+    is undefined, and engines disagree on NULL sort position (Spark
+    windows order NULLS FIRST, DuckDB NULLS LAST)."""
+    tagged = (
+        a.select(F.col(value_col).alias("val"), F.lit(1).alias("_ga"))
+        .unionByName(b.select(F.col(value_col).alias("val"), F.lit(0).alias("_ga")))
+        .filter(F.col("val").isNotNull())
     )
     vals = tagged.groupBy("val").agg(
         F.sum("_ga").cast("long").alias("ca"),
@@ -117,7 +122,7 @@ def ks_drift(
             "d_cross",
             F.expr(
                 f"CAST((CAST(d_cross AS DECIMAL(38,0)) * {unit})"
-                " div (n_a * n_b) AS BIGINT)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("d_fp"),
         )
     )
@@ -138,9 +143,12 @@ def trend_slopes(
     (exact integer µs division; OLS slope is shift-invariant, and the
     shift keeps x² inside int64), y = value on a 1/y_scale fixed-point
     grid, and slope_fp = (n·Σxy − Σx·Σy) · unit div (n·Σx² − (Σx)²)
-    with the numerator product routed through DECIMAL(38,0) (the PMI
-    overflow lesson). Output: (key, n, slope_fp) — slope in y-units per
-    second, scaled by unit.
+    with an OPERAND of every product in both numerator and denominator
+    cast to DECIMAL(38,0) BEFORE multiplying (the PMI overflow lesson —
+    a cast after a finished int64 product arrives too late: long time
+    spans make Σx, Σx² large enough that n·Σxy itself wraps first).
+    Output: (key, n, slope_fp) — slope in y-units per second, scaled by
+    unit.
 
     Scale shape: one map-side-combinable agg for the per-key t0, one
     shuffle-sharing agg for the sufficient statistics; no window, no
@@ -167,15 +175,23 @@ def trend_slopes(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     return (
-        stats.withColumn("num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        .withColumn("den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        stats.withColumn(
+            "num",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+            ),
+        )
         .filter((F.col("n") >= min_points) & (F.col("den") != 0))
         .select(
             key_col,
             "n",
-            F.expr(
-                f"CAST((CAST(num AS DECIMAL(38,0)) * {unit}) div den AS BIGINT)"
-            ).alias("slope_fp"),
+            F.expr(f"CAST((num * {unit}) div den AS BIGINT)").alias("slope_fp"),
         )
     )
 
@@ -193,9 +209,11 @@ def anomaly_flags(
     row when |x - mean| > k·std, evaluated as the cross-multiplied
     integer inequality ``(n·x - Σy)² > k²·(n·Σy² - (Σy)²)`` — no float
     mean, no sqrt, no division, so two engines agree on every boundary
-    case bit-for-bit. Values ride a 1/y_scale fixed-point grid; the
-    squares are DECIMAL(38,0)-routed (n·x alone wraps int64 near 1e10
-    rows — the PMI lesson).
+    case bit-for-bit. Values ride a 1/y_scale fixed-point grid; every
+    product on BOTH sides has an operand cast to DECIMAL(38,0) BEFORE
+    the multiply (the PMI lesson — Σy·Σy wraps int64 near 1e6 rows per
+    key at y_fp ~1e4, so a cast around a finished int64 product is no
+    protection).
 
     Scale shape: one map-side-combinable stats agg per key + one
     broadcast-or-shuffle join back; no window. Keys with fewer than
@@ -210,8 +228,11 @@ def anomaly_flags(
         F.sum("y_fp").alias("sy"),
         F.sum(F.col("y_fp") * F.col("y_fp")).alias("syy"),
     ).filter(F.col("n") >= min_points)
-    lhs = F.expr("CAST(n * y_fp - sy AS DECIMAL(38,0))")
-    rhs = F.expr(f"CAST({k * k} AS DECIMAL(38,0)) * (n * syy - sy * sy)")
+    lhs = F.expr("CAST(n AS DECIMAL(38,0)) * y_fp - sy")
+    rhs = F.expr(
+        f"CAST({k * k} AS DECIMAL(38,0))"
+        " * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    )
     return (
         staged.join(stats, key_col)
         .filter((lhs * lhs) > rhs)
@@ -251,62 +272,66 @@ def exact_quantiles(
 
     v = F.round(F.col(value_col) * grid).cast("long")
     staged = df.select(v.alias("_v")).persist()
-    agg = staged.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("_v").alias("lo"),
-        F.max("_v").alias("hi"),
-    ).collect()[0]
-    n, lo, hi = agg["n"], agg["lo"], agg["hi"]
-    if n == 0:
-        staged.unpersist()
-        return df.sparkSession.createDataFrame(
-            [], "p double, value double, rank long"
+    try:
+        agg = staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        ).collect()[0]
+        n, lo, hi = agg["n"], agg["lo"], agg["hi"]
+        if n == 0:
+            return df.sparkSession.createDataFrame(
+                [], "p double, value double, rank long"
+            )
+        width = max(1, (hi - lo + n_buckets) // n_buckets)
+        # bucket id by EXACT integer division (`div`, never float `/`:
+        # _v - lo >= 0 so truncation == floor, and doubles lose bucket
+        # boundaries once |hi - lo| passes 2^53); the identical
+        # expression assigns buckets in both phases
+        bucket_of = F.expr(f"(_v - {lo}) div {width}")
+        hist = (
+            staged.groupBy(bucket_of.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-    width = max(1, (hi - lo + n_buckets) // n_buckets)
-    hist = (
-        staged.groupBy(((F.col("_v") - lo) / width).cast("long").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    cum, acc = {}, 0
-    for row in sorted(hist, key=lambda r: r["b"]):
-        cum[row["b"]] = (acc, acc + row["c"])  # [start, end) ranks
-        acc += row["c"]
-    targets = {}  # bucket -> [(p, rank, rank_within_bucket_base)]
-    for p in ps:
-        rank = max(1, math.ceil(p * n))
-        for b, (s, e) in cum.items():
-            if s < rank <= e:
-                targets.setdefault(b, []).append((p, rank, s))
-                break
-    bucket_ids = sorted(targets)
-    in_bucket = (
-        staged.withColumn(
-            "b", ((F.col("_v") - lo) / width).cast("long")
-        )
-        .filter(F.col("b").isin(bucket_ids))
-        .groupBy("b", "_v")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy("b").orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ranked = in_bucket.select(
-        "b", "_v", F.sum("c").over(w).alias("cum_in_bucket")
-    ).collect()
-    by_bucket: dict[int, list] = {}
-    for r in ranked:
-        by_bucket.setdefault(r["b"], []).append((r["_v"], r["cum_in_bucket"]))
-    out = []
-    for b, wants in targets.items():
-        vals = sorted(by_bucket[b])
-        for p, rank, base in wants:
-            need = rank - base  # rank within the bucket
-            for val, cumc in vals:
-                if cumc >= need:
-                    out.append((float(p), val / grid, rank))
+        cum, acc = {}, 0
+        for row in sorted(hist, key=lambda r: r["b"]):
+            cum[row["b"]] = (acc, acc + row["c"])  # [start, end) ranks
+            acc += row["c"]
+        targets = {}  # bucket -> [(p, rank, rank_within_bucket_base)]
+        for p in ps:
+            rank = max(1, math.ceil(p * n))
+            for b, (s, e) in cum.items():
+                if s < rank <= e:
+                    targets.setdefault(b, []).append((p, rank, s))
                     break
-    staged.unpersist()
-    return df.sparkSession.createDataFrame(
-        sorted(out), "p double, value double, rank long"
-    )
+        bucket_ids = sorted(targets)
+        in_bucket = (
+            staged.withColumn("b", bucket_of)
+            .filter(F.col("b").isin(bucket_ids))
+            .groupBy("b", "_v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("b").orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        ranked = in_bucket.select(
+            "b", "_v", F.sum("c").over(w).alias("cum_in_bucket")
+        ).collect()
+        by_bucket: dict[int, list] = {}
+        for r in ranked:
+            by_bucket.setdefault(r["b"], []).append((r["_v"], r["cum_in_bucket"]))
+        out = []
+        for b, wants in targets.items():
+            vals = sorted(by_bucket[b])
+            for p, rank, base in wants:
+                need = rank - base  # rank within the bucket
+                for val, cumc in vals:
+                    if cumc >= need:
+                        out.append((float(p), val / grid, rank))
+                        break
+        return df.sparkSession.createDataFrame(
+            sorted(out), "p double, value double, rank long"
+        )
+    finally:
+        staged.unpersist()

@@ -376,7 +376,9 @@ SQL_DISTRIBUTION_DRIFT = """
 WITH t AS (
   SELECT o_totalprice AS val,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ga
-  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
 ), v AS (
   SELECT val, CAST(SUM(ga) AS BIGINT) AS ca,
          CAST(SUM(1 - ga) AS BIGINT) AS cb
@@ -394,7 +396,8 @@ SELECT tot.n_a, tot.n_b,
                     - CAST(c2 AS HUGEINT) * tot.n_a)) AS BIGINT) AS d_cross,
        CAST((CAST(MAX(ABS(CAST(c1 AS HUGEINT) * tot.n_b
                           - CAST(c2 AS HUGEINT) * tot.n_a)) AS HUGEINT)
-             * 1000000) // (tot.n_a * tot.n_b) AS BIGINT) AS d_fp
+             * 1000000) // (CAST(tot.n_a AS HUGEINT) * tot.n_b)
+            AS BIGINT) AS d_fp
 FROM c, tot
 GROUP BY tot.n_a, tot.n_b
 """

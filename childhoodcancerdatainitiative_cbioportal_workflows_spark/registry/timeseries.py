@@ -690,10 +690,12 @@ WITH t0 AS (
   FROM s GROUP BY user_id
 )
 SELECT user_id, n,
-       CAST((CAST(n * sxy - sx * sy AS HUGEINT) * 1000000)
-            // (n * sxx - sx * sx) AS BIGINT) AS slope_fp
+       CAST(((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy) * 1000000)
+            // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+            AS BIGINT) AS slope_fp
 FROM st
-WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+WHERE n >= 2
+  AND (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) <> 0
 """
 
 
@@ -726,9 +728,10 @@ WITH s AS (
 )
 SELECT s.user_id, s.event_id, s.y_fp, st.n
 FROM s JOIN st USING (user_id)
-WHERE CAST(st.n * s.y_fp - st.sy AS HUGEINT)
-      * CAST(st.n * s.y_fp - st.sy AS HUGEINT)
-      > CAST(9 AS HUGEINT) * (st.n * st.syy - st.sy * st.sy)
+WHERE (CAST(st.n AS HUGEINT) * s.y_fp - st.sy)
+      * (CAST(st.n AS HUGEINT) * s.y_fp - st.sy)
+      > CAST(9 AS HUGEINT)
+        * (CAST(st.n AS HUGEINT) * st.syy - CAST(st.sy AS HUGEINT) * st.sy)
 """
 
 

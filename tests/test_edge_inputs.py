@@ -112,3 +112,83 @@ def test_exact_quantiles_degenerate_distributions(spark):
     one = spark.createDataFrame([(7.5,)], "value double")
     out1 = exact_quantiles(one, "value", [0.5]).collect()
     assert [(r["p"], r["value"], r["rank"]) for r in out1] == [(0.5, 7.5, 1)]
+
+
+def test_anomaly_flags_survives_int64_wrapping_magnitudes(spark):
+    """Regression (r8 advice): sy*sy must be DECIMAL-routed BEFORE the
+    multiply. With y_fp ~1e10 per row and 100 rows, sy ~1e12 and sy^2
+    ~1e24 — far past int64 — so the pre-fix BIGINT product errored under
+    ANSI at modest, realistic per-key scale. Flag set is cross-checked
+    against the exact-integer inequality computed in Python bigints."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        anomaly_flags,
+    )
+
+    vals = [4 * 10**5] * 99 + [8 * 10**5]  # integral: round(v*100) is exact
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    y = [v * 100 for v in vals]
+    n, sy, syy = len(y), sum(y), sum(v * v for v in y)
+    # the regime: int64 sufficient stats fit, their products do not
+    assert syy < 2**63 and sy * sy > 2**63 and n * syy > 2**63
+    got = {
+        r["event_id"]
+        for r in anomaly_flags(df, "user_id", "value", "event_id", k=3).collect()
+    }
+    want = {
+        i for i, v in enumerate(y) if (n * v - sy) ** 2 > 9 * (n * syy - sy * sy)
+    }
+    assert got == want and got  # non-empty: the spike row is flagged
+
+
+def test_trend_slopes_survives_int64_wrapping_magnitudes(spark):
+    """Regression (r8 advice): num AND den operand-cast to DECIMAL(38,0)
+    before multiplying. 100 points over a ~3-year span with y_fp ~1e8
+    puts n*sxy, sx*sy and n*sxx past int64 while the int64 sufficient
+    statistics themselves still fit — exactly the regime where the
+    pre-fix late cast arrived after the wrap. Slope cross-checked
+    against exact Python integer math (div truncates toward zero)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        trend_slopes,
+    )
+
+    base = dt.datetime(2020, 1, 1)
+    xs = [i * 10**6 for i in range(100)]  # 0 .. ~3.1 years, whole seconds
+    ys = [100_000 + 1_987 * i for i in range(100)]  # integral values
+    rows = [
+        (1, base + dt.timedelta(seconds=x), float(v)) for x, v in zip(xs, ys)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = trend_slopes(df, "user_id", "ts", "value").collect()
+    y = [v * 100 for v in ys]
+    n = len(xs)
+    sx, sy = sum(xs), sum(y)
+    sxy = sum(a * b for a, b in zip(xs, y))
+    sxx = sum(a * a for a in xs)
+    # the regime: int64 sufficient stats fit, their products do not
+    assert max(sxy, sxx) < 2**63
+    assert n * sxy > 2**63 and sx * sy > 2**63 and n * sxx > 2**63
+    num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
+    want = abs(num) // abs(den) * (1 if (num >= 0) == (den >= 0) else -1)
+    assert [(r["user_id"], r["n"], r["slope_fp"]) for r in got] == [(1, n, want)]
+
+
+def test_ks_drift_ignores_nulls(spark):
+    """Regression (r8 advice): NULL values are excluded before counting —
+    previously they inflated n_a/n_b and landed in bucket 0, with Spark
+    and DuckDB disagreeing on NULL sort position. The result over a
+    NULL-bearing input must equal the result over its non-null subset."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        ks_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (3.0,), (None,)], "v double"
+    )
+    b = spark.createDataFrame([(2.0,), (None,), (4.0,)], "v double")
+    got = ks_drift(a, b, "v").collect()[0]
+    clean = ks_drift(
+        a.filter("v IS NOT NULL"), b.filter("v IS NOT NULL"), "v"
+    ).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (3, 2)
+    assert got.asDict() == clean.asDict()
