@@ -3,7 +3,12 @@ from .dedup import keep_first, keep_topk, dedup_with_preference  # noqa: F401
 from .pairing import pair_rows  # noqa: F401
 from .pivot import to_wide_matrix, assert_unique_cells, wide_matrix_lines  # noqa: F401
 from .reconcile import reconcile_counts  # noqa: F401
-from .sketches import approx_profile  # noqa: F401
+from .sketches import (  # noqa: F401
+    approx_profile,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .resample import resample_locf  # noqa: F401

@@ -98,3 +98,111 @@ def countmin_estimate(
         b = b.join(F.broadcast(s_r), f"b{r}", "left")
     mins = F.least(*[F.coalesce(F.col(f"c{r}"), F.lit(0)) for r in range(depth)])
     return b.select(F.col(col), mins.alias("est_n"))
+
+
+def _hll_alpha_num(p: int) -> int:
+    """HLL bias constant as ONE exact integer: round(alpha_m * m^2 * 2^49)
+    with alpha_m = 0.7213/(1 + 1.079/m) (Flajolet et al. 2007, m >= 128).
+    Folding every float into a single shared integer literal is what lets
+    two engines compute the estimate with pure integer division."""
+    m = 1 << p
+    if m < 128:  # the small-m alpha table is out of scope for this engine
+        raise ValueError("hll requires p >= 7")
+    return round(0.7213 / (1.0 + 1.079 / m) * m * m * (1 << 49))
+
+
+def _hll_parts(col, p: int):
+    """(register index, rho) from one md5 — the portable-HLL split: the
+    first 4 hex nibbles (16 uniform bits) pick the register (m divides
+    2^16, so `% m` stays exactly uniform), nibbles 5-16 give a 48-bit
+    tail whose leading-zero count is rho. rho = 49 - bitlength(tail),
+    computed EXACTLY via length(bin(v)) — both Spark and DuckDB print
+    bin() without leading zeros — never via float log2 (exact only for
+    powers of two, and only by accident)."""
+    if p > 16 or p < 7:
+        raise ValueError("p must be in [7, 16]")
+    m = 1 << p
+    h = F.md5(col)
+    idx = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m
+    v = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(49)).otherwise(
+        (F.lit(49) - F.length(F.bin(v))).cast("int")
+    )
+    return idx, rho
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = 9) -> DataFrame:
+    """Portable HyperLogLog register table for ``df[col]``: (idx, rho)
+    with rho = max over items — ONE map-side-combinable aggregation whose
+    shuffle carries at most m = 2^p rows per partition, never the items.
+    md5-derived registers make the sketch itself engine-reproducible
+    (the countmin_tokens discipline, commit e2462f3): a DuckDB oracle
+    rebuilds the IDENTICAL table, so the sketch — not just its estimate
+    — is certifiable. Absent idx rows mean register value 0."""
+    idx, rho = _hll_parts(F.col(col), p)
+    return (
+        df.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge shard sketches register-wise by MAX — the 100 TB property:
+    sketches of disjoint corpus shards merge into exactly the corpus
+    sketch (pinned by test, mirroring countmin's linearity test)."""
+    from functools import reduce
+
+    return (
+        reduce(DataFrame.unionByName, sketches)
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
+    """Cardinality estimate from a register table, bit-exact across
+    engines: the harmonic sum rides the integer lattice S = sum over all
+    m registers of 2^(49-rho) (absent register: 2^49; max numerator
+    m*2^49 < 2^63 for p <= 13), and est_n = A div S where A is the one
+    precomputed integer constant — no float division anywhere, so the
+    raw estimator is oracle-certifiable to the last digit.
+
+    Returns one row (n_present, n_zero, s_sum, est_n, est_corrected):
+    est_n is the exact-integer raw HLL estimate; est_corrected is the
+    library convenience DOUBLE applying linear counting when zero
+    registers exist and est <= 2.5m (ln is float — certified faces
+    should select the integer columns only)."""
+    m = 1 << p
+    a_num = _hll_alpha_num(p)
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - rho)")), F.lit(0)
+        ).alias("_present_sum"),
+    )
+    return (
+        agg.select(
+            "n_present",
+            (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
+            (
+                F.col("_present_sum")
+                + (F.lit(m) - F.col("n_present")) * F.lit(1 << 49)
+            ).alias("s_sum"),
+        )
+        .select(
+            "n_present",
+            "n_zero",
+            "s_sum",
+            F.expr(
+                f"CAST(CAST('{a_num}' AS DECIMAL(38,0)) div s_sum AS BIGINT)"
+            ).alias("est_n"),
+        )
+        .withColumn(
+            "est_corrected",
+            F.when(
+                (F.col("n_zero") > 0) & (F.col("est_n") <= int(2.5 * m)),
+                F.round(F.lit(m) * F.log(F.lit(m) / F.col("n_zero"))),
+            ).otherwise(F.col("est_n").cast("double")),
+        )
+    )

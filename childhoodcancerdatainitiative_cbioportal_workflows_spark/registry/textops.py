@@ -778,3 +778,76 @@ SELECT p.token, p.exact_n,
 FROM p LEFT JOIN c ON c.r = p.r AND c.bucket = p.bucket
 GROUP BY p.token, p.exact_n
 """
+
+
+def _duck_hexfold(start: int, n: int) -> str:
+    """DuckDB expression folding md5 hex nibbles [start, start+n) of a
+    column ``h`` into a BIGINT — the generalized _CMS_FOLD (n <= 15
+    keeps the fold inside int64)."""
+    return (
+        f"list_reduce(list_transform(range({start},{start + n}), i -> "
+        "(CASE WHEN ascii(h[i]) >= 97 THEN ascii(h[i])-87 "
+        "ELSE ascii(h[i])-48 END)::BIGINT), (a,b) -> a*16+b)"
+    )
+
+
+def q_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog certified BIT-EXACTLY (operators/sketches
+    hll_sketch/hll_estimate): md5-derived registers + the integer-lattice
+    harmonic sum S = sum 2^(49-rho) make the whole sketch — registers,
+    sum, and estimate — engine-reproducible, unlike approx_count_distinct
+    internals. Face: one row with the EXACT distinct o_orderkey count
+    next to the HLL estimate (p=9, m=512 — the raw-estimator regime:
+    cardinality >> 2.5m, where no float linear-counting branch applies)
+    and the sketch internals (n_zero, s_sum); the est-vs-exact gap IS
+    the certified approximation error, and the sketch shuffles at most
+    512 register rows per partition where exact COUNT(DISTINCT)
+    shuffles every key."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    est = hll_estimate(hll_sketch(o, "k", p=9), p=9).select(
+        "est_n", "n_zero", "s_sum"
+    )
+    exact = o.agg(F.countDistinct("k").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est))
+
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (  # noqa: E402
+    _hll_alpha_num as _hll_a,
+)
+
+SQL_HLL_PROFILE = f"""
+WITH t AS (
+  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS token FROM orders
+), hx AS (
+  SELECT md5(token) AS h FROM t
+), parts AS (
+  SELECT {_duck_hexfold(1, 4)} % 512 AS idx,
+         {_duck_hexfold(5, 12)} AS v
+  FROM hx
+), regs AS (
+  SELECT idx,
+         MAX(CASE WHEN v = 0 THEN 49
+                  ELSE CAST(49 - length(bin(v)) AS INT) END) AS rho
+  FROM parts GROUP BY idx
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT) AS present_sum
+  FROM regs
+), s AS (
+  SELECT CAST(512 - n_present AS BIGINT) AS n_zero,
+         CAST(present_sum + (512 - n_present) * (1::BIGINT << 49)
+              AS BIGINT) AS s_sum
+  FROM agg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_exact,
+       CAST({_hll_a(9)}::HUGEINT // s_sum AS BIGINT) AS est_n,
+       n_zero, s_sum
+FROM s
+"""

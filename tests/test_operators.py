@@ -650,3 +650,50 @@ def test_countmin_merge_and_upper_bound(spark):
     true = {w_: words.count(w_) for w_ in set(words)}
     assert all(est[t] >= n for t, n in true.items())
     assert est["spark"] >= 30 and est["hash"] >= 20
+
+
+def test_hll_merge_and_error_bound(spark):
+    """The portable HLL merges register-wise by MAX: shard sketches of
+    disjoint corpus halves merge into exactly the full-corpus register
+    table (the 100 TB property, mirroring countmin's linearity test),
+    duplicates never move a register, and the deterministic md5-derived
+    estimate lands within the 3-sigma 1.04/sqrt(m) band of the truth."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    items = [f"item-{i}" for i in range(5000)]
+    full = spark.createDataFrame([(w,) for w in items], "k string")
+    half_a = spark.createDataFrame([(w,) for w in items[:2500]], "k string")
+    # overlap on purpose: rows 2000-2500 appear in both shards
+    half_b = spark.createDataFrame([(w,) for w in items[2000:]], "k string")
+    p, m = 9, 512
+    regs = lambda df: {  # noqa: E731
+        (r["idx"], r["rho"]) for r in hll_sketch(df, "k", p).collect()
+    }
+    merged = hll_merge(hll_sketch(half_a, "k", p), hll_sketch(half_b, "k", p))
+    assert regs(full) == {(r["idx"], r["rho"]) for r in merged.collect()}
+    # duplicates are free: sketch of the corpus 3x == sketch of the corpus
+    tripled = full.union(full).union(full)
+    assert regs(tripled) == regs(full)
+    row = hll_estimate(hll_sketch(full, "k", p), p).collect()[0]
+    assert abs(row["est_n"] - 5000) <= 3 * 1.04 / (m ** 0.5) * 5000
+    assert row["s_sum"] > 0 and row["n_present"] + row["n_zero"] == m
+
+
+def test_hll_linear_counting_branch(spark):
+    """At tiny cardinality the raw HLL estimator is biased high; the
+    library's est_corrected DOUBLE applies linear counting m*ln(m/V)
+    and must land near the truth (the certified faces select the
+    integer columns only — this branch is the library convenience)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    small = spark.createDataFrame([(f"t{i}",) for i in range(30)], "k string")
+    row = hll_estimate(hll_sketch(small, "k", 9), 9).collect()[0]
+    assert row["est_n"] > 30  # raw estimate: biased in this regime
+    assert abs(row["est_corrected"] - 30) <= 5  # LC lands on target
