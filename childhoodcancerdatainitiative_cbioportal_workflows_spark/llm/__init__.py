@@ -53,6 +53,7 @@ from .sampling import (  # noqa: F401
     weighted_sample_k,
 )
 from .similarity import (  # noqa: F401
+    ann_recall,
     cosine_topk,
     ivf_flat_topk,
     ivf_flat_topk_trained,

@@ -514,3 +514,36 @@ def cosine_topk_np(
     )
     # Broadcast.unpersist shares the cache-release signature
     return _with_caches(out, [bc])
+
+
+def ann_recall(
+    exact: DataFrame, approx: DataFrame, k: int, nprobe: int
+) -> DataFrame:
+    """Measured recall@k of an ANN result against the exact top-k on the
+    same query set — the number the approximation's cost is judged by,
+    computed instead of asserted. Both inputs are (q_id, c_id, ...) rank
+    frames (:func:`cosine_topk` / :func:`ivf_flat_topk`); both are
+    deterministic, so recall itself is deterministic and fully
+    oracle-checkable. recall_fp = 1e6 * |approx ∩ exact| div |exact| in
+    exact integer arithmetic; one semi join + two count aggs, all
+    map-side combinable. Emits no row when exact is empty (recall over
+    nothing is undefined — the ks_drift discipline, not an ANSI
+    divide-by-zero)."""
+    hits = exact.select("q_id", "c_id").join(
+        approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        ne.crossJoin(F.broadcast(nh))
+        .filter(F.col("n_exact") > 0)
+        .select(
+            F.lit(k).alias("k"),
+            F.lit(nprobe).alias("nprobe"),
+            "n_exact",
+            "n_hits",
+            F.expr("CAST((1000000 * n_hits) div n_exact AS BIGINT)").alias(
+                "recall_fp"
+            ),
+        )
+    )

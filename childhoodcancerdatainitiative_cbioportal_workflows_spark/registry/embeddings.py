@@ -237,3 +237,65 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_RANDOM_PROJECTION = _projection_sql(k=8, dim=64, seed=42)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k certification for the IVF index (llm/similarity
+    ann_recall): the sampled-quantizer ann_ivf result (k=5, nprobe=4)
+    scored against the exact cosine top-5 on the same vec_id<50 query
+    set. Both sides are deterministic constructions, so the recall
+    number itself — what the approximation actually costs — is
+    oracle-checkable to the last digit instead of asserted in prose.
+    recall_fp = 1e6 * hits div exact, exact integer arithmetic."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ann_recall,
+        cosine_topk,
+        ivf_flat_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_flat_topk(
+        emb, queries, centroid_ids=_ivf_centroid_ids(), k=5, nprobe=4
+    )
+    return ann_recall(exact, approx, k=5, nprobe=4)
+
+
+def _sql_exact_topk(k: int, q_bound: int) -> str:
+    """Exact brute-force cosine top-k oracle body, parametrized on the
+    query-id bound (the SQL_COSINE_TOPK shape)."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings
+  WHERE vec_id < {q_bound}
+), c AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings
+), pairs AS (
+  SELECT q_id, c_id,
+    list_reduce(list_transform(list_zip(q_emb, c_emb), x -> x[1] * x[2]), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(q_emb, x -> x * x), (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform(c_emb, x -> x * x), (a, b) -> a + b))) AS cos_sim
+  FROM c, q WHERE q_id <> c_id
+)
+SELECT q_id, c_id FROM (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_RECALL = f"""
+WITH approx AS ({_sql_ann_ivf(k=5, nprobe=4, q_bound=50)}),
+exact AS ({_sql_exact_topk(k=5, q_bound=50)}),
+hits AS (
+  SELECT e.q_id, e.c_id
+  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+)
+SELECT 5 AS k, 4 AS nprobe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       CAST((1000000 * (SELECT COUNT(*) FROM hits))
+            // (SELECT COUNT(*) FROM exact) AS BIGINT) AS recall_fp
+"""

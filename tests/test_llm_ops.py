@@ -602,3 +602,37 @@ def test_ivf_full_plan_single_window_family(spark, vectors):
     out = ivf_flat_topk(df, df, centroid_ids=[0, 5, 10, 15, 20, 25], k=3, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window [") == 2, plan
+
+
+def test_ann_recall_monotone_and_full_probe_exact(spark):
+    """recall@k is the certified cost of the IVF approximation: it must
+    be non-decreasing in nprobe, and probing ALL K lists makes the
+    candidate set the whole corpus — recall exactly 1.0 (the estimator
+    degrades gracefully to brute force)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ann_recall,
+        cosine_topk,
+        ivf_flat_topk,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry._common import (
+        _ivf_centroid_ids,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+        load_table,
+    )
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(emb.vec_id < 20)
+    exact = cosine_topk(emb, q, k=5).persist()
+    cids = _ivf_centroid_ids()
+    recalls = []
+    for nprobe in (1, 4, len(cids)):
+        approx = ivf_flat_topk(emb, q, centroid_ids=cids, k=5, nprobe=nprobe)
+        row = ann_recall(exact, approx, 5, nprobe).collect()[0]
+        assert row["n_exact"] == 100  # 20 queries x k=5
+        recalls.append(row["recall_fp"])
+    exact.unpersist()
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1_000_000  # all lists probed == brute force
