@@ -281,10 +281,26 @@ def snv_somatic(vcf: DataFrame, pairs: DataFrame) -> DataFrame:
         # FT round-trip (pedmatch:326-351,385-390) reconstructed exactly this
         .withColumn("tumor_filter", F.coalesce(F.col("tumor_FILTER"), F.lit("NA")))
         .withColumn("normal_filter", F.coalesce(F.col("normal_FILTER"), F.lit("NA")))
-        .withColumn("tumor_af", _fmt(F.col("tumor_fmt"), _AF).cast("double"))
-        .withColumn("normal_af", _fmt(F.col("normal_fmt"), _AF).cast("double"))
-        .withColumn("t_depth", _fmt(F.col("tumor_fmt"), _DP).cast("long"))
-        .withColumn("n_depth", _fmt(F.col("normal_fmt"), _DP).cast("long"))
+        # numeric casts see NULL for a missing side, not the 'NA' sentinel:
+        # the reference's pandas NaN becomes SQL NULL, the depth/AF gates
+        # drop the row, and ANSI mode never sees a malformed cast (an
+        # unmatched full-outer row crashed here before the nullif)
+        .withColumn(
+            "tumor_af",
+            F.nullif(_fmt(F.col("tumor_fmt"), _AF), F.lit("NA")).cast("double"),
+        )
+        .withColumn(
+            "normal_af",
+            F.nullif(_fmt(F.col("normal_fmt"), _AF), F.lit("NA")).cast("double"),
+        )
+        .withColumn(
+            "t_depth",
+            F.nullif(_fmt(F.col("tumor_fmt"), _DP), F.lit("NA")).cast("long"),
+        )
+        .withColumn(
+            "n_depth",
+            F.nullif(_fmt(F.col("normal_fmt"), _DP), F.lit("NA")).cast("long"),
+        )
         .withColumn("t_alt_count", _fmt(F.col("tumor_fmt"), _FAO))
         .withColumn("t_ref_count", _fmt(F.col("tumor_fmt"), _FRO))
     )
