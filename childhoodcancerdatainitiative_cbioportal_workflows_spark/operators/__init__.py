@@ -1,4 +1,9 @@
-from .interval_join import derive_bin_size, interval_join  # noqa: F401
+from .interval_join import (  # noqa: F401
+    derive_bin_size,
+    interval_join,
+    interval_join_bucketed,
+    write_binned_bucketed,
+)
 from .dedup import keep_first, keep_topk, dedup_with_preference  # noqa: F401
 from .pairing import pair_rows  # noqa: F401
 from .pivot import to_wide_matrix, assert_unique_cells, wide_matrix_lines  # noqa: F401

@@ -119,7 +119,29 @@ def interval_join(
         raise ValueError(f"bin_size must be an int or 'auto', got {bin_size!r}")
     lb = _binned(left, lc, ls, le, bin_size, left_prefix)
     rb = _binned(right, rc, rs, re_, bin_size, right_prefix)
+    return _overlap_join(
+        lb, rb, left_cols, right_cols, bin_size, min_overlap_frac,
+        left_prefix, right_prefix, overlap_col,
+    )
 
+
+def _overlap_join(
+    lb: DataFrame,
+    rb: DataFrame,
+    left_cols: tuple[str, str, str],
+    right_cols: tuple[str, str, str],
+    bin_size: int,
+    min_overlap_frac: float | None,
+    left_prefix: str,
+    right_prefix: str,
+    overlap_col: str,
+) -> DataFrame:
+    """Join/filter/dedup over two already-binned sides — shared by the
+    in-flight path (:func:`interval_join`) and the bucketed-storage path
+    (:func:`interval_join_bucketed`); only where the (_chrom, _bin) rows
+    come from differs."""
+    _, ls, le = left_cols
+    _, rs, re_ = right_cols
     j = lb.join(rb, on=["_chrom", "_bin"])
     l_start, l_end = F.col(f"{left_prefix}{ls}"), F.col(f"{left_prefix}{le}")
     r_start, r_end = F.col(f"{right_prefix}{rs}"), F.col(f"{right_prefix}{re_}")
@@ -131,3 +153,62 @@ def interval_join(
     if min_overlap_frac is not None:
         j = j.filter(F.col(overlap_col) >= F.lit(min_overlap_frac) * (l_end - l_start))
     return j.drop("_bin", "_chrom")
+
+
+def write_binned_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    cols: tuple[str, str, str] = ("chrom", "start", "end"),
+    bin_size: int,
+    n_buckets: int,
+    prefix: str,
+    path: str | None = None,
+) -> None:
+    """Materialize one interval table PRE-BINNED and bucketed on
+    ``(_chrom, _bin)`` — the 100 TB face of the interval join. Genomics
+    workloads re-join the same gene/segment tables per cohort
+    (``workflows/cnv.py:430`` reruns bedtools per run); paying the bin
+    explode + shuffle ONCE at write time lets every subsequent
+    :func:`interval_join_bucketed` against an equally-bucketed partner
+    run with zero Exchange nodes (plan-asserted in
+    tests/test_partitioning.py). ``bin_size`` is frozen into the layout —
+    both sides and the later join must use the same value (pass an int,
+    not "auto", so the plan is pinned)."""
+    from ..sources.bucketed import write_bucketed
+
+    c, s, e = cols
+    b = _binned(df, c, s, e, bin_size, prefix)
+    write_bucketed(
+        b, table, ["_chrom", "_bin"], n_buckets,
+        sort_cols=["_chrom", "_bin"], path=path,
+    )
+
+
+def interval_join_bucketed(
+    spark,
+    left_table: str,
+    right_table: str,
+    *,
+    left_cols: tuple[str, str, str] = ("chrom", "start", "end"),
+    right_cols: tuple[str, str, str] = ("chrom", "start", "end"),
+    bin_size: int,
+    min_overlap_frac: float | None = None,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+    overlap_col: str = "overlap_bp",
+) -> DataFrame:
+    """Interval join over two :func:`write_binned_bucketed` tables:
+    byte-identical output to :func:`interval_join` (same join, filters
+    and bin-dedup), but both sides arrive pre-binned and co-bucketed so
+    the equi-join on ``(_chrom, _bin)`` plans with NO Exchange — the
+    shuffle was paid once at write time. ``bin_size`` must match the
+    width the tables were written with (it drives the dedup filter)."""
+    from ..sources.bucketed import read_bucketed
+
+    return _overlap_join(
+        read_bucketed(spark, left_table),
+        read_bucketed(spark, right_table),
+        left_cols, right_cols, bin_size, min_overlap_frac,
+        left_prefix, right_prefix, overlap_col,
+    )

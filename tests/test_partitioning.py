@@ -169,3 +169,68 @@ def test_bucket_pruning_on_equality_predicate(spark, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
         )
         spark.sql("DROP TABLE IF EXISTS t_bkt_p")
+
+
+def test_interval_join_bucketed_exchange_free(spark, tmp_path):
+    """The 100 TB face of the one custom physical op: both interval sides
+    written pre-binned and co-bucketed on (_chrom, _bin) must (a) produce
+    byte-identical rows to the in-flight interval_join and (b) plan the
+    join with ZERO Exchange nodes — the bin-explode shuffle was paid once
+    at write time (genomics workloads re-join the same gene/segment
+    tables per cohort; cnv.py:430 reruns per run)."""
+    import pandas as pd
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.interval_join import (
+        interval_join,
+        interval_join_bucketed,
+        write_binned_bucketed,
+    )
+
+    rng = range(400)
+    genes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "chrom": [f"chr{i % 5 + 1}" for i in rng],
+                "start": [i * 977 % 50_000 for i in rng],
+                "end": [i * 977 % 50_000 + 120 + i % 900 for i in rng],
+                "gene": [f"g{i}" for i in rng],
+            }
+        )
+    )
+    segs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "chrom": [f"chr{i % 5 + 1}" for i in rng],
+                "start": [i * 1663 % 50_000 for i in rng],
+                "end": [i * 1663 % 50_000 + 200 + i % 1500 for i in rng],
+                "seg": list(rng),
+            }
+        )
+    )
+    w = 4096
+    write_binned_bucketed(genes, "t_ij_l", bin_size=w, n_buckets=8,
+                          prefix="l_", path=str(tmp_path / "l"))
+    write_binned_bucketed(segs, "t_ij_r", bin_size=w, n_buckets=8,
+                          prefix="r_", path=str(tmp_path / "r"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = interval_join_bucketed(
+                spark, "t_ij_l", "t_ij_r", bin_size=w, min_overlap_frac=0.5
+            )
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SelectedBucketsCount" in plan
+            want = interval_join(
+                genes, segs, bin_size=w, min_overlap_frac=0.5
+            )
+            key = lambda r: (r["l_gene"], r["r_seg"])  # noqa: E731
+            got_rows = sorted(map(tuple, got.collect()))
+            want_rows = sorted(map(tuple, want.select(*got.columns).collect()))
+            assert got_rows == want_rows and got_rows
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ij_l")
+        spark.sql("DROP TABLE IF EXISTS t_ij_r")
