@@ -1,28 +1,48 @@
 #!/usr/bin/env python3
-"""Regenerate REGISTRY.md — the certification ledger for the query registry.
+"""Regenerate REGISTRY.md — the certification ledger — and ENFORCE the
+rotation policy (r7 verdict task 2): a query whose implementation changed
+since its last driver certification MUST sit inside the next gate.
 
 The driver's CORRECTNESS gate samples only the FIRST 50 entries of the
-insertion-ordered ``_REGISTRY``, so which queries hold a green driver row is
-a function of each round's front-loading. This script makes that history
-explicit so future rotations are planned, not archaeological: for every
-registered query it reports the rounds whose CORRECTNESS_r{N}.json certified
-it green (rows+schema+hash all matching), its latest driver status, and its
-current gate position.
+insertion-ordered ``_REGISTRY``, so which queries hold a green driver row
+is a function of each round's front-loading. This script makes that
+history explicit AND mechanical:
 
-Run from the repo root after any registry reorder or a new CORRECTNESS
-artifact lands:  python3 scripts/registry_ledger.py
+* for every registered query it reports the rounds whose
+  CORRECTNESS_r{N}.json certified it green, its latest driver status and
+  its gate position (REGISTRY.md);
+* it maintains REGISTRY_FPR.json — a per-query content fingerprint
+  (face source + oracle SQL + every package module the face references,
+  resolved through the function's globals and its in-body imports)
+  snapshotted at the query's most recent certification;
+* a query whose CURRENT fingerprint differs from its certified snapshot
+  is "changed"; if any changed query is NOT in the first-50 gate the
+  script prints the offenders and exits 1 — the rotation rule is a
+  failing check, not a habit.
+
+Run from the repo root at ROUND START, right after a new CORRECTNESS
+artifact lands and BEFORE editing code (greens refresh their snapshot to
+the current tree, which at that moment is the certified tree), and again
+at round close after any registry reorder:
+
+    python3 scripts/registry_ledger.py
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 import re
 import sys
+import types
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PACKAGE = "childhoodcancerdatainitiative_cbioportal_workflows_spark"
 GATE = 50
+FPR_STORE = os.path.join(ROOT, "REGISTRY_FPR.json")
 
 
 def load_history() -> dict[str, dict[int, str]]:
@@ -43,14 +63,98 @@ def load_history() -> dict[str, dict[int, str]]:
     return hist
 
 
+def face_fingerprint(fn, sql: str | None) -> str:
+    """Content hash of everything that determines a face's observable
+    result: the face function's source, its (generated) oracle SQL
+    VALUE, and the full text of every package module the face touches —
+    both modules/functions resolved through ``fn.__globals__`` (catches
+    top-level imports like the relational helpers) and in-body
+    ``from package.x import`` statements (the registry faces' local
+    import convention). Coarse on purpose: an edit anywhere in a
+    referenced operator module flips every face that uses it."""
+    src = inspect.getsource(fn)
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update((sql or "").encode())
+    files: set[str] = set()
+    for name in fn.__code__.co_names:
+        obj = fn.__globals__.get(name)
+        mod = obj if isinstance(obj, types.ModuleType) else None
+        if mod is None and (callable(obj) or inspect.isclass(obj)):
+            mod = inspect.getmodule(obj)
+        if mod is not None and getattr(mod, "__name__", "").startswith(PACKAGE):
+            f = getattr(mod, "__file__", None)
+            if f and os.path.exists(f):
+                files.add(f)
+    for m in re.findall(rf"from ({PACKAGE}[.\w]*) import", src):
+        path = os.path.join(ROOT, m.replace(".", os.sep) + ".py")
+        if os.path.exists(path):
+            files.add(path)
+    for f in sorted(files):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def regate_offenders(
+    order: list[str],
+    stored: dict[str, dict],
+    current: dict[str, str],
+    gate: int = GATE,
+) -> list[str]:
+    """Pure policy check: queries whose current fingerprint differs from
+    the certified snapshot (or that have no snapshot) and that are NOT
+    inside the gate. These must be front-loaded before the next driver
+    run."""
+    offenders = []
+    for i, name in enumerate(order):
+        snap = stored.get(name)
+        changed = snap is None or snap.get("fpr") != current[name]
+        if changed and i >= gate:
+            offenders.append(name)
+    return offenders
+
+
 def main() -> int:
     sys.path.insert(0, ROOT)
     import __spark_entry__ as entry
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry import (
+        _REGISTRY,
+    )
 
     order = list(entry.queries())
     oracles = entry.oracle_sql()
     hist = load_history()
     rounds_seen = sorted({r for h in hist.values() for r in h})
+
+    current = {
+        name: face_fingerprint(fn, sql) for name, (fn, sql) in _REGISTRY.items()
+    }
+    stored: dict[str, dict] = {}
+    if os.path.exists(FPR_STORE):
+        stored = json.load(open(FPR_STORE))
+    for name in order:
+        greens = [r for r, s in hist.get(name, {}).items() if s == "green"]
+        latest_green = max(greens) if greens else 0
+        if name not in stored:
+            # first sighting: snapshot the current tree (for a brand-new
+            # face this is pre-certification state; it re-snapshots at
+            # its first green)
+            stored[name] = {"fpr": current[name], "round": latest_green}
+        elif latest_green > stored[name].get("round", 0):
+            # newly certified since the last snapshot: the tree at regen
+            # time is the certified tree (run this at round start!)
+            stored[name] = {"fpr": current[name], "round": latest_green}
+    stored = {n: stored[n] for n in order}  # drop unregistered leftovers
+    with open(FPR_STORE, "w") as f:
+        json.dump(stored, f, indent=1, sort_keys=False)
+
+    changed = {
+        n for n in order
+        if stored[n]["fpr"] != current[n]
+    }
+    offenders = regate_offenders(order, stored, current)
 
     lines = [
         "# REGISTRY — driver-certification ledger",
@@ -59,16 +163,20 @@ def main() -> int:
         "",
         f"Registered queries: **{len(order)}** ({len(oracles)} with a DuckDB "
         "oracle). The driver's CORRECTNESS gate samples the first "
-        f"**{GATE}** entries of the insertion-ordered registry each round; "
-        "rotation policy: never-certified and freshly-changed queries are "
-        "front-loaded each round so every query eventually holds a green "
-        "driver row (local value-exact parity covers all queries every "
-        "round via tests/test_oracle_parity.py).",
+        f"**{GATE}** entries of the insertion-ordered registry each round. "
+        "Rotation policy (ENFORCED — this script exits 1 on violation): "
+        "never-certified and changed-since-certification queries must sit "
+        "inside the gate; remaining slots go to the oldest certifications "
+        "first. Changed-ness is a content fingerprint (REGISTRY_FPR.json) "
+        "over the face source, its oracle SQL, and every package module "
+        "the face references, snapshotted at certification time. All "
+        "queries are additionally value-exact green locally every round "
+        "via tests/test_oracle_parity.py.",
         "",
         f"Driver rounds recorded: {', '.join(f'r{r:02d}' for r in rounds_seen)}.",
         "",
-        "| # | query | green in rounds | latest driver status | in r-next gate |",
-        "|---|---|---|---|---|",
+        "| # | query | green in rounds | latest driver status | changed since cert | in r-next gate |",
+        "|---|---|---|---|---|---|",
     ]
     never = []
     for i, name in enumerate(order):
@@ -78,19 +186,39 @@ def main() -> int:
         latest_s = f"r{latest:02d}: {h[latest]}" if latest else "never sampled"
         in_gate = "yes" if i < GATE else ""
         gtxt = ", ".join(f"r{r:02d}" for r in greens) or "—"
+        ctxt = "CHANGED" if name in changed else ""
         if not greens:
             never.append(name)
-        lines.append(f"| {i} | `{name}` | {gtxt} | {latest_s} | {in_gate} |")
+        lines.append(
+            f"| {i} | `{name}` | {gtxt} | {latest_s} | {ctxt} | {in_gate} |"
+        )
     lines += [
         "",
         f"Queries with no green driver row yet: **{len(never)}**"
         + (f" — {', '.join('`%s`' % n for n in never)}" if never else ""),
         "",
+        f"Queries changed since their certification snapshot: **{len(changed)}**"
+        + (
+            f" — {', '.join('`%s`' % n for n in sorted(changed))}"
+            if changed
+            else ""
+        ),
+        "",
     ]
     out = os.path.join(ROOT, "REGISTRY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out}: {len(order)} queries, {len(never)} never-certified")
+    print(
+        f"wrote {out}: {len(order)} queries, {len(never)} never-certified, "
+        f"{len(changed)} changed-since-cert"
+    )
+    if offenders:
+        print(
+            "REGATE VIOLATION: changed since certification but NOT in the "
+            f"first-{GATE} gate: {', '.join(offenders)}",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

@@ -108,3 +108,60 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def _ledger():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "registry_ledger",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "registry_ledger.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_regate_policy_detects_synthetic_change():
+    """The rotation rule is a CHECK, not a habit (r7 verdict task 2): a
+    query whose fingerprint differs from its certified snapshot and that
+    sits outside the gate must be reported as an offender; the same
+    change inside the gate is fine (it will re-certify)."""
+    led = _ledger()
+    order = ["a", "b", "c", "d"]
+    current = {"a": "f1", "b": "f2", "c": "f3", "d": "f4"}
+    stored = {
+        "a": {"fpr": "f1", "round": 7},
+        "b": {"fpr": "STALE", "round": 5},   # changed, inside gate: ok
+        "c": {"fpr": "STALE", "round": 5},   # changed, outside gate: offender
+        # "d" missing: never snapshotted, outside gate: offender
+    }
+    got = led.regate_offenders(order, stored, current, gate=2)
+    assert got == ["c", "d"]
+    assert led.regate_offenders(order, stored, current, gate=4) == []
+
+
+def test_regate_policy_holds_on_this_repo():
+    """Every registered face whose content fingerprint differs from its
+    last-certified snapshot must currently sit inside the driver gate.
+    This test FAILS whenever a face (or an operator module it uses) is
+    edited without rotating it into the first 50 registry positions —
+    rerun scripts/registry_ledger.py and front-load the change."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry import (
+        _REGISTRY,
+    )
+    import json
+
+    led = _ledger()
+    assert os.path.exists(led.FPR_STORE), "run scripts/registry_ledger.py once"
+    stored = json.load(open(led.FPR_STORE))
+    order = list(QUERIES)
+    current = {
+        name: led.face_fingerprint(fn, sql)
+        for name, (fn, sql) in _REGISTRY.items()
+    }
+    offenders = led.regate_offenders(order, stored, current)
+    assert offenders == [], (
+        "changed since certification but not in the driver gate "
+        f"(front-load these and rerun scripts/registry_ledger.py): {offenders}"
+    )
