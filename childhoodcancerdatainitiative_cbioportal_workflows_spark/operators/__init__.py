@@ -11,8 +11,10 @@ from .reconcile import reconcile_counts  # noqa: F401
 from .sketches import (  # noqa: F401
     approx_profile,
     hll_estimate,
+    hll_estimate_grouped,
     hll_merge,
     hll_sketch,
+    hll_sketch_grouped,
 )
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .asof import asof_join  # noqa: F401

@@ -206,3 +206,63 @@ def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
             ).otherwise(F.col("est_n").cast("double")),
         )
     )
+
+
+def hll_sketch_grouped(
+    df: DataFrame, group_col: str, col: str, p: int = 9
+) -> DataFrame:
+    """Per-group portable-HLL register tables: (group, idx, rho) — the
+    grouped face of :func:`hll_sketch` ("distinct users per source"
+    profiling). One map-side-combinable aggregation; the shuffle carries
+    at most m rows per group per partition. Groups merge exactly like
+    shards (register-wise MAX on (group, idx))."""
+    idx, rho = _hll_parts(F.col(col), p)
+    return (
+        df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_grouped(
+    sketch: DataFrame, group_col: str, p: int = 9
+) -> DataFrame:
+    """Per-group estimates from a grouped register table — same exact
+    integer lattice as :func:`hll_estimate`, one row per group:
+    (group, n_present, n_zero, s_sum, est_n, est_corrected)."""
+    m = 1 << p
+    a_num = _hll_alpha_num(p)
+    return (
+        sketch.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - rho)")).alias(
+                "_present_sum"
+            ),
+        )
+        .select(
+            group_col,
+            "n_present",
+            (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
+            (
+                F.col("_present_sum")
+                + (F.lit(m) - F.col("n_present")) * F.lit(1 << 49)
+            ).alias("s_sum"),
+        )
+        .select(
+            group_col,
+            "n_present",
+            "n_zero",
+            "s_sum",
+            F.expr(
+                f"CAST(CAST('{a_num}' AS DECIMAL(38,0)) div s_sum AS BIGINT)"
+            ).alias("est_n"),
+        )
+        .withColumn(
+            "est_corrected",
+            F.when(
+                (F.col("n_zero") > 0) & (F.col("est_n") <= int(2.5 * m)),
+                F.round(F.lit(m) * F.log(F.lit(m) / F.col("n_zero"))),
+            ).otherwise(F.col("est_n").cast("double")),
+        )
+    )

@@ -697,3 +697,30 @@ def test_hll_linear_counting_branch(spark):
     row = hll_estimate(hll_sketch(small, "k", 9), 9).collect()[0]
     assert row["est_n"] > 30  # raw estimate: biased in this regime
     assert abs(row["est_corrected"] - 30) <= 5  # LC lands on target
+
+
+def test_hll_grouped_matches_per_group_sketch(spark):
+    """The grouped HLL is EXACTLY the per-group application of the
+    single-key sketch: registers and integer estimates agree group by
+    group with independently-built sketches, and each group's estimate
+    lands in the 3-sigma band of its true cardinality."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_sketch,
+        hll_sketch_grouped,
+    )
+
+    rows = [(f"g{i % 3}", f"item-{i % 3}-{i // 3 % (2000 * (i % 3 + 1))}")
+            for i in range(18000)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    grouped = hll_estimate_grouped(
+        hll_sketch_grouped(df, "g", "k", 9), "g", 9
+    ).collect()
+    for row in grouped:
+        solo = hll_estimate(
+            hll_sketch(df.filter(df.g == row["g"]), "k", 9), 9
+        ).collect()[0]
+        assert (row["s_sum"], row["est_n"]) == (solo["s_sum"], solo["est_n"])
+        true_n = df.filter(df.g == row["g"]).select("k").distinct().count()
+        assert abs(row["est_n"] - true_n) <= 3 * 1.04 / (512 ** 0.5) * true_n
