@@ -296,3 +296,55 @@ def test_kcore_matches_python_peel(spark, edges, k):
         deg[y] = deg.get(y, 0) + 1
     want = {(v, d) for v, d in deg.items()}
     assert got == want
+
+
+def _py_hll(items, p=9):
+    """Pure-Python model of the portable HLL — same md5 split, same
+    integer lattice (the DuckDB oracle's third sibling)."""
+    import hashlib
+
+    m = 1 << p
+    regs: dict[int, int] = {}
+    for s in items:
+        h = hashlib.md5(s.encode("utf-8")).hexdigest()
+        idx = int(h[:4], 16) % m
+        v = int(h[4:16], 16)
+        rho = 49 if v == 0 else 49 - v.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s_sum = sum(1 << (49 - r) for r in regs.values()) + (m - len(regs)) * (
+        1 << 49
+    )
+    a = round(0.7213 / (1.0 + 1.079 / m) * m * m * (1 << 49))
+    return regs, s_sum, a // s_sum
+
+
+@given(
+    items=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_hll_matches_python_model(spark, items):
+    """The portable HLL's registers AND integer estimate equal a
+    pure-Python reimplementation of the same construction on arbitrary
+    unicode inputs — md5 split, bin-length rho, integer-lattice sum and
+    A div S are engine-independent to the last digit (the property the
+    DuckDB oracle certifies on one dataset, here on many)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    df = spark.createDataFrame([(s,) for s in items], "k string")
+    sk = hll_sketch(df, "k", 9)
+    got_regs = {r["idx"]: r["rho"] for r in sk.collect()}
+    row = hll_estimate(sk, 9).collect()[0]
+    want_regs, want_s, want_est = _py_hll(items, 9)
+    assert got_regs == want_regs
+    assert (row["s_sum"], row["est_n"]) == (want_s, want_est)
