@@ -10,6 +10,9 @@ from .pivot import to_wide_matrix, assert_unique_cells, wide_matrix_lines  # noq
 from .reconcile import reconcile_counts  # noqa: F401
 from .sketches import (  # noqa: F401
     approx_profile,
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
     hll_estimate,
     hll_estimate_grouped,
     hll_merge,

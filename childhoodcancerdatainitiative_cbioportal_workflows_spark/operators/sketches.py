@@ -266,3 +266,65 @@ def hll_estimate_grouped(
             ).otherwise(F.col("est_n").cast("double")),
         )
     )
+
+
+def bloom_build(
+    df: DataFrame, col: str, k: int = 4, m: int = 16384
+) -> DataFrame:
+    """Portable Bloom filter over ``df[col]``: the present-bit table
+    (row, bit) with k md5-derived positions per item (the _cms_bucket
+    hash family — a Bloom filter is structurally a Count-Min that stores
+    presence instead of counts). ONE distinct per hash row; the result
+    is at most k*m rows regardless of input size. Engine-reproducible,
+    so the filter itself is oracle-certifiable. Merge shard filters with
+    :func:`bloom_merge` (bitwise OR == union distinct) — the 100 TB
+    property: each partition ships its present bits, never its items.
+
+    The membership contract: NO false negatives ever (certified as an
+    output column of the registered face, not just asserted); false
+    positives at the standard (1 - e^(-kn/m))^k rate — the right shape
+    for a dedup PRE-filter, where "definitely new" rows skip the exact
+    check entirely."""
+    from functools import reduce
+
+    parts = [
+        df.select(
+            F.lit(j).alias("row"),
+            _cms_bucket(F.col(col), j, m).alias("bit"),
+        )
+        for j in range(k)
+    ]
+    return reduce(DataFrame.unionByName, parts).distinct()
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR shard filters together: union distinct of present bits."""
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, blooms).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str,
+    k: int = 4,
+    m: int = 16384,
+) -> DataFrame:
+    """Membership probe: maybe_member iff ALL k bits are present. The
+    bit table is broadcast (<= k*m rows by construction). Returns
+    (col, maybe_member); ``NOT maybe_member`` is a guaranteed
+    non-member."""
+    b = probes.select(
+        F.col(col), *[_cms_bucket(F.col(col), j, m) for j in range(k)]
+    )
+    for j in range(k):
+        side = bloom.filter(F.col("row") == j).select(
+            F.col("bit").alias(f"b{j}"), F.lit(True).alias(f"p{j}")
+        )
+        b = b.join(F.broadcast(side), f"b{j}", "left")
+    present = [F.coalesce(F.col(f"p{j}"), F.lit(False)) for j in range(k)]
+    maybe = present[0]
+    for x in present[1:]:
+        maybe = maybe & x
+    return b.select(F.col(col), maybe.alias("maybe_member"))

@@ -851,3 +851,77 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS n_exact,
        n_zero, s_sum
 FROM s
 """
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter certified BIT-EXACTLY (operators/sketches
+    bloom_build/bloom_probe): the dedup pre-filter shape — membership of
+    part keys against the set of parts shipped before 1995-03, where
+    "definitely new" rows may skip the exact seen-store check entirely.
+    md5-derived bit positions make the present-bit table itself
+    engine-reproducible; the face emits the full confusion summary and
+    n_false_neg is CERTIFIED ZERO (the Bloom guarantee), with the FP
+    count as the measured price of k=4, m=16384."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    seen = li.filter(
+        F.col("l_shipdate") < F.lit("1995-03-01").cast("date")
+    ).select(F.col("l_partkey").alias("key"))
+    bloom = bloom_build(seen, "key", k=4, m=16384)
+    probes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key")
+    )
+    probed = bloom_probe(bloom, probes, "key", k=4, m=16384)
+    truth = probes.join(seen.distinct(), "key", "left_semi").select(
+        "key", F.lit(True).alias("is_member")
+    )
+    j = probed.join(truth, "key", "left").withColumn(
+        "is_member", F.coalesce("is_member", F.lit(False))
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_true"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_maybe"),
+        F.sum(
+            (F.col("maybe_member") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_pos"),
+        F.sum(
+            (F.col("is_member") & ~F.col("maybe_member")).cast("long")
+        ).alias("n_false_neg"),
+    )
+
+
+SQL_BLOOM_PREFILTER = f"""
+WITH seen AS (
+  SELECT l_partkey AS key FROM lineitem
+  WHERE l_shipdate < DATE '1995-03-01'
+), bits AS (
+  SELECT DISTINCT r, {_duck_hexfold(1, 8)} % 16384 AS bit
+  FROM (SELECT key, r, md5(r || ':' || key) AS h
+        FROM seen CROSS JOIN range(0, 4) AS rr(r))
+), pb AS (
+  SELECT key, r, {_duck_hexfold(1, 8)} % 16384 AS bit
+  FROM (SELECT key, r, md5(r || ':' || key) AS h
+        FROM (SELECT p_partkey AS key FROM part)
+        CROSS JOIN range(0, 4) AS rr(r))
+), flags AS (
+  SELECT pb.key, BOOL_AND(b.bit IS NOT NULL) AS maybe
+  FROM pb LEFT JOIN bits b ON b.r = pb.r AND b.bit = pb.bit
+  GROUP BY pb.key
+), truth AS (
+  SELECT DISTINCT key FROM seen
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN maybe AND t.key IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN t.key IS NOT NULL AND NOT maybe THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg
+FROM flags f LEFT JOIN truth t USING (key)
+"""

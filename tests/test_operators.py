@@ -724,3 +724,43 @@ def test_hll_grouped_matches_per_group_sketch(spark):
         assert (row["s_sum"], row["est_n"]) == (solo["s_sum"], solo["est_n"])
         true_n = df.filter(df.g == row["g"]).select("k").distinct().count()
         assert abs(row["est_n"] - true_n) <= 3 * 1.04 / (512 ** 0.5) * true_n
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """The Bloom membership guarantee under FORCED collisions (m=256 for
+    600 members => heavy bit sharing): every true member still probes
+    maybe_member (zero false negatives — the property that lets a dedup
+    pre-filter skip exact checks for 'definitely new'), false positives
+    DO appear in this regime (the filter is honest about being
+    approximate), and shard filters OR-merge into exactly the full
+    filter."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    members = [f"m{i}" for i in range(600)]
+    others = [f"x{i}" for i in range(600)]
+    mdf = spark.createDataFrame([(s,) for s in members], "key string")
+    odf = spark.createDataFrame([(s,) for s in others], "key string")
+    k, m = 4, 256
+    bloom = bloom_build(mdf, "key", k, m).persist()
+    got_m = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_probe(bloom, mdf, "key", k, m).collect()
+    }
+    assert all(got_m.values())  # zero false negatives, always
+    got_o = [
+        r["maybe_member"]
+        for r in bloom_probe(bloom, odf, "key", k, m).collect()
+    ]
+    assert any(got_o)  # collisions forced: FPs must exist at this load
+    # merge: shard filters OR together into exactly the full bit table
+    half_a = bloom_build(mdf.filter(F.col("key") < "m3"), "key", k, m)
+    half_b = bloom_build(mdf.filter(F.col("key") >= "m3"), "key", k, m)
+    merged = {
+        (r["row"], r["bit"]) for r in bloom_merge(half_a, half_b).collect()
+    }
+    assert merged == {(r["row"], r["bit"]) for r in bloom.collect()}
+    bloom.unpersist()
