@@ -335,3 +335,121 @@ def exact_quantiles(
         )
     finally:
         staged.unpersist()
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ps: list[float],
+    grid: int = 100,
+) -> DataFrame:
+    """EXACT per-group quantiles with ZERO driver collects — the grouped
+    sibling of ``exact_quantiles`` and strictly better scale shape: where
+    the global operator collects a parameter-sized histogram for
+    control flow, this one is a single declarative plan end to end.
+
+    Reference parity: the reference profiles per-cohort score/price
+    distributions with pandas ``groupby().quantile()`` (pandas semantics,
+    single-node); this is the distributed exact equivalent at DuckDB
+    ``quantile_disc`` / rank = ceil(p*n) semantics.
+
+    Shape: one map-side-combinable ``(key, value)`` count collapses the
+    data to the distinct-value lattice, then ONE window over ``key``
+    accumulates counts in value order — the partition is bounded by the
+    group's distinct-value cardinality (the 1/``grid`` fixed-point
+    lattice), never its row count, so a billion-row group with
+    2-decimal prices costs the same window as a thousand-row one. The
+    requested ps ride in as an exploded literal array (no join, no
+    broadcast). Rank is computed in pure integer math: p is snapped to
+    basis points (p_bp = round(p·10⁴)) and
+    ``rank = ceil(p_bp·n / 10⁴) = (p_bp·n + 9999) div 10⁴`` — the
+    add-then-truncate ceil, correct because every operand is positive
+    (``-((-a) div b)`` would NOT be: div truncates toward zero, not
+    floor). No float multiply, so engines agree on every boundary
+    rank. p_bp·n stays in
+    int64 up to n ≈ 9.2e14 rows per group (DECIMAL-route beyond, per
+    the PMI lesson — not needed at any plausible per-group count).
+
+    Returns (key, p, value, rank, n): for each group and each p, the
+    rank-th smallest value (1-indexed) on the 1/``grid`` lattice.
+    """
+    p_bps = sorted({int(round(p * 10000)) for p in ps})
+    v = F.round(F.col(value_col) * grid).cast("long")
+    counts = (
+        df.select(F.col(key_col).alias("k"), v.alias("_v"))
+        .groupBy("k", "_v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("k")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("k")
+    cum = counts.select(
+        "k",
+        "_v",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    probed = cum.withColumn(
+        "p_bp", F.explode(F.array(*[F.lit(b) for b in p_bps]))
+    ).withColumn("rank", F.expr("(p_bp * n + 9999) div 10000"))
+    return (
+        probed.filter(
+            (F.col("cum") >= F.col("rank"))
+            & ((F.col("cum") - F.col("c")) < F.col("rank"))
+        )
+        .select(
+            F.col("k").alias(key_col),
+            (F.col("p_bp") / F.lit(10000.0)).alias("p"),
+            (F.col("_v") / F.lit(float(grid))).alias("value"),
+            "rank",
+            "n",
+        )
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Gini–Simpson diversity of a categorical mix — the
+    corpus-health profile a training-data pipeline tracks per refresh
+    (is this language's crawl still drawing from many sources, or did
+    one domain swallow the mix?). Reference parity: the reference
+    reports per-cohort value_counts tables and leaves diversity to the
+    analyst; this emits the index itself.
+
+    EXACT rational core: the unbiased estimator
+    ``D = 1 - Σ c_i(c_i-1) / (N(N-1))`` is a ratio of two integers, so
+    there is no float accumulation anywhere — both products ride
+    DECIMAL(38,0) with an operand cast BEFORE the multiply (c_i ~ 3e9
+    wraps int64 squared; the PMI lesson), and the only float ops are
+    one correctly-rounded cast+divide at the very end, which two
+    engines perform bit-identically on the same integers.
+
+    Shape: two map-side-combinable aggs (``(key, cat)`` counts, then
+    per-key fold) — no window, no driver collect. Groups with N <= 1
+    get NULL diversity (the estimator is undefined).
+
+    Returns (key, n_rows, n_cats, diversity)."""
+    counts = df.groupBy(key_col, cat_col).agg(F.count(F.lit(1)).alias("c"))
+    per_key = counts.groupBy(key_col).agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias("num"),
+    )
+    den = F.expr("CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) AS DOUBLE)")
+    return per_key.select(
+        key_col,
+        F.col("n").alias("n_rows"),
+        "n_cats",
+        F.when(
+            F.col("n") > 1,
+            F.lit(1.0) - F.col("num").cast("double") / den,
+        ).alias("diversity"),
+    )

@@ -523,3 +523,87 @@ SELECT t.p, CAST(r.v AS DOUBLE) AS value, t.rank
 FROM t JOIN r ON r.rn = t.rank
 ORDER BY t.p
 """
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group quantiles of l_extendedprice per l_returnflag
+    (operators/stats.grouped_quantiles) — the distributed exact
+    equivalent of the reference's pandas ``groupby().quantile()``
+    cohort profiling, at rank = ceil(p*n) (quantile_disc) semantics.
+
+    Unlike the global exact_quantiles face there is NO driver collect
+    anywhere: one (key, value) count shuffle, one window over the
+    per-group distinct-value lattice, integer basis-point rank math.
+    The oracle replays the identical lattice construction in DuckDB."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+SQL_GROUPED_QUANTILES = """
+WITH vals AS (
+  SELECT l_returnflag AS k,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS _v
+  FROM lineitem
+), counts AS (
+  SELECT k, _v, COUNT(*) AS c FROM vals GROUP BY k, _v
+), cum AS (
+  SELECT k, _v, c,
+         SUM(c) OVER (PARTITION BY k ORDER BY _v) AS cum,
+         SUM(c) OVER (PARTITION BY k) AS n
+  FROM counts
+), probed AS (
+  SELECT k, _v, c, cum, n, p_bp,
+         (p_bp * n + 9999) // 10000 AS rank
+  FROM cum
+  CROSS JOIN (VALUES (2500), (5000), (7500), (9500)) AS ps(p_bp)
+)
+SELECT k AS l_returnflag,
+       CAST(p_bp AS DOUBLE) / 10000.0 AS p,
+       CAST(_v AS DOUBLE) / 100.0 AS value,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n
+FROM probed
+WHERE cum >= rank AND cum - c < rank
+"""
+
+
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini–Simpson diversity of the documents source mix
+    (operators/stats.simpson_diversity): corpus-health profiling with an
+    EXACT rational core — the only float operations are one
+    correctly-rounded cast+divide on exact integers, so the oracle
+    agrees bit-for-bit with no tolerance anywhere."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        simpson_diversity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simpson_diversity(docs, "lang", "source")
+
+
+SQL_SOURCE_DIVERSITY = """
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS c
+  FROM documents GROUP BY lang, source
+), per_key AS (
+  SELECT lang,
+         SUM(c) AS n,
+         COUNT(*) AS n_cats,
+         SUM(CAST(c AS HUGEINT) * (c - 1)) AS num
+  FROM counts GROUP BY lang
+)
+SELECT lang,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(n_cats AS BIGINT) AS n_cats,
+       CASE WHEN n > 1
+            THEN 1.0 - CAST(num AS DOUBLE)
+                       / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)
+       END AS diversity
+FROM per_key
+"""

@@ -192,3 +192,81 @@ def test_ks_drift_ignores_nulls(spark):
     ).collect()[0]
     assert (got["n_a"], got["n_b"]) == (3, 2)
     assert got.asDict() == clean.asDict()
+
+
+def test_grouped_quantiles_matches_bruteforce_and_boundary_ranks(spark):
+    """grouped_quantiles == per-group sorted-list selection at
+    rank = ceil(p*n), including p that lands EXACTLY on an integer rank
+    (p=0.5, n even — the float-ceil boundary the basis-point integer
+    math exists for), and singleton groups."""
+    import math
+    import random
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    rng = random.Random(8)
+    rows = [("a", round(rng.uniform(1, 50), 2)) for _ in range(40)]  # even n
+    rows += [("b", round(rng.uniform(-10, 10), 2)) for _ in range(7)]
+    rows += [("solo", 3.14)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    ps = [0.25, 0.5, 0.9]
+    got = {
+        (r["k"], r["p"]): (r["value"], r["rank"], r["n"])
+        for r in grouped_quantiles(df, "k", "value", ps).collect()
+    }
+    by_k: dict[str, list[float]] = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        vals.sort()
+        for p in ps:
+            rank = max(1, math.ceil(round(p * 10000) * len(vals) / 10000))
+            assert got[(k, p)] == (vals[rank - 1], rank, len(vals)), (k, p)
+    assert len(got) == len(by_k) * len(ps)
+
+
+def test_grouped_quantiles_plan_is_two_exchanges_no_collect(spark):
+    """The grouped operator's plan: the (key,value) count shuffle, the
+    per-key window exchange, and nothing else — no cartesian, no
+    driver-side control flow (the global exact_quantiles' collect is
+    exactly what this operator eliminates)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i % 13)) for i in range(100)], "k string, value double"
+    )
+    plan = (
+        grouped_quantiles(df, "k", "value", [0.5])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_simpson_diversity_exact_rational_and_degenerate_groups(spark):
+    """Hand-computed Gini–Simpson: group 'x' = [a,a,b] -> num = 2·1 = 2,
+    den = 3·2 = 6, D = 1 - 2/6; uniform pair -> D = 1; a single-row
+    group and an all-same group pin the NULL / 0.0 boundaries."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        simpson_diversity,
+    )
+
+    rows = [
+        ("x", "a"), ("x", "a"), ("x", "b"),
+        ("u", "a"), ("u", "b"),
+        ("solo", "a"),
+        ("mono", "a"), ("mono", "a"),
+    ]
+    df = spark.createDataFrame(rows, "k string, cat string")
+    got = {
+        r["k"]: (r["n_rows"], r["n_cats"], r["diversity"])
+        for r in simpson_diversity(df, "k", "cat").collect()
+    }
+    assert got["x"] == (3, 2, 1.0 - 2.0 / 6.0)
+    assert got["u"] == (2, 2, 1.0)
+    assert got["solo"] == (1, 1, None)
+    assert got["mono"] == (2, 1, 0.0)
