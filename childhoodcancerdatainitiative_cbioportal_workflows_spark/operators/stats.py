@@ -453,3 +453,87 @@ def simpson_diversity(
             F.lit(1.0) - F.col("num").cast("double") / den,
         ).alias("diversity"),
     )
+
+
+def ks_drift_by_key(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    value_col: str,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Per-segment exact two-sample KS — ``ks_drift`` partitioned by
+    ``key_col``. Training-data refreshes drift-check each language /
+    source / cohort separately (a global KS washes out a single
+    segment's shift); this emits one exact row per segment.
+
+    The grouped form is structurally SIMPLER than the global one: the
+    global operator needs the percentile_approx bucket trick because
+    its ordered window would otherwise be one giant partition, but here
+    the window is already partitioned by segment and bounded by the
+    segment's distinct-value lattice (the grouped_quantiles bound — for
+    fixed-decimal scores/prices it is capped by the value grid, not the
+    row count). Same integer discipline as the global: counts cross-
+    multiplied with an operand cast to DECIMAL(38,0) BEFORE each
+    product, NULL values excluded up front (engines disagree on NULL
+    sort position), segments with an empty side emit no row.
+
+    Returns (key, n_a, n_b, d_cross, d_fp) with
+    ``d_fp = (d_cross·unit) div (n_a·n_b)`` — the KS statistic in
+    integer ``unit`` units."""
+    tagged = (
+        a.select(
+            F.col(key_col).alias("k"),
+            F.col(value_col).alias("val"),
+            F.lit(1).alias("_ga"),
+        )
+        .unionByName(
+            b.select(
+                F.col(key_col).alias("k"),
+                F.col(value_col).alias("val"),
+                F.lit(0).alias("_ga"),
+            )
+        )
+        .filter(F.col("val").isNotNull())
+    )
+    vals = tagged.groupBy("k", "val").agg(
+        F.sum("_ga").cast("long").alias("ca"),
+        F.sum(F.lit(1) - F.col("_ga")).cast("long").alias("cb"),
+    )
+    vwin = Window.partitionBy("k").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    kwin = Window.partitionBy("k")
+    cum = vals.select(
+        "k",
+        F.sum("ca").over(vwin).alias("c1"),
+        F.sum("cb").over(vwin).alias("c2"),
+        F.sum("ca").over(kwin).alias("n_a"),
+        F.sum("cb").over(kwin).alias("n_b"),
+    )
+    return (
+        cum.groupBy("k")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.expr("CAST(c1 AS DECIMAL(38,0)) * n_b")
+                    - F.expr("CAST(c2 AS DECIMAL(38,0)) * n_a")
+                )
+            )
+            .cast("long")
+            .alias("d_cross"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            F.col("k").alias(key_col),
+            "n_a",
+            "n_b",
+            "d_cross",
+            F.expr(
+                f"CAST((CAST(d_cross AS DECIMAL(38,0)) * {unit})"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("d_fp"),
+        )
+    )

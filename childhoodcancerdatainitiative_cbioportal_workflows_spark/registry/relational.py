@@ -607,3 +607,54 @@ SELECT lang,
        END AS diversity
 FROM per_key
 """
+
+
+def q_drift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment exact KS drift (operators/stats.ks_drift_by_key):
+    o_totalprice distribution of even- vs odd-keyed orders, one exact
+    KS row per o_orderpriority. The deterministic even/odd split plays
+    the role of this-refresh vs last-refresh; the oracle replays the
+    identical lattice + cross-multiplication in DuckDB HUGEINT."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        ks_drift_by_key,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.expr("o_orderkey % 2 = 0"))
+    b = o.filter(F.expr("o_orderkey % 2 = 1"))
+    return ks_drift_by_key(a, b, "o_orderpriority", "o_totalprice")
+
+
+SQL_DRIFT_BY_SEGMENT = """
+WITH tagged AS (
+  SELECT o_orderpriority AS k, o_totalprice AS val,
+         CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS ga
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+), vals AS (
+  SELECT k, val, SUM(ga) AS ca, SUM(1 - ga) AS cb
+  FROM tagged GROUP BY k, val
+), cum AS (
+  SELECT k,
+         SUM(ca) OVER (PARTITION BY k ORDER BY val) AS c1,
+         SUM(cb) OVER (PARTITION BY k ORDER BY val) AS c2,
+         SUM(ca) OVER (PARTITION BY k) AS n_a,
+         SUM(cb) OVER (PARTITION BY k) AS n_b
+  FROM vals
+), agg AS (
+  SELECT k,
+         MAX(n_a) AS n_a,
+         MAX(n_b) AS n_b,
+         MAX(ABS(CAST(c1 AS HUGEINT) * n_b - CAST(c2 AS HUGEINT) * n_a))
+           AS d_cross
+  FROM cum GROUP BY k
+  HAVING MAX(n_a) > 0 AND MAX(n_b) > 0
+)
+SELECT k AS o_orderpriority,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(d_cross AS BIGINT) AS d_cross,
+       CAST((CAST(d_cross AS HUGEINT) * 1000000)
+            // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_fp
+FROM agg
+"""

@@ -103,12 +103,22 @@ def regate_offenders(
     gate: int = GATE,
 ) -> list[str]:
     """Pure policy check: queries whose current fingerprint differs from
-    the certified snapshot (or that have no snapshot) and that are NOT
-    inside the gate. These must be front-loaded before the next driver
-    run."""
+    the certified snapshot (or that have no snapshot at all) and that
+    are NOT inside the gate. These must be front-loaded before the next
+    driver run.
+
+    Exemption: a stored snapshot with ``round == 0`` is PRE-certification
+    state — the face has never held a green driver row, so there is no
+    certified behavior for an edit to invalidate; it simply remains in
+    the never-certified pool that leads the next rotation's free slots
+    (main() refreshes such snapshots to the current tree on each regen).
+    A MISSING snapshot stays an offender: unknown provenance is treated
+    conservatively."""
     offenders = []
     for i, name in enumerate(order):
         snap = stored.get(name)
+        if snap is not None and snap.get("round", 0) == 0:
+            continue
         changed = snap is None or snap.get("fpr") != current[name]
         if changed and i >= gate:
             offenders.append(name)
@@ -146,6 +156,10 @@ def main() -> int:
             # newly certified since the last snapshot: the tree at regen
             # time is the certified tree (run this at round start!)
             stored[name] = {"fpr": current[name], "round": latest_green}
+        elif stored[name].get("round", 0) == 0:
+            # still never certified: the snapshot is pre-certification
+            # state with nothing to invalidate — track the current tree
+            stored[name] = {"fpr": current[name], "round": 0}
     stored = {n: stored[n] for n in order}  # drop unregistered leftovers
     with open(FPR_STORE, "w") as f:
         json.dump(stored, f, indent=1, sort_keys=False)
@@ -165,8 +179,10 @@ def main() -> int:
         "oracle). The driver's CORRECTNESS gate samples the first "
         f"**{GATE}** entries of the insertion-ordered registry each round. "
         "Rotation policy (ENFORCED — this script exits 1 on violation): "
-        "never-certified and changed-since-certification queries must sit "
-        "inside the gate; remaining slots go to the oldest certifications "
+        "a query whose implementation changed since its last driver "
+        "certification must sit inside the gate; never-certified queries "
+        "have no certification to invalidate and lead the NEXT rotation's "
+        "free slots; remaining slots go to the oldest certifications "
         "first. Changed-ness is a content fingerprint (REGISTRY_FPR.json) "
         "over the face source, its oracle SQL, and every package module "
         "the face references, snapshotted at certification time. All "

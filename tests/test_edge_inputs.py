@@ -270,3 +270,41 @@ def test_simpson_diversity_exact_rational_and_degenerate_groups(spark):
     assert got["u"] == (2, 2, 1.0)
     assert got["solo"] == (1, 1, None)
     assert got["mono"] == (2, 1, 0.0)
+
+
+def test_ks_drift_by_key_matches_bruteforce_ecdf(spark):
+    """Per-segment KS == brute-force ECDF sup computed from sorted lists
+    per key; a key present only on one side emits no row."""
+    import random
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        ks_drift_by_key,
+    )
+
+    rng = random.Random(88)
+    a_rows = [("x", round(rng.uniform(0, 10), 1)) for _ in range(30)]
+    a_rows += [("y", round(rng.uniform(0, 10), 1)) for _ in range(11)]
+    a_rows += [("a_only", 1.0)]
+    b_rows = [("x", round(rng.uniform(3, 13), 1)) for _ in range(25)]
+    b_rows += [("y", round(rng.uniform(0, 10), 1)) for _ in range(17)]
+    b_rows += [("b_only", 2.0)]
+    a = spark.createDataFrame(a_rows, "k string, value double")
+    b = spark.createDataFrame(b_rows, "k string, value double")
+    got = {
+        r["k"]: (r["n_a"], r["n_b"], r["d_cross"], r["d_fp"])
+        for r in ks_drift_by_key(a, b, "k", "value").collect()
+    }
+    assert set(got) == {"x", "y"}
+    for k in ("x", "y"):
+        va = sorted(v for kk, v in a_rows if kk == k)
+        vb = sorted(v for kk, v in b_rows if kk == k)
+        na, nb = len(va), len(vb)
+        pooled = sorted(set(va) | set(vb))
+        d_cross = max(
+            abs(
+                sum(1 for v in va if v <= x) * nb
+                - sum(1 for v in vb if v <= x) * na
+            )
+            for x in pooled
+        )
+        assert got[k] == (na, nb, d_cross, d_cross * 1_000_000 // (na * nb)), k

@@ -128,17 +128,19 @@ def test_regate_policy_detects_synthetic_change():
     sits outside the gate must be reported as an offender; the same
     change inside the gate is fine (it will re-certify)."""
     led = _ledger()
-    order = ["a", "b", "c", "d"]
-    current = {"a": "f1", "b": "f2", "c": "f3", "d": "f4"}
+    order = ["a", "b", "c", "d", "e"]
+    current = {"a": "f1", "b": "f2", "c": "f3", "d": "f4", "e": "f5"}
     stored = {
         "a": {"fpr": "f1", "round": 7},
         "b": {"fpr": "STALE", "round": 5},   # changed, inside gate: ok
         "c": {"fpr": "STALE", "round": 5},   # changed, outside gate: offender
         # "d" missing: never snapshotted, outside gate: offender
+        "e": {"fpr": "STALE", "round": 0},   # never CERTIFIED: exempt —
+        # nothing to invalidate; it leads the next rotation instead
     }
     got = led.regate_offenders(order, stored, current, gate=2)
     assert got == ["c", "d"]
-    assert led.regate_offenders(order, stored, current, gate=4) == []
+    assert led.regate_offenders(order, stored, current, gate=5) == []
 
 
 def test_regate_policy_holds_on_this_repo():
