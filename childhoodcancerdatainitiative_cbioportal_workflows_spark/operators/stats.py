@@ -343,6 +343,7 @@ def grouped_quantiles(
     value_col: str,
     ps: list[float],
     grid: int = 100,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT per-group quantiles with ZERO driver collects — the grouped
     sibling of ``exact_quantiles`` and strictly better scale shape: where
@@ -371,16 +372,29 @@ def grouped_quantiles(
     int64 up to n ≈ 9.2e14 rows per group (DECIMAL-route beyond, per
     the PMI lesson — not needed at any plausible per-group count).
 
+    ``weight_col`` (optional, non-negative integer) switches to the
+    WEIGHTED quantile: each row counts ``weight`` times, so rank walks
+    total weight instead of row count ("the price at the median UNIT",
+    "the doc-length at the median TOKEN") — identical plan, the lattice
+    count just becomes a lattice weight-sum.
+
     Returns (key, p, value, rank, n): for each group and each p, the
-    rank-th smallest value (1-indexed) on the 1/``grid`` lattice.
+    rank-th smallest value (1-indexed) on the 1/``grid`` lattice, with
+    n = the group's row count (or total weight).
     """
     p_bps = sorted({int(round(p * 10000)) for p in ps})
     v = F.round(F.col(value_col) * grid).cast("long")
-    counts = (
-        df.select(F.col(key_col).alias("k"), v.alias("_v"))
-        .groupBy("k", "_v")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    if weight_col is None:
+        mass = F.count(F.lit(1))
+        cols = [F.col(key_col).alias("k"), v.alias("_v")]
+    else:
+        mass = F.sum("_w")
+        cols = [
+            F.col(key_col).alias("k"),
+            v.alias("_v"),
+            F.col(weight_col).cast("long").alias("_w"),
+        ]
+    counts = df.select(*cols).groupBy("k", "_v").agg(mass.alias("c"))
     w_cum = (
         Window.partitionBy("k")
         .orderBy("_v")

@@ -658,3 +658,49 @@ SELECT k AS o_orderpriority,
             // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_fp
 FROM agg
 """
+
+
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exact quantiles: the l_extendedprice at the median (and
+    p90) UNIT per l_returnflag — rank walks total l_quantity, not row
+    count (operators/stats.grouped_quantiles with weight_col). Same
+    lattice plan as grouped_quantiles; the count just becomes a
+    weight-sum, which the oracle replays exactly."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9],
+        weight_col="l_quantity",
+    )
+
+
+SQL_WEIGHTED_QUANTILES = """
+WITH vals AS (
+  SELECT l_returnflag AS k,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS _v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), counts AS (
+  SELECT k, _v, SUM(w) AS c FROM vals GROUP BY k, _v
+), cum AS (
+  SELECT k, _v, c,
+         SUM(c) OVER (PARTITION BY k ORDER BY _v) AS cum,
+         SUM(c) OVER (PARTITION BY k) AS n
+  FROM counts
+), probed AS (
+  SELECT k, _v, c, cum, n, p_bp,
+         (p_bp * n + 9999) // 10000 AS rank
+  FROM cum
+  CROSS JOIN (VALUES (5000), (9000)) AS ps(p_bp)
+)
+SELECT k AS l_returnflag,
+       CAST(p_bp AS DOUBLE) / 10000.0 AS p,
+       CAST(_v AS DOUBLE) / 100.0 AS value,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(n AS BIGINT) AS n
+FROM probed
+WHERE cum >= rank AND cum - c < rank
+"""

@@ -308,3 +308,38 @@ def test_ks_drift_by_key_matches_bruteforce_ecdf(spark):
             for x in pooled
         )
         assert got[k] == (na, nb, d_cross, d_cross * 1_000_000 // (na * nb)), k
+
+
+def test_weighted_quantiles_matches_expanded_bruteforce(spark):
+    """Weighted grouped_quantiles == unweighted selection over the
+    weight-EXPANDED multiset (each row repeated weight times), the
+    defining property of a weighted quantile. Zero-weight rows
+    contribute nothing."""
+    import math
+    import random
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    rng = random.Random(80)
+    rows = [
+        ("g1", round(rng.uniform(1, 9), 2), rng.randint(0, 5))
+        for _ in range(60)
+    ] + [("g2", 4.0, 3), ("g2", 2.0, 1)]
+    df = spark.createDataFrame(rows, "k string, value double, w long")
+    ps = [0.5, 0.9]
+    got = {
+        (r["k"], r["p"]): (r["value"], r["rank"], r["n"])
+        for r in grouped_quantiles(
+            df, "k", "value", ps, weight_col="w"
+        ).collect()
+    }
+    expanded: dict[str, list[float]] = {}
+    for k, v, w in rows:
+        expanded.setdefault(k, []).extend([v] * w)
+    for k, vals in expanded.items():
+        vals.sort()
+        for p in ps:
+            rank = math.ceil(round(p * 10000) * len(vals) / 10000)
+            assert got[(k, p)] == (vals[rank - 1], rank, len(vals)), (k, p)
