@@ -16,6 +16,7 @@ from .sketches import (  # noqa: F401
     hll_estimate,
     hll_estimate_grouped,
     hll_merge,
+    hll_overlap,
     hll_sketch,
     hll_sketch_grouped,
 )

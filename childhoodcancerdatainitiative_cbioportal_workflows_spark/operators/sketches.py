@@ -328,3 +328,77 @@ def bloom_probe(
     for x in present[1:]:
         maybe = maybe & x
     return b.select(F.col(col), maybe.alias("maybe_member"))
+
+
+def hll_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Set-overlap estimate |A ∩ B| by HLL inclusion–exclusion
+    (est_a + est_b − est_union) in ONE scan of each input: rows are
+    side-tagged and aggregated to per-(side, register) maxima, then a
+    second (register-table-sized) grouping derives all THREE register
+    tables at once — side A, side B, and their union (register-wise max
+    IS the union sketch, the mergeability property the hll_merge test
+    pins). The corpus-vs-corpus dedup triage question ("how much of
+    this crawl is already in that one?") at 100 TB: the shuffle carries
+    at most 2m register rows, never the keys.
+
+    Every estimate rides the same integer lattice as ``hll_estimate``
+    (S = Σ 2^(49-rho), est = A div S — no float anywhere), so the
+    inclusion–exclusion difference is certifiable to the last digit.
+    Returns one row (est_a, est_b, est_union, est_overlap) with
+    est_overlap clamped at 0 (sketch noise can drive the raw
+    difference negative)."""
+    m = 1 << p
+    a_num = _hll_alpha_num(p)
+    tagged = a.select(F.col(col).alias("_t"), F.lit(1).alias("_s")).unionByName(
+        b.select(F.col(col).alias("_t"), F.lit(0).alias("_s"))
+    )
+    idx, rho = _hll_parts(F.col("_t"), p)
+    regs = (
+        tagged.select("_s", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("_s", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    per_idx = regs.groupBy("idx").agg(
+        F.max(F.when(F.col("_s") == 1, F.col("rho"))).alias("ra"),
+        F.max(F.when(F.col("_s") == 0, F.col("rho"))).alias("rb"),
+        F.max("rho").alias("ru"),
+    )
+    def _psum(reg: str):
+        return F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), 49 - {reg})")),
+            F.lit(0),
+        )
+
+    agg = per_idx.agg(
+        F.count("ra").alias("na"),
+        _psum("ra").alias("pa"),
+        F.count("rb").alias("nb"),
+        _psum("rb").alias("pb"),
+        F.count("ru").alias("nu"),
+        _psum("ru").alias("pu"),
+    )
+    big = 1 << 49
+    ests = agg.select(
+        *[
+            F.expr(
+                f"CAST(CAST('{a_num}' AS DECIMAL(38,0))"
+                f" div (p{s} + ({m} - n{s}) * CAST({big} AS BIGINT))"
+                " AS BIGINT)"
+            ).alias(f"est_{n}")
+            for s, n in (("a", "a"), ("b", "b"), ("u", "union"))
+        ]
+    )
+    return ests.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ).alias("est_overlap"),
+    )

@@ -925,3 +925,75 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
             AS BIGINT) AS n_false_neg
 FROM flags f LEFT JOIN truth t USING (key)
 """
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL inclusion–exclusion overlap (operators/sketches.hll_overlap):
+    how many customers place orders in BOTH the even- and odd-keyed
+    halves of the order stream — the corpus-vs-corpus dedup triage
+    estimate, one scan, register-table shuffles only. The face sets the
+    EXACT intersection count beside the estimate, so the driver row
+    certifies both the bit-exact integer sketch math and the
+    approximation's measured error."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_overlap,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.expr("o_orderkey % 2 = 0")).select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    b = o.filter(F.expr("o_orderkey % 2 = 1")).select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    exact = a.intersect(b).agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+    return exact.crossJoin(F.broadcast(hll_overlap(a, b, "k", p=9)))
+
+
+SQL_HLL_OVERLAP = f"""
+WITH tagged AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS token, o_orderkey % 2 = 0 AS sa
+  FROM orders
+), hx AS (
+  SELECT md5(token) AS h, sa FROM tagged
+), parts AS (
+  SELECT {_duck_hexfold(1, 4)} % 512 AS idx,
+         {_duck_hexfold(5, 12)} AS v, sa
+  FROM hx
+), regs AS (
+  SELECT idx, sa,
+         MAX(CASE WHEN v = 0 THEN 49
+                  ELSE CAST(49 - length(bin(v)) AS INT) END) AS rho
+  FROM parts GROUP BY idx, sa
+), per_idx AS (
+  SELECT idx,
+         MAX(CASE WHEN sa THEN rho END) AS ra,
+         MAX(CASE WHEN NOT sa THEN rho END) AS rb,
+         MAX(rho) AS ru
+  FROM regs GROUP BY idx
+), agg AS (
+  SELECT COUNT(ra) AS na,
+         COALESCE(SUM(1::BIGINT << (49 - ra)), 0) AS pa,
+         COUNT(rb) AS nb,
+         COALESCE(SUM(1::BIGINT << (49 - rb)), 0) AS pb,
+         COUNT(ru) AS nu,
+         COALESCE(SUM(1::BIGINT << (49 - ru)), 0) AS pu
+  FROM per_idx
+), est AS (
+  SELECT CAST({_hll_a(9)}::HUGEINT
+              // (pa + (512 - na) * (1::BIGINT << 49)) AS BIGINT) AS est_a,
+         CAST({_hll_a(9)}::HUGEINT
+              // (pb + (512 - nb) * (1::BIGINT << 49)) AS BIGINT) AS est_b,
+         CAST({_hll_a(9)}::HUGEINT
+              // (pu + (512 - nu) * (1::BIGINT << 49)) AS BIGINT) AS est_union
+  FROM agg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT token FROM tagged WHERE sa
+           INTERSECT
+           SELECT token FROM tagged WHERE NOT sa)) AS n_exact_overlap,
+       est_a, est_b, est_union,
+       GREATEST(CAST(0 AS BIGINT),
+                est_a + est_b - est_union) AS est_overlap
+FROM est
+"""

@@ -764,3 +764,29 @@ def test_bloom_no_false_negatives_and_merge(spark):
     }
     assert merged == {(r["row"], r["bit"]) for r in bloom.collect()}
     bloom.unpersist()
+
+
+def test_hll_overlap_consistent_with_single_sketch_path(spark):
+    """hll_overlap's one-pass triple sketch must agree EXACTLY with the
+    already-certified hll_sketch/hll_merge/hll_estimate composition on
+    each component, and the overlap estimate must track the true
+    intersection within HLL noise (~1.04/sqrt(m) per sketch)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_overlap,
+        hll_sketch,
+    )
+
+    a = spark.range(0, 3000).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(2000, 6000).selectExpr("CAST(id AS STRING) AS k")
+    got = hll_overlap(a, b, "k", p=9).collect()[0]
+    sa, sb = hll_sketch(a, "k", 9), hll_sketch(b, "k", 9)
+    ea = hll_estimate(sa, 9).collect()[0]["est_n"]
+    eb = hll_estimate(sb, 9).collect()[0]["est_n"]
+    eu = hll_estimate(hll_merge(sa, sb), 9).collect()[0]["est_n"]
+    assert (got["est_a"], got["est_b"], got["est_union"]) == (ea, eb, eu)
+    assert got["est_overlap"] == max(0, ea + eb - eu)
+    # true overlap 1000; three-sketch inclusion-exclusion compounds the
+    # per-sketch ~4.6% rse so allow a generous but bounded band
+    assert 300 <= got["est_overlap"] <= 1700
