@@ -354,8 +354,12 @@ def hll_overlap(
     difference negative)."""
     m = 1 << p
     a_num = _hll_alpha_num(p)
-    tagged = a.select(F.col(col).alias("_t"), F.lit(1).alias("_s")).unionByName(
-        b.select(F.col(col).alias("_t"), F.lit(0).alias("_s"))
+    tagged = (
+        a.select(F.col(col).alias("_t"), F.lit(1).alias("_s"))
+        .unionByName(b.select(F.col(col).alias("_t"), F.lit(0).alias("_s")))
+        # NULL keys would md5 to a NULL register row that skews
+        # n_present on both engines; a NULL is not a set member
+        .filter(F.col("_t").isNotNull())
     )
     idx, rho = _hll_parts(F.col("_t"), p)
     regs = (

@@ -384,9 +384,14 @@ def grouped_quantiles(
     """
     p_bps = sorted({int(round(p * 10000)) for p in ps})
     v = F.round(F.col(value_col) * grid).cast("long")
+    # NULL values are excluded up front: a NULL lattice point would ride
+    # the ordered window, where engines disagree on NULL sort position
+    # (Spark NULLS FIRST, DuckDB NULLS LAST) — the ks_drift lesson. A
+    # NULL weight likewise contributes no mass rather than a NULL cell.
     if weight_col is None:
         mass = F.count(F.lit(1))
         cols = [F.col(key_col).alias("k"), v.alias("_v")]
+        staged = df.select(*cols).filter(F.col("_v").isNotNull())
     else:
         mass = F.sum("_w")
         cols = [
@@ -394,7 +399,10 @@ def grouped_quantiles(
             v.alias("_v"),
             F.col(weight_col).cast("long").alias("_w"),
         ]
-    counts = df.select(*cols).groupBy("k", "_v").agg(mass.alias("c"))
+        staged = df.select(*cols).filter(
+            F.col("_v").isNotNull() & F.col("_w").isNotNull()
+        )
+    counts = staged.groupBy("k", "_v").agg(mass.alias("c"))
     w_cum = (
         Window.partitionBy("k")
         .orderBy("_v")

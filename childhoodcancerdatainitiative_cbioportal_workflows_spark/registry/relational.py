@@ -550,6 +550,7 @@ WITH vals AS (
   SELECT l_returnflag AS k,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS _v
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 ), counts AS (
   SELECT k, _v, COUNT(*) AS c FROM vals GROUP BY k, _v
 ), cum AS (
@@ -683,6 +684,7 @@ WITH vals AS (
          CAST(round(l_extendedprice * 100) AS BIGINT) AS _v,
          CAST(l_quantity AS BIGINT) AS w
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 ), counts AS (
   SELECT k, _v, SUM(w) AS c FROM vals GROUP BY k, _v
 ), cum AS (

@@ -343,3 +343,33 @@ def test_weighted_quantiles_matches_expanded_bruteforce(spark):
         for p in ps:
             rank = math.ceil(round(p * 10000) * len(vals) / 10000)
             assert got[(k, p)] == (vals[rank - 1], rank, len(vals)), (k, p)
+
+
+def test_grouped_quantiles_and_hll_overlap_ignore_nulls(spark):
+    """NULL values/weights/keys contribute nothing: a NULL lattice point
+    would ride the ordered window where Spark (NULLS FIRST) and DuckDB
+    (NULLS LAST) disagree, and a NULL set member would fabricate an HLL
+    register row on both engines."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_overlap,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", None, 5), ("g", 3.0, None), ("g", 2.0, 2)],
+        "k string, value double, w long",
+    )
+    out = grouped_quantiles(df, "k", "value", [0.5]).collect()
+    assert [(r["value"], r["n"]) for r in out] == [(2.0, 3)]  # NULL row gone
+    outw = grouped_quantiles(df, "k", "value", [0.5], weight_col="w").collect()
+    assert [(r["value"], r["n"]) for r in outw] == [(2.0, 3)]  # w=1 + w=2
+
+    a = spark.createDataFrame([("x",), (None,)], "k string")
+    b = spark.createDataFrame([("x",), (None,)], "k string")
+    clean = hll_overlap(
+        a.filter("k IS NOT NULL"), b.filter("k IS NOT NULL"), "k"
+    ).collect()[0]
+    dirty = hll_overlap(a, b, "k").collect()[0]
+    assert clean.asDict() == dirty.asDict()
