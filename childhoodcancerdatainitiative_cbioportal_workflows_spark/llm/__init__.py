@@ -76,3 +76,4 @@ from .quantize import (  # noqa: F401
 )
 from .bpe import EOW, segment_words, train_bpe_merges  # noqa: F401
 from .projection import projection_matrix, projection_sql, random_projection  # noqa: F401
+from .fusion import rrf_fuse  # noqa: F401

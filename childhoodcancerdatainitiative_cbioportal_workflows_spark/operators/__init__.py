@@ -31,3 +31,8 @@ from .graph import (  # noqa: F401
     pagerank_fixed,
     pagerank_fixed_sql,
 )
+from .heavyhitters import heavy_hitters  # noqa: F401
+from .bfs import bfs_hops  # noqa: F401
+from .decay import decayed_scores  # noqa: F401
+from .robust import grouped_low_median, mad_anomalies  # noqa: F401
+from .neighborhood import sorted_neighborhood_pairs  # noqa: F401

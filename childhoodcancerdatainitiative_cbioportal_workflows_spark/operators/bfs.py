@@ -1,0 +1,71 @@
+"""Bounded-round multi-source BFS (shortest hop counts) on an edge list.
+
+The iterative-graph family's traversal member (pagerank = weights,
+components = membership, k-core = cohesion, BFS = distance): from a seed
+set, label every node with its minimum hop distance up to ``max_hops``.
+
+Plan shape per round: one equi-join frontier×edges (the frontier is the
+small side and shrinks as the graph saturates), one ``distinct``, one
+anti-join against the visited set — all shuffles keyed on the node id.
+Per-round ``localCheckpoint`` (eager) truncates lineage: the visited
+frame is referenced twice per round (anti-join + union), which under
+plain ``persist`` leaves a 3^rounds STATIC analyzer plan (the k-core
+lesson, operators/graph.py:100 / DESIGN.md round 7).
+
+Reference parity: the reference walks clinical linkage one hop at a time
+in pandas merges (`/root/reference/workflows/pedmatch-clinical-vcf-workflow.py`
+subject→sample→file chains); bounded BFS is the same reachability
+computation stated once over an arbitrary edge list.
+
+The oracle twin is a recursive CTE (``WITH RECURSIVE`` + UNION-dedup on
+(node, hop), then MIN(hop)) — DuckDB-executable, so the iterative Spark
+loop is value-certifiable round for round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """(node, hops) for every node within ``max_hops`` of any seed.
+
+    ``edges`` is treated as undirected (both directions are unioned in);
+    ``seeds`` must have a ``node`` column. Hop 0 rows are the seeds
+    themselves. Deterministic: BFS distance is partition-independent.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    und = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .distinct()
+        .persist()
+    )
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    und.unpersist()
+    return visited

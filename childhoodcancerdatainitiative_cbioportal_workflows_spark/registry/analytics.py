@@ -1,0 +1,303 @@
+"""Round-8b analytics faces: heavy hitters, BFS, exact decay, robust
+MAD anomalies, sorted-neighborhood blocking, reciprocal-rank fusion.
+
+Each q_* returns a DataFrame; each SQL_* is its DuckDB oracle
+(value-exact at any SF). All operators live in new modules
+(operators/heavyhitters, bfs, decay, robust, neighborhood, llm/fusion)
+so no certified face's content fingerprint flips (REGISTRY_FPR rule).
+"""
+
+from pyspark.sql import Window
+
+from ._common import *  # noqa: F401,F403
+from ._common import (  # noqa: F401
+    _BM25_TERMS,
+    _PAIRS_CTE_BODY,
+    _sql_bm25,
+)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact heavy hitters (operators/heavyhitters): every
+    token holding ≥ 1/200 of the corpus token mass, with exact counts.
+    The Misra-Gries candidate pass bounds the shuffle to candidate rows
+    (≤ 2·200/partition) instead of the vocabulary; the broadcast-
+    filtered recount makes the result exact and partitioning-
+    independent — the oracle is therefore plain GROUP BY."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        heavy_hitters,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("token"))
+    return heavy_hitters(toks, "token", support_inv=200)
+
+
+SQL_HEAVY_HITTERS = """
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents
+), n AS (
+  SELECT COUNT(*) AS n FROM t
+), c AS (
+  SELECT token, COUNT(*) AS freq FROM t GROUP BY token
+)
+SELECT token, freq FROM c, n WHERE freq >= (n + 199) // 200
+"""
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS (operators/bfs) over the near-dup pair
+    graph: hop distance from the doc_id<100 seed nodes, 4 rounds. The
+    iterative frontier loop is certified by a recursive-CTE oracle —
+    the traversal member of the iterative-graph family (pagerank /
+    kcore / components)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        bfs_hops,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b").persist()
+    seeds = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .filter(F.col("node") < 100)
+        .distinct()
+    )
+    out = bfs_hops(pairs, seeds, max_hops=4, src="id_a", dst="id_b")
+    pairs.unpersist()  # bfs_hops localCheckpoints eagerly, cache is spent
+    return out
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_PAIRS_CTE_BODY})
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), seeds AS (
+  SELECT DISTINCT s AS node FROM edges WHERE s < 100
+), walk(node, hop) AS (
+  SELECT node, 0 AS hop FROM seeds
+  UNION
+  SELECT e.d AS node, w.hop + 1 AS hop
+  FROM walk w JOIN edges e ON e.s = w.node
+  WHERE w.hop < 4
+)
+SELECT node, CAST(MIN(hop) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+def q_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact exponential-decay trending (operators/decay): per event
+    type, the half-life-2-days decayed activity score over the trailing
+    30 days, in integer fixed point (weights are powers of two, the sum
+    is DECIMAL-routed) — rank-identical to the float formula, bit-
+    identical across engines."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        decayed_scores,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return decayed_scores(
+        e, "event_type", "ts", half_life_days=2, horizon_days=30
+    )
+
+
+SQL_DECAYED_TRENDING = """
+WITH ref AS (
+  SELECT MAX(CAST(ts AS DATE)) AS ref_d FROM events
+), aged AS (
+  SELECT event_type,
+         date_diff('day', CAST(ts AS DATE), ref_d) AS age
+  FROM events, ref
+)
+SELECT event_type,
+       CAST(SUM(CAST((CAST(1 AS BIGINT) << (14 - CAST(age // 2 AS INT))) AS HUGEINT)) AS BIGINT) AS score_fp
+FROM aged WHERE age >= 0 AND age < 30
+GROUP BY event_type
+"""
+
+
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly profile (operators/robust): median and
+    MAD of order totals (cents) per order priority, and how many orders
+    sit outside median ± 3·MAD. Exact order statistics via the grouped
+    rank-walk — the heavy-tail-safe sibling of anomaly_flags' 3σ rule.
+    Low-median convention pinned by a brute-force model test
+    (tests/test_analytics_ops.py)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        mad_anomalies,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderpriority",
+        # round-then-cast: DOUBLE cents land within 1e-9 of an integer,
+        # and CAST alone truncates in Spark but rounds in DuckDB
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    return mad_anomalies(v, "o_orderpriority", "price_c", mult=3)
+
+
+SQL_MAD_ANOMALIES = """
+WITH v AS (
+  SELECT o_orderpriority AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+), c AS (
+  SELECT k, x, COUNT(*) AS cnt FROM v GROUP BY k, x
+), cum AS (
+  SELECT k, x, cnt,
+         SUM(cnt) OVER (PARTITION BY k ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+), tot AS (
+  SELECT k, SUM(cnt) AS n FROM c GROUP BY k
+), med AS (
+  SELECT k, MIN(x) AS med FROM cum JOIN tot USING (k)
+  WHERE cum >= (n + 1) // 2 GROUP BY k
+), d AS (
+  SELECT v.k, abs(x - med) AS dx, med FROM v JOIN med USING (k)
+), dc AS (
+  SELECT k, dx, COUNT(*) AS cnt FROM d GROUP BY k, dx
+), dcum AS (
+  SELECT k, dx, cnt,
+         SUM(cnt) OVER (PARTITION BY k ORDER BY dx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dc
+), mad AS (
+  SELECT k, MIN(dx) AS mad FROM dcum JOIN tot USING (k)
+  WHERE cum >= (n + 1) // 2 GROUP BY k
+)
+SELECT d.k AS o_orderpriority,
+       MIN(d.med) AS med_fp,
+       MIN(mad.mad) AS mad_fp,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.dx > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM d JOIN mad USING (k)
+GROUP BY d.k
+"""
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/neighborhood): candidate
+    pairs within a 3-row window of the normalized-text sort order, kept
+    at ≥ 40% distinct-token Jaccard — the structurally-bounded third
+    member of the near-dup blocking family (LSH probabilistic, q-gram
+    length-guarded, sorted-neighborhood windowed)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=3, block_prefix=2, key_prefix=16, min_pct=40
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH t AS (
+  SELECT doc_id AS id,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 2) AS blk,
+         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS key,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), r AS (
+  SELECT id, blk, key, toks,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY key, id) AS rn
+  FROM t
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS INT) AS n_inter,
+         CAST(len(a.toks) AS INT) + CAST(len(b.toks) AS INT) AS n_tot
+  FROM r a JOIN r b
+    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+)
+SELECT id_a, id_b, n_inter, n_tot - n_inter AS n_union
+FROM cand
+WHERE n_tot - n_inter > 0 AND 100 * n_inter >= 40 * (n_tot - n_inter)
+"""
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (llm/fusion.rrf_fuse): reciprocal-rank
+    fusion of the BM25 top-100 (lexical, llm/relevance) and the cosine
+    top-100 for query vector 0 (dense, embeddings table; doc_id and
+    vec_id share an id space in the testdata) — integer fixed-point RRF,
+    final top-20 by fused score."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bm = bm25_topk(d, list(_BM25_TERMS), k=100)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    as_double = F.col("embedding").cast("array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(as_double.alias("q_emb"))
+    c = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), as_double.alias("c_emb")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    cos = c.crossJoin(F.broadcast(q)).withColumn(
+        "cs",
+        dot(F.col("q_emb"), F.col("c_emb"))
+        / (
+            F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+            * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+        ),
+    )
+    # TakeOrderedAndProject first (never a global sort), THEN rank the
+    # bounded 100-row result — a row_number window over the full
+    # candidate set would drag everything to one partition
+    cos_top = cos.orderBy(F.col("cs").desc(), F.col("doc_id").asc()).limit(100)
+    wc = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+    cosr = cos_top.withColumn("rank", F.row_number().over(wc)).select(
+        "doc_id", "rank"
+    )
+    return rrf_fuse([bmr, cosr], id_col="doc_id", topn=20)
+
+
+SQL_RRF_FUSION = f"""
+WITH bm AS (
+  SELECT doc_id, score FROM ({_sql_bm25(_BM25_TERMS, 100)})
+), bmr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+), q AS (
+  SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0
+), c AS (
+  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb FROM embeddings
+  WHERE vec_id <> 0
+), cos AS (
+  SELECT doc_id,
+    list_reduce(list_transform(list_zip(q_emb, c_emb), x -> x[1] * x[2]), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(q_emb, x -> x * x), (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform(c_emb, x -> x * x), (a, b) -> a + b))) AS cs
+  FROM c, q
+), cos_top AS (
+  SELECT doc_id, cs FROM cos ORDER BY cs DESC, doc_id LIMIT 100
+), cosr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r FROM cos_top
+), u AS (
+  SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM cosr
+)
+SELECT doc_id,
+       CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf_fp,
+       COUNT(*) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_fp DESC, doc_id
+LIMIT 20
+"""

@@ -1,0 +1,223 @@
+"""Model tests for the round-8b analytics operators.
+
+Parity alone certifies agreement, not meaning (the floor-division
+lesson, DESIGN.md): every operator here is additionally checked against
+an independent brute-force Python model on synthetic inputs, including
+the partitioning sweeps that the shared-testdata parity can't vary.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import rrf_fuse
+from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+    bfs_hops,
+    decayed_scores,
+    grouped_low_median,
+    heavy_hitters,
+    mad_anomalies,
+    sorted_neighborhood_pairs,
+)
+
+
+# ---------------------------------------------------------------- heavy hitters
+def _brute_hh(values, support_inv):
+    n = len(values)
+    thr = (n + support_inv - 1) // support_inv
+    from collections import Counter
+
+    return {v: c for v, c in Counter(values).items() if c >= thr}
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+def test_heavy_hitters_exact_under_repartition(spark, parts):
+    """The MG candidate pass may over-select but the recount must give
+    the exact answer for EVERY partitioning and batch order."""
+    rng = random.Random(7)
+    # zipf-ish skew: a few giants, a long tail
+    vals = (
+        ["alpha"] * 400
+        + ["beta"] * 150
+        + ["gamma"] * 60
+        + [f"tail{rng.randrange(500)}" for _ in range(800)]
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x string").repartition(parts)
+    got = {
+        r["x"]: r["freq"] for r in heavy_hitters(df, "x", support_inv=20).collect()
+    }
+    assert got == _brute_hh(vals, 20)
+
+
+def test_heavy_hitters_small_mg_budget_still_exact(spark):
+    """Even an undersized MG budget (k < 2T, superset guarantee void for
+    adversarial splits) must never produce a WRONG count — only the
+    threshold filter decides membership, and on this skew the giants
+    survive any per-partition summary of k >= 2."""
+    vals = ["big"] * 900 + [f"t{i}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "x string").repartition(4)
+    got = {r["x"]: r["freq"] for r in heavy_hitters(df, "x", 10, mg_k=4).collect()}
+    assert got == {"big": 900}
+
+
+def test_heavy_hitters_nulls_and_empty(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    assert heavy_hitters(df, "x", 2).count() == 0
+
+
+# ------------------------------------------------------------------------- bfs
+def _brute_bfs(edges, seeds, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_model(spark):
+    rng = random.Random(11)
+    edges = sorted({
+        (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,), (1,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, 3).collect()}
+    assert got == _brute_bfs(edges, [0, 1], 3)
+
+
+def test_bfs_zero_hops_is_seed_set(spark):
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    assert bfs_hops(e, seeds, 0).collect() == [Row(node=1, hops=0)]
+
+
+# ----------------------------------------------------------------------- decay
+def test_decayed_scores_matches_model(spark):
+    rows = [
+        ("a", "2024-03-01"),
+        ("a", "2024-03-01"),
+        ("a", "2024-02-25"),
+        ("b", "2024-02-28"),
+        ("b", "2024-01-20"),  # outside 30d horizon relative to 03-01
+    ]
+    df = spark.createDataFrame(rows, "k string, d string").select(
+        "k", F.to_timestamp("d").alias("ts")
+    )
+    got = {
+        r["k"]: r["score_fp"]
+        for r in decayed_scores(df, "k", "ts", half_life_days=2, horizon_days=30).collect()
+    }
+    # max_b = 14; ages relative to 2024-03-01: 0,0,5,2,41(dropped)
+    def w(age):
+        return 1 << (14 - age // 2)
+
+    assert got == {"a": w(0) + w(0) + w(5), "b": w(2)}
+
+
+# ------------------------------------------------------------------ median/MAD
+def _low_median_model(xs):
+    xs = sorted(xs)
+    return xs[(len(xs) + 1) // 2 - 1]  # ceil(n/2)-th order statistic
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_grouped_low_median_model(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (f"k{rng.randrange(4)}", rng.randrange(-50, 50))
+        for _ in range(rng.randrange(1, 300))
+    ]
+    df = spark.createDataFrame(rows, "k string, x bigint")
+    got = {r["k"]: r["med"] for r in grouped_low_median(df, "k", "x").collect()}
+    by_k = {}
+    for k, x in rows:
+        by_k.setdefault(k, []).append(x)
+    assert got == {k: _low_median_model(v) for k, v in by_k.items()}
+
+
+def test_mad_anomalies_model(spark):
+    # one tight cluster with two gross outliers
+    xs = [100, 101, 102, 99, 98, 100, 100, 500, -300]
+    df = spark.createDataFrame([("g", x) for x in xs], "k string, x bigint")
+    row = mad_anomalies(df, "k", "x", mult=3).collect()[0]
+    med = _low_median_model(xs)
+    mad = _low_median_model([abs(x - med) for x in xs])
+    assert row["med_fp"] == med and row["mad_fp"] == mad
+    assert row["n"] == len(xs)
+    assert row["n_anomalies"] == sum(abs(x - med) > 3 * mad for x in xs)
+    # the 3σ rule would be dragged by the outliers; MAD must flag exactly
+    # the two gross points here
+    assert row["n_anomalies"] == 2
+
+
+# --------------------------------------------------------- sorted neighborhood
+def test_sorted_neighborhood_model(spark):
+    docs = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown foxes"),
+        (3, "the quick brown fox"),  # exact dup of 1, same block
+        (4, "zebra stripes pattern"),
+        (5, "zebra stripes patterns here"),
+        (6, "completely different text entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    pairs = sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=2, block_prefix=2, key_prefix=10, min_pct=50
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # block 'th': ids 1,2,3 share the 10-char key 'thequickbr', so the
+    # sort is id order [1,2,3] -> window-2 pairs (1,2),(1,3),(2,3), all
+    # >=50% jaccard. block 'ze': {zebra,stripes,pattern} vs
+    # {zebra,stripes,patterns,here} is 2/5 = 40% -> filtered at 50.
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    for r in pairs:
+        assert 100 * r["n_inter"] >= 50 * r["n_union"] and r["n_union"] > 0
+    # at min_pct=40 the zebra pair qualifies (2/5 exactly)
+    low = sorted_neighborhood_pairs(
+        df, "doc_id", "text", window=2, block_prefix=2, key_prefix=10, min_pct=40
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in low} == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_sorted_neighborhood_no_cross_block_pairs(spark):
+    docs = [(1, "aaaa xx"), (2, "bbbb xx")]  # different blocks, similar tail
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    assert (
+        sorted_neighborhood_pairs(df, "doc_id", "text", window=3, min_pct=10).count()
+        == 0
+    )
+
+
+# ------------------------------------------------------------------------- rrf
+def test_rrf_fuse_model(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank bigint")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id bigint, rank bigint")
+    got = {
+        r["doc_id"]: (r["rrf_fp"], r["n_lists"])
+        for r in rrf_fuse([a, b], topn=10).collect()
+    }
+    s = 10**9
+    assert got == {
+        10: (s // 61, 1),
+        20: (s // 62 + s // 61, 2),
+        30: (s // 63, 1),
+        40: (s // 62, 1),
+    }
+    # doc 20 (in both lists) must outrank every single-list doc
+    top = rrf_fuse([a, b], topn=1).collect()[0]
+    assert top["doc_id"] == 20
