@@ -66,22 +66,37 @@ def mad_anomalies(
     """Per-key robust profile: (key, med_fp, mad_fp, n, n_anomalies)
     where a row is anomalous iff |x − med| > mult · MAD. ``val_col``
     must be integer fixed point (cents, micros, …)."""
-    v = df.select(F.col(key_col).alias("_k"), F.col(val_col).alias("_v")).filter(
-        F.col("_v").isNotNull()
+    # the narrow (key, value) projection is scanned three times (median
+    # counts, deviation pass, final profile) — persist it once so the
+    # probe-measured residual alpha is the cache read, not three base
+    # scans (SCALE_NOTES round 8d)
+    v = (
+        df.select(F.col(key_col).alias("_k"), F.col(val_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .persist()
     )
-    med = grouped_low_median(v, "_k", "_v", out_col="_med")
-    dev = v.join(med, "_k").withColumn("_dx", F.abs(F.col("_v") - F.col("_med")))
-    mad = grouped_low_median(dev, "_k", "_dx", out_col="_mad")
-    return (
-        dev.join(mad, "_k")
-        .groupBy("_k")
-        .agg(
-            F.min("_med").alias("med_fp"),
-            F.min("_mad").alias("mad_fp"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                (F.col("_dx") > F.lit(mult) * F.col("_mad")).cast("bigint")
-            ).alias("n_anomalies"),
+    try:
+        med = grouped_low_median(v, "_k", "_v", out_col="_med")
+        dev = v.join(med, "_k").withColumn(
+            "_dx", F.abs(F.col("_v") - F.col("_med"))
         )
-        .select(F.col("_k").alias(key_col), "med_fp", "mad_fp", "n", "n_anomalies")
-    )
+        mad = grouped_low_median(dev, "_k", "_dx", out_col="_mad")
+        out = (
+            dev.join(mad, "_k")
+            .groupBy("_k")
+            .agg(
+                F.min("_med").alias("med_fp"),
+                F.min("_mad").alias("mad_fp"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("_dx") > F.lit(mult) * F.col("_mad")).cast("bigint")
+                ).alias("n_anomalies"),
+            )
+            .select(
+                F.col("_k").alias(key_col), "med_fp", "mad_fp", "n", "n_anomalies"
+            )
+        )
+        # group-count-sized result; eager so the cache may be released
+        return out.localCheckpoint(eager=True)
+    finally:
+        v.unpersist()

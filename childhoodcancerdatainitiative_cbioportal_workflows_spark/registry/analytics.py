@@ -301,3 +301,45 @@ FROM u GROUP BY doc_id
 ORDER BY rrf_fp DESC, doc_id
 LIMIT 20
 """
+
+
+def q_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (the frame variant running_window's
+    rowsBetween does not cover): per user, the trailing-1-hour event
+    count and value sum at every event. The frame is keyed on exact
+    integer epoch SECONDS (unix_micros div — TIMESTAMP_NTZ must be cast
+    to TIMESTAMP first, and truncation is identical in both engines for
+    positive epochs), peers at the same second are included by RANGE
+    semantics regardless of intra-second order, and the windowed SUM
+    rides DECIMAL(18,4) (DuckDB's segment-tree double addition order
+    differs from Spark's — the running_window lesson)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", sec.alias("sec"), "value")
+        .withColumn("n_1h", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "sum_1h",
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"),
+        )
+        .select("user_id", "event_id", "sec", "n_1h", "sum_1h")
+    )
+
+
+SQL_RANGE_ROLLING = """
+SELECT user_id, event_id, sec,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+FROM (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
