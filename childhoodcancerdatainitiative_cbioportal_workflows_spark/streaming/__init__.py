@@ -23,3 +23,4 @@ from .corpus import (  # noqa: F401
     incremental_minhash_sink,
     read_document_stream,
 )
+from .decay import decayed_trending_sink  # noqa: F401

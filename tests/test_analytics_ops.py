@@ -221,3 +221,80 @@ def test_rrf_fuse_model(spark):
     # doc 20 (in both lists) must outrank every single-list doc
     top = rrf_fuse([a, b], topn=1).collect()[0]
     assert top["doc_id"] == 20
+
+
+# -------------------------------------------------- streaming decay twin
+def test_decayed_trending_stream_matches_batch(spark, tmp_path):
+    """The streaming counts-store + publish-time decay fold must equal
+    the batch operator run over the full replayed history — including
+    when a later batch ADVANCES the reference day (all previously stored
+    days age by one, which a stored-score design would get wrong)."""
+    import json
+    import os
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        decayed_scores,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming import (
+        decayed_trending_sink,
+        read_event_stream,
+    )
+
+    b0 = [
+        {"event_id": 1, "ts": "2024-03-01T10:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-03-01T11:00:00", "user_id": 2, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-02-25T09:00:00", "user_id": 1, "event_type": "b", "value": 1.0, "props": "{}"},
+    ]
+    b1 = [
+        # advances the reference day 03-01 -> 03-03: every stored day ages
+        {"event_id": 4, "ts": "2024-03-03T08:00:00", "user_id": 1, "event_type": "a", "value": 1.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-03-03T09:00:00", "user_id": 3, "event_type": "b", "value": 1.0, "props": "{}"},
+        {"event_id": 6, "ts": "2024-02-26T12:00:00", "user_id": 1, "event_type": "b", "value": 1.0, "props": "{}"},
+    ]
+    src = str(tmp_path / "events_decay")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for e in b0:
+            f.write(json.dumps(e) + "\n")
+    store = str(tmp_path / "decay_store")
+    board = str(tmp_path / "decay_board")
+    stream = read_event_stream(spark, src, fmt="json", max_files_per_trigger=1)
+    q = decayed_trending_sink(
+        stream,
+        store,
+        board,
+        half_life_days=2,
+        horizon_days=30,
+        # wide watermark: b1 backfills a day 6 days behind the stream
+        # head, and THIS test pins aging equivalence, not late-drop
+        watermark="40 days",
+        checkpoint=str(tmp_path / "ckpt_decay"),
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for e in b1:
+                f.write(json.dumps(e) + "\n")
+        q.processAllAvailable()
+        got = {
+            r["event_type"]: r["score_fp"]
+            for r in spark.read.parquet(board).collect()
+        }
+    finally:
+        q.stop()
+    full = spark.createDataFrame(
+        [(e["event_type"], e["ts"]) for e in b0 + b1],
+        "event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = {
+        r["event_type"]: r["score_fp"]
+        for r in decayed_scores(
+            full, "event_type", "ts", half_life_days=2, horizon_days=30
+        ).collect()
+    }
+    assert got == expect
+    # sanity against the hand model: ref 2024-03-03, max_b=14
+    def w(age):
+        return 1 << (14 - age // 2)
+
+    assert expect == {"a": w(0) + 2 * w(2), "b": w(6) + w(7) + w(0)}
