@@ -36,3 +36,4 @@ from .bfs import bfs_hops  # noqa: F401
 from .decay import decayed_scores  # noqa: F401
 from .robust import grouped_low_median, mad_anomalies  # noqa: F401
 from .neighborhood import sorted_neighborhood_pairs  # noqa: F401
+from .neighborhood import sorted_neighborhood_multipass  # noqa: F401

@@ -40,16 +40,26 @@ def sorted_neighborhood_pairs(
     block_prefix: int = 2,
     key_prefix: int = 16,
     min_pct: int = 40,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Candidate pairs from sorted-neighborhood blocking, kept when the
     distinct-token Jaccard similarity is ≥ ``min_pct`` percent.
 
-    Output: (id_a, id_b, n_inter, n_union) with id_a < id_b ordering
-    inherited from the sort — all integer columns, driver-sortable.
+    ``key_col`` optionally names a precomputed sort-key column (used by
+    the multi-pass variant to rotate keys); default is the normalized
+    text itself.
+
+    Output: (id_a, id_b, n_inter, n_union); within a pass ``id_a``
+    precedes ``id_b`` in the sort order — all integer columns,
+    driver-sortable.
     """
     if window < 1:
         raise ValueError("window must be >= 1")
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    norm = (
+        F.col(key_col)
+        if key_col is not None
+        else F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    )
     staged = df.select(
         F.col(id_col).alias("_id"),
         F.substring(norm, 1, block_prefix).alias("_blk"),
@@ -91,3 +101,56 @@ def sorted_neighborhood_pairs(
         )
         .select("id_a", "id_b", "n_inter", "n_union")
     )
+
+
+def sorted_neighborhood_multipass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    block_prefix: int = 2,
+    key_prefix: int = 16,
+    min_pct: int = 40,
+    passes: int = 2,
+) -> DataFrame:
+    """Hernández–Stolfo multi-pass sorted neighborhood: the standard
+    recall fix for single-key blocking. Pass 0 sorts on the normalized
+    text prefix; each further pass ROTATES the normalization (here:
+    reversed normalized text, then token-sorted text), so records that a
+    shared prefix never brings together get a second chance to be sorted
+    adjacent. Pairs are unioned with ``id_a < id_b`` canonicalization
+    and deduplicated; total cost is ``passes ×`` the bounded single-pass
+    cost — still structurally linear, never quadratic.
+
+    Output: distinct (id_a, id_b) candidate pairs that met ``min_pct``
+    Jaccard in AT LEAST one pass (similarity is pass-invariant, so no
+    per-pass scores are kept).
+    """
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    keys = [
+        norm,
+        F.reverse(norm),
+        F.array_join(F.array_sort(ws_tokens(F.lower(F.col(text_col)))), ""),
+    ]
+    out = None
+    for key_expr in keys[:passes]:
+        staged = df.select(F.col(id_col).alias(id_col), F.col(text_col))
+        p = sorted_neighborhood_pairs(
+            staged.withColumn("_snkey", key_expr),
+            id_col,
+            text_col,
+            window=window,
+            block_prefix=block_prefix,
+            key_prefix=key_prefix,
+            min_pct=min_pct,
+            key_col="_snkey",
+        )
+        # canonicalize: sort order differs per pass, so (a,b) vs (b,a)
+        canon = p.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        out = canon if out is None else out.unionAll(canon)
+    return out.distinct()

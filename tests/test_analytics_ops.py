@@ -298,3 +298,74 @@ def test_decayed_trending_stream_matches_batch(spark, tmp_path):
         return 1 << (14 - age // 2)
 
     assert expect == {"a": w(0) + 2 * w(2), "b": w(6) + w(7) + w(0)}
+
+
+def test_sorted_neighborhood_multipass_recall(spark):
+    """The reversed-key pass must catch a pair whose shared content is a
+    suffix (different blocks under the prefix key) — the documented
+    Hernandez-Stolfo recall fix; single-pass misses it by design."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        sorted_neighborhood_multipass,
+    )
+
+    docs = [
+        (1, "alpha common tail words"),
+        (2, "beta common tail words"),  # same suffix, different prefix block
+        (3, "unrelated thing entirely xyz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    one = sorted_neighborhood_multipass(
+        df, "doc_id", "text", window=2, min_pct=50, passes=1
+    ).collect()
+    assert one == []
+    two = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_multipass(
+            df, "doc_id", "text", window=2, min_pct=50, passes=2
+        ).collect()
+    }
+    assert two == {(1, 2)}
+
+
+# ---------------------------------------------------------- hypothesis sweeps
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_HSETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    xs=st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=60),
+    ks=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=60),
+)
+@_HSETTINGS
+def test_low_median_hypothesis(spark, xs, ks):
+    rows = [(k, x) for k, x in zip(ks, xs)]
+    df = spark.createDataFrame(rows, "k string, x bigint")
+    got = {r["k"]: r["med"] for r in grouped_low_median(df, "k", "x").collect()}
+    by_k = {}
+    for k, x in rows:
+        by_k.setdefault(k, []).append(x)
+    assert got == {k: _low_median_model(v) for k, v in by_k.items()}
+
+
+@given(
+    vals=st.lists(
+        st.sampled_from(["hh1", "hh2", "t1", "t2", "t3", "t4", "t5", "t6"]),
+        min_size=1,
+        max_size=120,
+    ),
+    support_inv=st.sampled_from([2, 5, 10]),
+    parts=st.sampled_from([1, 5]),
+)
+@_HSETTINGS
+def test_heavy_hitters_hypothesis(spark, vals, support_inv, parts):
+    df = spark.createDataFrame([(v,) for v in vals], "x string").repartition(parts)
+    got = {
+        r["x"]: r["freq"]
+        for r in heavy_hitters(df, "x", support_inv=support_inv).collect()
+    }
+    assert got == _brute_hh(vals, support_inv)
