@@ -37,3 +37,5 @@ from .decay import decayed_scores  # noqa: F401
 from .robust import grouped_low_median, mad_anomalies  # noqa: F401
 from .neighborhood import sorted_neighborhood_pairs  # noqa: F401
 from .neighborhood import sorted_neighborhood_multipass  # noqa: F401
+from .bfs import sssp_hops  # noqa: F401
+from .hierarchy import hierarchy_rollup, tree_roots  # noqa: F401

@@ -69,3 +69,59 @@ def bfs_hops(
         frontier = nxt
     und.unpersist()
     return visited
+
+
+def sssp_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "wt",
+    node: str = "node",
+) -> DataFrame:
+    """Hop-bounded single-source(-set) shortest paths with integer edge
+    weights (Bellman-Ford relaxation): (node, dist) where dist is the
+    minimum total weight over any path of ≤ ``max_hops`` edges from a
+    seed. The weighted sibling of :func:`bfs_hops` — per round one
+    frontier×edges equi-join plus a min-aggregate, per-round
+    ``localCheckpoint`` (the same lineage discipline), deterministic
+    because min-over-paths is partition-independent.
+
+    Weights must be non-negative integers (exact BIGINT sums — no float
+    path costs for engines to disagree over)."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    und = (
+        edges.select(
+            F.col(src).alias("_s"), F.col(dst).alias("_d"),
+            F.col(weight).cast("bigint").alias("_w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("_s"), F.col(src).alias("_d"),
+                F.col(weight).cast("bigint").alias("_w"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.join(und, dist["node"] == und["_s"])
+            .select(F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return dist

@@ -343,3 +343,148 @@ FROM (
 WINDOW w AS (PARTITION BY user_id ORDER BY sec
              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (operators/bfs.sssp_hops):
+    Bellman-Ford relaxation over the near-dup pair graph with
+    deterministic integer weights ((id_a+id_b)%7+1), 3 rounds from the
+    doc_id<100 seeds — the weighted member of the traversal family,
+    certified against a path-enumerating recursive-CTE oracle (finite
+    because (node, dist, hop) triples are bounded by the weight range)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        ngram_jaccard_pairs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        sssp_hops,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = (
+        ngram_jaccard_pairs(d, threshold=0.5)
+        .select(
+            "id_a",
+            "id_b",
+            ((F.col("id_a") + F.col("id_b")) % 7 + 1).alias("wt"),
+        )
+        .persist()
+    )
+    seeds = (
+        pairs.select(F.col("id_a").alias("node"))
+        .union(pairs.select(F.col("id_b").alias("node")))
+        .filter(F.col("node") < 100)
+        .distinct()
+    )
+    out = sssp_hops(pairs, seeds, max_hops=3, src="id_a", dst="id_b", weight="wt")
+    pairs.unpersist()  # sssp_hops localCheckpoints eagerly, cache is spent
+    return out
+
+
+SQL_SSSP_WEIGHTED = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_PAIRS_CTE_BODY})
+), edges AS (
+  SELECT id_a AS s, id_b AS d, (id_a + id_b) % 7 + 1 AS w FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d, (id_a + id_b) % 7 + 1 AS w FROM pairs
+), seeds AS (
+  SELECT DISTINCT s AS node FROM edges WHERE s < 100
+), walk(node, dist, hop) AS (
+  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hop FROM seeds
+  UNION
+  SELECT e.d AS node, w.dist + e.w AS dist, w.hop + 1 AS hop
+  FROM walk w JOIN edges e ON e.s = w.node
+  WHERE w.hop < 3
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+"""
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forest rollup by pointer doubling (operators/hierarchy): a
+    synthetic order hierarchy (parent = orderkey div 10; keys < 100 are
+    self-parented roots, giving ~100 trees of depth ≤ 4) flattened in 3
+    doubling rounds — O(log depth) self-joins instead of O(depth) parent
+    chases — then per-tree node counts and DECIMAL-routed cent totals.
+    The recursive-CTE oracle climbs one edge at a time; agreement
+    certifies the doubling arithmetic."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        hierarchy_rollup,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    nodes = o.select(
+        F.col("o_orderkey").alias("node"),
+        F.when(F.col("o_orderkey") < 100, F.col("o_orderkey"))
+        .otherwise(F.expr("o_orderkey div 10"))
+        .alias("parent"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return hierarchy_rollup(nodes, "node", "parent", "cents", rounds=3)
+
+
+SQL_HIERARCHY_ROLLUP = """
+WITH RECURSIVE nodes AS (
+  SELECT o_orderkey AS node,
+         CASE WHEN o_orderkey < 100 THEN o_orderkey ELSE o_orderkey // 10 END AS parent,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), climb(node, cur) AS (
+  SELECT node, node FROM nodes
+  UNION ALL
+  SELECT c.node, n.parent
+  FROM climb c JOIN nodes n ON n.node = c.cur
+  WHERE n.parent <> n.node
+), roots AS (
+  SELECT c.node, c.cur AS root
+  FROM climb c JOIN nodes n ON n.node = c.cur
+  WHERE n.parent = n.node
+)
+SELECT r.root, COUNT(*) AS n_nodes,
+       CAST(SUM(CAST(v.cents AS HUGEINT)) AS BIGINT) AS total
+FROM roots r JOIN nodes v ON v.node = r.node
+GROUP BY r.root
+"""
+
+
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides
+    (brand × size-range × quantity-range clauses) over part ⋈ lineitem,
+    reduced to one DECIMAL-routed revenue row. Exercises disjunctive
+    predicate handling: the per-side conjuncts Catalyst can factor out
+    (p_size ≥ 1, quantity bounds) push to the scans while the cross-side
+    disjunction evaluates post-join."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISJUNCTIVE_FILTER = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""

@@ -369,3 +369,79 @@ def test_heavy_hitters_hypothesis(spark, vals, support_inv, parts):
         for r in heavy_hitters(df, "x", support_inv=support_inv).collect()
     }
     assert got == _brute_hh(vals, support_inv)
+
+
+# ---------------------------------------------------------- sssp / hierarchy
+def test_sssp_matches_model(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        sssp_hops,
+    )
+
+    rng = random.Random(3)
+    edges = sorted({(rng.randrange(25), rng.randrange(25)) for _ in range(45)})
+    edges = [(a, b, (a + b) % 5 + 1) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, wt bigint")
+    seeds = [0, 1]
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_hops(
+            e, spark.createDataFrame([(s,) for s in seeds], "node bigint"), 3
+        ).collect()
+    }
+    # brute force: min weight over all paths of <= 3 edges
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    best = {s: 0 for s in seeds}
+    frontier = dict(best)
+    for _ in range(3):
+        nxt = {}
+        for u, du in frontier.items():
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if nd < best.get(v, 1 << 60):
+                    best[v] = nd
+                    nxt[v] = nd
+        # Bellman-Ford relaxes from ALL current best labels each round
+        frontier = dict(best)
+    assert got == best
+
+
+def test_tree_roots_and_rollup_model(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        hierarchy_rollup,
+        tree_roots,
+    )
+
+    # forest: two trees (root 1 and root 2) + a deep chain under 1
+    #   1 <- 10 <- 100 <- 1000 <- 10000   (depth 4)
+    #   2 <- 20, 2 <- 21
+    rows = [
+        (1, 1, 5),
+        (10, 1, 1),
+        (100, 10, 1),
+        (1000, 100, 1),
+        (10000, 1000, 1),
+        (2, 2, 7),
+        (20, 2, 2),
+        (21, 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "node bigint, parent bigint, v bigint")
+    got = {
+        r["node"]: r["root"]
+        for r in tree_roots(df, "node", "parent", rounds=2).collect()
+    }
+    # rounds=2 -> covers depth 4 exactly (2^2)
+    assert got == {1: 1, 10: 1, 100: 1, 1000: 1, 10000: 1, 2: 2, 20: 2, 21: 2}
+    agg = {
+        r["root"]: (r["n_nodes"], r["total"])
+        for r in hierarchy_rollup(df, "node", "parent", "v", rounds=2).collect()
+    }
+    assert agg == {1: (5, 9), 2: (3, 12)}
+    # insufficient rounds clamp at the 2^rounds-th ancestor, not the root
+    shallow = {
+        r["node"]: r["root"]
+        for r in tree_roots(df, "node", "parent", rounds=1).collect()
+    }
+    assert shallow[10000] == 100  # 2 hops up, not yet the root
