@@ -129,5 +129,75 @@ def main() -> int:
     return 0
 
 
+
+
+def wave3() -> int:
+    """Wave-3 probe: pointer-doubling hierarchy (log-depth rounds over a
+    deep chain forest) and weighted SSSP (linear in edges, bounded
+    rounds). Run: python scripts/scale_round8c.py wave3"""
+    from pyspark.sql import SparkSession, functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        hierarchy_rollup,
+        sssp_hops,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import math
+    import time
+
+    def timed(label, fn, sizes, warm):
+        fn(warm)
+        ts = []
+        for n in sizes:
+            t0 = time.monotonic()
+            fn(n)
+            ts.append(time.monotonic() - t0)
+        alpha = math.log(ts[-1] / ts[0]) / math.log(sizes[-1] / sizes[0])
+        print(
+            f"{label}: "
+            + " ".join(f"{n}={t:.2f}s" for n, t in zip(sizes, ts))
+            + f" alpha={alpha:.2f}"
+        )
+
+    def hier(n):
+        # dense 0..n-1, parent = node div 10 (nodes < 100 self-rooted):
+        # depth ~ log10(n), covered by 4 doubling rounds up to n = 1e16
+        nodes = spark.range(n, numPartitions=64).select(
+            F.col("id").alias("node"),
+            F.when(F.col("id") < 100, F.col("id"))
+            .otherwise(F.expr("id div 10"))
+            .alias("parent"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        hierarchy_rollup(nodes, "node", "parent", "v", rounds=4).count()
+
+    timed("hierarchy_rollup (4 doubling rounds)", hier, [500_000, 2_000_000, 8_000_000], 500_000)
+
+    def sssp(n_edges):
+        nodes = n_edges // 4
+        e = spark.range(n_edges, numPartitions=64).select(
+            ((F.xxhash64("id") % nodes + nodes) % nodes).alias("src"),
+            ((F.xxhash64("id", F.lit(1)) % nodes + nodes) % nodes).alias("dst"),
+            ((F.col("id") % 9) + 1).alias("wt"),
+        )
+        seeds = spark.range(10).select(F.col("id").alias("node"))
+        sssp_hops(e, seeds, max_hops=3).count()
+
+    timed("sssp_hops (3 rounds)", sssp, [100_000, 400_000, 1_600_000], 100_000)
+    return 0
+
+
 if __name__ == "__main__":
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "wave3":
+        raise SystemExit(wave3())
     raise SystemExit(main())
