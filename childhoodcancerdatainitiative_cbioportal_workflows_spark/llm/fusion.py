@@ -41,8 +41,18 @@ def rrf_fuse(
         raise ValueError("rankings must be non-empty")
     tagged = None
     for r in rankings:
-        part = r.select(
-            F.col(id_col).alias("_id"), F.col(rank_col).cast("bigint").alias("_r")
+        part = (
+            r.select(
+                F.col(id_col).alias("_id"),
+                F.col(rank_col).cast("bigint").alias("_r"),
+            )
+            # a retriever may emit the same document more than once (e.g.
+            # one row per matching chunk); RRF counts each LIST once per
+            # document, best rank wins — without this, a duplicated doc
+            # double-dips its reciprocal contribution AND inflates
+            # n_lists past the number of lists
+            .groupBy("_id")
+            .agg(F.min("_r").alias("_r"))
         )
         tagged = part if tagged is None else tagged.unionAll(part)
     fused = (

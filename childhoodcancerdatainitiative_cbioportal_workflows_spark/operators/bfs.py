@@ -112,16 +112,26 @@ def sssp_hops(
         .withColumn("dist", F.lit(0).cast("bigint"))
         .localCheckpoint(eager=True)
     )
+    # frontier relaxation: any path that improves a label must extend a
+    # label that itself improved last round, so relaxing ONLY from the
+    # improved set is equivalent for hop-bounded Bellman-Ford and keeps
+    # per-round cost proportional to the (shrinking) frontier, not the
+    # whole labeled set — the same shape as bfs_hops above
+    frontier = dist
     for _ in range(max_hops):
-        relaxed = (
-            dist.join(und, dist["node"] == und["_s"])
-            .select(F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+        relaxed = frontier.join(und, frontier["node"] == und["_s"]).select(
+            F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist")
         )
-        dist = (
+        merged = (
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        # improved = labels that are new or strictly better this round
+        frontier = merged.join(dist, ["node", "dist"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        dist = merged
     und.unpersist()
     return dist

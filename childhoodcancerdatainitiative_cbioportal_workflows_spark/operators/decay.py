@@ -24,7 +24,18 @@ scoring is the corpus-scale "what is hot now" generalization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def decay_weight_expr(age_col: str, half_life_days: int, max_b: int) -> Column:
+    """The ONE definition of the integer decay weight,
+    ``2^(max_b − age div half_life)``, shared by the batch operator and
+    the streaming sink (streaming/decay.py) — their contract is
+    bit-equality, so the weight arithmetic must have a single source."""
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"{max_b} - CAST({age_col} div {half_life_days} AS INT))"
+    )
 
 
 def decayed_scores(
@@ -53,15 +64,7 @@ def decayed_scores(
         .crossJoin(F.broadcast(ref))
         .withColumn("_age", F.datediff(F.col("_ref"), F.col("_d")))
         .filter((F.col("_age") >= 0) & (F.col("_age") < horizon_days))
-        .withColumn(
-            "_w",
-            # SQL form: the DataFrame F.shiftleft only takes a literal
-            # shift amount, the SQL function takes a column
-            F.expr(
-                f"shiftleft(CAST(1 AS BIGINT), "
-                f"{max_b} - CAST(_age div {half_life_days} AS INT))"
-            ),
-        )
+        .withColumn("_w", decay_weight_expr("_age", half_life_days, max_b))
     )
     return aged.groupBy(key_col).agg(
         F.sum(F.col("_w").cast("decimal(38,0)")).cast("bigint").alias(score_col)

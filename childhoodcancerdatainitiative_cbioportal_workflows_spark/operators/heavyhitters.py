@@ -70,6 +70,7 @@ def heavy_hitters(
     support_inv: int,
     mg_k: int | None = None,
     freq_col: str = "freq",
+    allow_undersized: bool = False,
 ) -> DataFrame:
     """All values of ``col`` with frequency ≥ ceil(n / support_inv), with
     their EXACT counts — computed with a vocabulary-independent shuffle.
@@ -83,6 +84,15 @@ def heavy_hitters(
     if support_inv < 1:
         raise ValueError("support_inv must be >= 1")
     k = mg_k if mg_k is not None else 2 * support_inv
+    if k < 2 * support_inv and not allow_undersized:
+        # k < 2T voids the pigeonhole superset guarantee: an adversarial
+        # partition split can prune a TRUE heavy hitter from every
+        # summary and the output is silently incomplete, not just
+        # over-selected. Opt in explicitly for best-effort mode.
+        raise ValueError(
+            f"mg_k={k} < 2*support_inv={2 * support_inv} voids the exactness "
+            "guarantee; pass allow_undersized=True for best-effort candidates"
+        )
     staged = df.select(F.col(col).alias("_x")).filter(
         F.col("_x").isNotNull()
     ).persist()

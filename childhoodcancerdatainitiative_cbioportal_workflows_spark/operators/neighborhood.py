@@ -126,14 +126,16 @@ def sorted_neighborhood_multipass(
     Jaccard in AT LEAST one pass (similarity is pass-invariant, so no
     per-pass scores are kept).
     """
-    if passes < 1:
-        raise ValueError("passes must be >= 1")
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     keys = [
         norm,
         F.reverse(norm),
         F.array_join(F.array_sort(ws_tokens(F.lower(F.col(text_col)))), ""),
     ]
+    if not 1 <= passes <= len(keys):
+        # silently running fewer passes than requested would quietly
+        # lower recall; fail loudly at the rotation-key budget
+        raise ValueError(f"passes must be in [1, {len(keys)}], got {passes}")
     out = None
     for key_expr in keys[:passes]:
         staged = df.select(F.col(id_col).alias(id_col), F.col(text_col))

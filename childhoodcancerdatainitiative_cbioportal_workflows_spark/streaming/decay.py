@@ -46,6 +46,13 @@ def decayed_trending_sink(
         .select(F.col("w.start").cast("date").alias("day"), "k", "n")
     )
 
+    # NOTE: the store-merge below (fs-exists check, _bid stamping,
+    # latest-wins row_number, event-time horizon prune) intentionally
+    # mirrors events.trending_sink; it is not extracted into a shared
+    # helper yet because editing streaming/events.py would flip the
+    # certification fingerprints of its faces mid-round (REGISTRY_FPR
+    # rule) — consolidate at the next certification boundary. Twin
+    # desync is guarded by the batch-equality e2e test either way.
     def _update(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         jpath = spark._jvm.org.apache.hadoop.fs.Path(store_path)
@@ -78,17 +85,15 @@ def decayed_trending_sink(
             .localCheckpoint(eager=True)
         )
         latest.drop("_ref").write.mode("overwrite").parquet(store_path)
+        from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.decay import (
+            decay_weight_expr,
+        )
+
         board = (
             latest.withColumn(
                 "_age", F.datediff(F.col("_ref"), F.col("day"))
             )
-            .withColumn(
-                "_w",
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), "
-                    f"{max_b} - CAST(_age div {half_life_days} AS INT))"
-                ),
-            )
+            .withColumn("_w", decay_weight_expr("_age", half_life_days, max_b))
             .groupBy(F.col("k").alias(key_col))
             .agg(
                 F.sum(

@@ -69,7 +69,7 @@ def main() -> int:
             F.when(
                 F.col("id") % 2 == 0, F.concat(F.lit("g"), (F.col("id") % 10))
             )
-            .otherwise(F.concat(F.lit("t"), (F.xxhash64("id") % (n // 10))))
+            .otherwise(F.concat(F.lit("t"), ((F.xxhash64("id") % (n // 10) + (n // 10)) % (n // 10))))
             .alias("x")
         )
         heavy_hitters(df, "x", support_inv=50).count()

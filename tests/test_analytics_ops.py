@@ -60,8 +60,17 @@ def test_heavy_hitters_small_mg_budget_still_exact(spark):
     survive any per-partition summary of k >= 2."""
     vals = ["big"] * 900 + [f"t{i}" for i in range(100)]
     df = spark.createDataFrame([(v,) for v in vals], "x string").repartition(4)
-    got = {r["x"]: r["freq"] for r in heavy_hitters(df, "x", 10, mg_k=4).collect()}
+    got = {
+        r["x"]: r["freq"]
+        for r in heavy_hitters(
+            df, "x", 10, mg_k=4, allow_undersized=True
+        ).collect()
+    }
     assert got == {"big": 900}
+    # without the explicit opt-in, an undersized budget must fail loudly
+    # instead of silently voiding the exactness guarantee
+    with pytest.raises(ValueError, match="allow_undersized"):
+        heavy_hitters(df, "x", 10, mg_k=4)
 
 
 def test_heavy_hitters_nulls_and_empty(spark):
@@ -445,3 +454,29 @@ def test_tree_roots_and_rollup_model(spark):
         for r in tree_roots(df, "node", "parent", rounds=1).collect()
     }
     assert shallow[10000] == 100  # 2 hops up, not yet the root
+
+
+def test_rrf_fuse_dedups_within_list(spark):
+    """A retriever emitting the same doc at two ranks in ONE list (e.g.
+    one row per matching chunk) must contribute once, best rank wins —
+    no double-dip, and n_lists stays the number of LISTS."""
+    a = spark.createDataFrame(
+        [(10, 3), (10, 17), (20, 1)], "doc_id bigint, rank bigint"
+    )
+    b = spark.createDataFrame([(10, 2)], "doc_id bigint, rank bigint")
+    got = {
+        r["doc_id"]: (r["rrf_fp"], r["n_lists"])
+        for r in rrf_fuse([a, b], topn=10).collect()
+    }
+    s = 10**9
+    assert got == {10: (s // 63 + s // 62, 2), 20: (s // 61, 1)}
+
+
+def test_multipass_rejects_excess_passes(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        sorted_neighborhood_multipass,
+    )
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="passes"):
+        sorted_neighborhood_multipass(df, "doc_id", "text", passes=4)

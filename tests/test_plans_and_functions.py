@@ -247,11 +247,11 @@ def test_round8_analytics_plan_shapes(spark):
     p = _plan(spark, "sorted_neighborhood")
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p)
     p = _plan(spark, "range_rolling")
-    assert "user_id" in p  # window partitioned by key, not global
-    # heavy_hitters / bfs / sssp / hierarchy localCheckpoint eagerly, so
-    # their *returned* plan is a scan of checkpointed partitions — the
-    # exchange-free shape is the point (k-core precedent); assert the
-    # face still evaluates through that path
-    for name in ("heavy_hitters", "bfs_hops", "sssp_weighted", "hierarchy_rollup"):
-        p = _plan(spark, name)
-        assert "CartesianProduct" not in p, name
+    # the window spec itself must be keyed on user_id — asserting the
+    # bare column name would pass on ANY plan (it appears in ReadSchema)
+    assert re.search(r"windowspecdefinition\(user_id", p)
+    # (heavy_hitters / bfs / sssp / hierarchy localCheckpoint eagerly,
+    # so their RETURNED plan is just a scan of checkpointed partitions —
+    # asserting on it would be a tautology that still executes the whole
+    # iterative job; their join shapes are pinned by the operator model
+    # tests and the in-loop code instead)
