@@ -488,3 +488,116 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall certification — the dedup-family sibling of
+    ann_recall: how much of the EXACT 3-gram-Jaccard≥0.5 pair set does
+    the production MinHash+LSH configuration (64 hashes × 16 bands,
+    est-Jaccard verified) actually recover? Both sides are
+    deterministic integer constructions, so the recall measurement
+    itself is oracle-exact: (n_truth, n_candidates, n_hits, recall_bp)
+    in basis points via integer div."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        minhash_dedup_pairs_universal,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    cand = minhash_dedup_pairs_universal(
+        d, threshold=0.5, num_hashes=64, bands=16, seed=29
+    ).select("id_a", "id_b")
+    truth = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"])
+    agg = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.expr("(n_hits * 10000) div GREATEST(n_truth, 1)").alias("recall_bp"),
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH cand AS (
+  SELECT id_a, id_b FROM ({_sql_minhash_universal(doc_bound=1000, num_hashes=64, bands=16, threshold=0.5, seed=29)})
+), truth AS (
+  SELECT id_a, id_b FROM ({_PAIRS_CTE_BODY})
+), hits AS (
+  SELECT t.id_a, t.id_b FROM truth t JOIN cand c USING (id_a, id_b)
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       CAST(((SELECT COUNT(*) FROM hits) * 10000)
+            // greatest((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_bp
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/snapshot): orders vs a deterministically
+    perturbed next-day snapshot (every 97th key removed, every 101st
+    surviving key repriced, 50 keys added) — per-status row counts plus
+    a key checksum so the driver hash pins WHICH rows moved, not just
+    how many."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        snapshot_diff,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    surviving = o.filter(F.col("o_orderkey") % 97 != 0)
+    repriced = surviving.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") < 50).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    new = repriced.unionByName(added)
+    d = snapshot_diff(
+        o, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("key_sum"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM o WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice, o_orderstatus
+  FROM o WHERE o_orderkey < 50
+), j AS (
+  SELECT COALESCE(o.o_orderkey, new.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+               AND o.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+                THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM o FULL OUTER JOIN new ON o.o_orderkey = new.o_orderkey
+)
+SELECT status, COUNT(*) AS n,
+       CAST(SUM(CAST(k AS HUGEINT)) AS BIGINT) AS key_sum
+FROM j GROUP BY status
+"""

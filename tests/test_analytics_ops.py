@@ -480,3 +480,31 @@ def test_multipass_rejects_excess_passes(spark):
     df = spark.createDataFrame([(1, "x y")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="passes"):
         sorted_neighborhood_multipass(df, "doc_id", "text", passes=4)
+
+
+def test_snapshot_diff_model(spark):
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k bigint, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 30), (4, "D", 40), (5, "e", 50)],
+        "k bigint, s string, v int",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # 1 removed; 2 identical; 3 NULL->30 must be CHANGED (null-safe
+    # compare, not three-valued-logic 'unknown'); 4 changed; 5 added
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "changed",
+        5: "added",
+    }
