@@ -601,3 +601,45 @@ SELECT status, COUNT(*) AS n,
        CAST(SUM(CAST(k AS HUGEINT)) AS BIGINT) AS key_sum
 FROM j GROUP BY status
 """
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join, certified INVISIBLE (the salted_join
+    discipline: the optimization must not change one bit of output).
+    The dim side's keys build a portable Bloom filter
+    (operators/sketches.bloom_build, ≤ k·m present-bit rows regardless
+    of dim size); the fact side is pre-filtered by membership BEFORE
+    the join shuffle — the classic 100 TB join-pruning pre-pass
+    (false positives are removed by the exact join; false negatives
+    cannot exist, certified by the bloom test suite). The oracle is the
+    PLAIN join — agreement proves the prune dropped only non-matching
+    rows."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(bld, "c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cand = (
+        bloom_probe(bloom, o.select("o_custkey").distinct(), "o_custkey")
+        .filter(F.col("maybe_member"))
+        .select("o_custkey")
+    )
+    pruned = o.join(cand, "o_custkey", "left_semi")
+    return pruned.join(
+        bld, pruned["o_custkey"] == bld["c_custkey"]
+    ).agg(
+        _dsum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_BLOOM_JOIN_PRUNE = """
+SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
