@@ -235,6 +235,18 @@ def main() -> int:
             file=sys.stderr,
         )
         return 1
+    # README drift guard (r8 verdict task 2): the hand-written counts in
+    # README.md must track the registry; a mismatch is a failing check so
+    # the numbers can't silently age again.
+    readme = open(os.path.join(ROOT, "README.md")).read()
+    m = re.search(r"\((\d+) queries, ALL (\d+) DuckDB-oracle-checked", readme)
+    if not m or int(m.group(1)) != len(order) or int(m.group(2)) != len(order):
+        print(
+            f"README DRIFT: README.md query count {m.groups() if m else None} "
+            f"!= registry {len(order)} — update README.md",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 
