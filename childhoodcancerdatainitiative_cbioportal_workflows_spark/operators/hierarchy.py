@@ -38,12 +38,27 @@ def tree_roots(
     rounds resolve hierarchies up to depth 2^rounds; a root is a node
     whose parent is itself (encode top-level nodes that way). Nodes
     deeper than 2^rounds resolve to their 2^rounds-th ancestor — pick
-    ``rounds`` ≥ ⌈log₂ max-depth⌉ (cheap: each round is one self-join)."""
+    ``rounds`` ≥ ⌈log₂ max-depth⌉ (cheap: each round is one self-join).
+
+    Dangling pointers are healed, not dropped (r8 advice): a node whose
+    parent is NULL or absent from ``nodes`` is treated as self-rooted —
+    one up-front left join normalizes every parent onto the node set, so
+    the doubling rounds' inner self-joins can never lose rows on
+    imperfect forests. Every node therefore appears in the output
+    exactly once."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    anc = nodes.select(
+    raw = nodes.select(
         F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
-    ).localCheckpoint(eager=True)
+    )
+    ids = raw.select(F.col("node").alias("_pid"))
+    anc = (
+        raw.join(ids, raw["anc"] == ids["_pid"], "left")
+        .select(
+            "node", F.coalesce(F.col("_pid"), F.col("node")).alias("anc")
+        )
+        .localCheckpoint(eager=True)
+    )
     for _ in range(rounds):
         jump = anc.select(F.col("node").alias("_n2"), F.col("anc").alias("_a2"))
         anc = (

@@ -13,7 +13,9 @@ badly skewed (chr1 >> chrY). At 100 TB that one key explodes.
 
 Strategy (standard genomic binning, cf. Spark range-join literature):
   1. explode each interval into the fixed-width bins it touches:
-     ``sequence(floor(start/W), floor((end-1)/W))``;
+     ``sequence(start div W, (end-1) div W)`` (integer division — exact
+     past 2^53 where float floor is not; end <= start rows are dropped
+     first);
   2. equi-join on ``(chrom, bin)`` — a normal shuffled/broadcast hash join
      with fine-grained keys, so skew is bounded by W, AQE handles the rest;
   3. keep genuinely overlapping pairs;
@@ -79,19 +81,33 @@ def derive_bin_size(
 
 
 def _binned(df: DataFrame, chrom: str, start: str, end: str, bin_size: int, prefix: str) -> DataFrame:
+    """Explode one side into its (chrom, bin) rows. Bin ids use INTEGER
+    division (`div`), not float `/` + floor — doubles lose bucket
+    boundaries past 2^53 (the exact_quantiles lesson; r8 advice).
+    Coordinates are non-negative by the BED convention, where `div` and
+    floor agree. Empty/inverted intervals (end <= start) are dropped
+    BEFORE the explode: they can never overlap anything (the join
+    filters overlap > 0), and `sequence` would otherwise count their
+    bins DOWNWARD, manufacturing spurious rows."""
     out = df
     for c in df.columns:
         out = out.withColumnRenamed(c, f"{prefix}{c}")
-    s, e = F.col(f"{prefix}{start}"), F.col(f"{prefix}{end}")
-    return out.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.floor(s / F.lit(bin_size)),
-                F.floor((e - F.lit(1)) / F.lit(bin_size)),
-            )
-        ),
-    ).withColumn("_chrom", F.col(f"{prefix}{chrom}"))
+    s_name, e_name = f"{prefix}{start}", f"{prefix}{end}"
+    return (
+        out.filter(F.col(e_name) > F.col(s_name))
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST(`{s_name}` AS BIGINT) div {bin_size}"),
+                    F.expr(
+                        f"(CAST(`{e_name}` AS BIGINT) - 1) div {bin_size}"
+                    ),
+                )
+            ),
+        )
+        .withColumn("_chrom", F.col(f"{prefix}{chrom}"))
+    )
 
 
 def interval_join(
@@ -147,8 +163,15 @@ def _overlap_join(
     r_start, r_end = F.col(f"{right_prefix}{rs}"), F.col(f"{right_prefix}{re_}")
     overlap = F.least(l_end, r_end) - F.greatest(l_start, r_start)
     j = j.filter(overlap > 0)
-    # shuffle-free dedup: keep the pair only in the bin holding overlap start
-    j = j.filter(F.col("_bin") == F.floor(F.greatest(l_start, r_start) / F.lit(bin_size)))
+    # shuffle-free dedup: keep the pair only in the bin holding overlap
+    # start (integer div, matching _binned's bin-id arithmetic exactly)
+    j = j.filter(
+        F.col("_bin")
+        == F.expr(
+            f"CAST(greatest(`{left_prefix}{ls}`, `{right_prefix}{rs}`) "
+            f"AS BIGINT) div {bin_size}"
+        )
+    )
     j = j.withColumn(overlap_col, overlap)
     if min_overlap_frac is not None:
         j = j.filter(F.col(overlap_col) >= F.lit(min_overlap_frac) * (l_end - l_start))

@@ -138,10 +138,15 @@ def hll_sketch(df: DataFrame, col: str, p: int = 9) -> DataFrame:
     md5-derived registers make the sketch itself engine-reproducible
     (the countmin_tokens discipline, commit e2462f3): a DuckDB oracle
     rebuilds the IDENTICAL table, so the sketch — not just its estimate
-    — is certifiable. Absent idx rows mean register value 0."""
+    — is certifiable. Absent idx rows mean register value 0.
+
+    NULLs are not set members (the hll_overlap rule, r8 advice): without
+    the filter md5(NULL) yields a (NULL, NULL) register row that inflates
+    n_present by 1 and drops one 2^49 term from s_sum."""
     idx, rho = _hll_parts(F.col(col), p)
     return (
-        df.select(idx.alias("idx"), rho.alias("rho"))
+        df.filter(F.col(col).isNotNull())
+        .select(idx.alias("idx"), rho.alias("rho"))
         .groupBy("idx")
         .agg(F.max("rho").alias("rho"))
     )
@@ -215,10 +220,13 @@ def hll_sketch_grouped(
     grouped face of :func:`hll_sketch` ("distinct users per source"
     profiling). One map-side-combinable aggregation; the shuffle carries
     at most m rows per group per partition. Groups merge exactly like
-    shards (register-wise MAX on (group, idx))."""
+    shards (register-wise MAX on (group, idx)). NULL values are not set
+    members (same rule as :func:`hll_sketch`); a group whose values are
+    all NULL therefore contributes no register rows at all."""
     idx, rho = _hll_parts(F.col(col), p)
     return (
-        df.select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
         .groupBy(group_col, "idx")
         .agg(F.max("rho").alias("rho"))
     )
@@ -236,9 +244,10 @@ def hll_estimate_grouped(
         sketch.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_present"),
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - rho)")).alias(
-                "_present_sum"
-            ),
+            F.coalesce(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - rho)")),
+                F.lit(0),
+            ).alias("_present_sum"),
         )
         .select(
             group_col,

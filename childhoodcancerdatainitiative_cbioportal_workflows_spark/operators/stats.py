@@ -418,7 +418,13 @@ def grouped_quantiles(
     )
     probed = cum.withColumn(
         "p_bp", F.explode(F.array(*[F.lit(b) for b in p_bps]))
-    ).withColumn("rank", F.expr("(p_bp * n + 9999) div 10000"))
+    ).withColumn(
+        # clamp to >= 1 so p = 0.0 means "the minimum" instead of silently
+        # emitting no row for the group (exact_quantiles' semantics — the
+        # two quantile faces must agree; r8 advice)
+        "rank",
+        F.greatest(F.expr("(p_bp * n + 9999) div 10000"), F.lit(1)),
+    )
     return (
         probed.filter(
             (F.col("cum") >= F.col("rank"))

@@ -406,8 +406,11 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-parented roots, giving ~100 trees of depth ≤ 4) flattened in 3
     doubling rounds — O(log depth) self-joins instead of O(depth) parent
     chases — then per-tree node counts and DECIMAL-routed cent totals.
-    The recursive-CTE oracle climbs one edge at a time; agreement
-    certifies the doubling arithmetic."""
+    Sparse orderkeys leave many parents dangling (orderkey div 10 absent
+    from orders); tree_roots heals those as self-rooted, so every order
+    appears in exactly one tree and SUM(n_nodes) == COUNT(orders). The
+    recursive-CTE oracle climbs one edge at a time over the same healed
+    parent map; agreement certifies the doubling arithmetic."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         hierarchy_rollup,
     )
@@ -424,11 +427,16 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_HIERARCHY_ROLLUP = """
-WITH RECURSIVE nodes AS (
+WITH RECURSIVE raw AS (
   SELECT o_orderkey AS node,
          CASE WHEN o_orderkey < 100 THEN o_orderkey ELSE o_orderkey // 10 END AS parent,
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
+), nodes AS (
+  SELECT r.node,
+         CASE WHEN p.node IS NULL THEN r.node ELSE r.parent END AS parent,
+         r.cents
+  FROM raw r LEFT JOIN (SELECT node FROM raw) p ON p.node = r.parent
 ), climb(node, cur) AS (
   SELECT node, node FROM nodes
   UNION ALL

@@ -456,6 +456,36 @@ def test_tree_roots_and_rollup_model(spark):
     assert shallow[10000] == 100  # 2 hops up, not yet the root
 
 
+def test_tree_roots_heals_dangling_and_null_parents(spark):
+    """Dangling pointers don't lose rows (r8 advice): a node whose parent
+    is NULL or absent from the node set is self-rooted, so every node
+    appears exactly once and rollup counts cover the whole input."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        hierarchy_rollup,
+        tree_roots,
+    )
+
+    rows = [
+        (1, 1, 5),      # proper root
+        (10, 1, 1),     # child of 1
+        (50, 999, 2),   # parent 999 does not exist -> self-rooted
+        (51, 50, 3),    # child of the healed root
+        (60, None, 4),  # NULL parent -> self-rooted
+    ]
+    df = spark.createDataFrame(rows, "node bigint, parent bigint, v bigint")
+    got = {
+        r["node"]: r["root"]
+        for r in tree_roots(df, "node", "parent", rounds=3).collect()
+    }
+    assert got == {1: 1, 10: 1, 50: 50, 51: 50, 60: 60}
+    agg = {
+        r["root"]: (r["n_nodes"], r["total"])
+        for r in hierarchy_rollup(df, "node", "parent", "v", rounds=3).collect()
+    }
+    assert agg == {1: (2, 6), 50: (2, 5), 60: (1, 4)}
+    assert sum(n for n, _ in agg.values()) == len(rows)
+
+
 def test_rrf_fuse_dedups_within_list(spark):
     """A retriever emitting the same doc at two ranks in ONE list (e.g.
     one row per matching chunk) must contribute once, best rank wins —

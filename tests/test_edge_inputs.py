@@ -211,7 +211,7 @@ def test_grouped_quantiles_matches_bruteforce_and_boundary_ranks(spark):
     rows += [("b", round(rng.uniform(-10, 10), 2)) for _ in range(7)]
     rows += [("solo", 3.14)]
     df = spark.createDataFrame(rows, "k string, value double")
-    ps = [0.25, 0.5, 0.9]
+    ps = [0.0, 0.25, 0.5, 0.9]
     got = {
         (r["k"], r["p"]): (r["value"], r["rank"], r["n"])
         for r in grouped_quantiles(df, "k", "value", ps).collect()

@@ -255,6 +255,56 @@ def test_pivot_max_values_boundary(spark):
         assert line == "\t".join([gene] + [str(wide.loc[gene, s]) for s in samples])
 
 
+def test_interval_join_inverted_intervals_and_large_coords(spark):
+    """Two r8-advice regressions pinned: (a) inverted/empty intervals
+    (end <= start) are dropped before the bin explode — `sequence` would
+    otherwise count DOWNWARD and manufacture bin rows; (b) bin ids ride
+    integer division, so coordinates past 2^53 (where float floor loses
+    bucket boundaries) still join exactly."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    base = 1 << 55  # past the float-exact integer range
+    left = spark.createDataFrame(
+        [
+            ("chr1", base + 10, base + 10),      # empty
+            ("chr1", base + 500, base + 100),    # inverted
+            ("chr1", base + 100, base + 200),    # real
+        ],
+        "chrom string, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("chr1", base + 150, base + 160),    # overlaps the real one
+            ("chr1", base + 90, base + 80),      # inverted on the right
+        ],
+        "chrom string, start long, end long",
+    )
+    out = interval_join(
+        left, right, bin_size=64, left_prefix="l_", right_prefix="r_"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["l_start"], r["r_start"], r["overlap_bp"]) == (
+        base + 100,
+        base + 150,
+        10,
+    )
+    # exactness check: the same coords shifted by 1 must still dedup to
+    # exactly one row per overlapping pair (float floor at 2^55 cannot
+    # distinguish adjacent bins)
+    left2 = spark.createDataFrame(
+        [("chr1", base + i * 64, base + i * 64 + 65) for i in range(20)],
+        "chrom string, start long, end long",
+    )
+    got = interval_join(
+        left2, left2, bin_size=64, left_prefix="a_", right_prefix="b_"
+    ).count()
+    # each interval overlaps itself + both neighbours (1-bp spill)
+    assert got == 20 + 2 * 19
+
+
 def test_interval_join_bin_sizes(spark):
     """Result must be invariant to bin width (intervals >> bin and << bin)."""
     genes = spark.createDataFrame(
@@ -724,6 +774,58 @@ def test_hll_grouped_matches_per_group_sketch(spark):
         assert (row["s_sum"], row["est_n"]) == (solo["s_sum"], solo["est_n"])
         true_n = df.filter(df.g == row["g"]).select("k").distinct().count()
         assert abs(row["est_n"] - true_n) <= 3 * 1.04 / (512 ** 0.5) * true_n
+
+
+def test_hll_null_values_are_not_set_members(spark):
+    """NULLs are not set members (r8 advice): a sketch over a column with
+    NULLs must equal the sketch over the NULL-free slice — no (NULL, NULL)
+    register row inflating n_present — and an all-NULL group must estimate
+    0 with s_sum = m * 2^49 (not NULL s_sum) in the grouped face."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_sketch,
+        hll_sketch_grouped,
+    )
+
+    vals = [(f"g{i % 2}", f"item-{i}") for i in range(400)]
+    rows = vals + [("g0", None), ("g1", None), ("gnull", None)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    clean = spark.createDataFrame(vals, "g string, k string")
+
+    dirty_regs = sorted(
+        (r["idx"], r["rho"]) for r in hll_sketch(df, "k", 9).collect()
+    )
+    clean_regs = sorted(
+        (r["idx"], r["rho"]) for r in hll_sketch(clean, "k", 9).collect()
+    )
+    assert dirty_regs == clean_regs
+    assert all(i is not None for i, _ in dirty_regs)
+
+    est = {
+        r["g"]: r
+        for r in hll_estimate_grouped(
+            hll_sketch_grouped(df, "g", "k", 9), "g", 9
+        ).collect()
+    }
+    # the all-NULL group contributes no register rows at all, so it is
+    # absent from the grouped sketch (an empty set has no sketch rows)
+    assert "gnull" not in est
+    for g in ("g0", "g1"):
+        solo = hll_estimate(
+            hll_sketch(clean.filter(clean.g == g), "k", 9), 9
+        ).collect()[0]
+        assert (est[g]["s_sum"], est[g]["est_n"]) == (
+            solo["s_sum"],
+            solo["est_n"],
+        )
+    # the coalesce path: a grouped sketch with an injected empty register
+    # table still yields integer s_sum = m * 2^49 for missing groups only
+    # via hll_estimate on an EMPTY sketch
+    empty = hll_sketch(df.filter("k IS NULL AND g = 'gnull'"), "k", 9)
+    row = hll_estimate(empty, 9).collect()[0]
+    assert row["n_present"] == 0 and row["s_sum"] == 512 * (1 << 49)
+    assert row["est_n"] is not None
 
 
 def test_bloom_no_false_negatives_and_merge(spark):
