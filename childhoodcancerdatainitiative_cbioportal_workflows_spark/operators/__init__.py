@@ -40,3 +40,8 @@ from .neighborhood import sorted_neighborhood_multipass  # noqa: F401
 from .bfs import sssp_hops  # noqa: F401
 from .hierarchy import hierarchy_rollup, tree_roots  # noqa: F401
 from .snapshot import snapshot_diff  # noqa: F401
+from .lattice import (  # noqa: F401
+    LatticeViolation,
+    lattice_deviation,
+    validate_lattice,
+)

@@ -344,6 +344,7 @@ def grouped_quantiles(
     ps: list[float],
     grid: int = 100,
     weight_col: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """EXACT per-group quantiles with ZERO driver collects — the grouped
     sibling of ``exact_quantiles`` and strictly better scale shape: where
@@ -381,7 +382,16 @@ def grouped_quantiles(
     Returns (key, p, value, rank, n): for each group and each p, the
     rank-th smallest value (1-indexed) on the 1/``grid`` lattice, with
     n = the group's row count (or total weight).
+
+    ``validate=True`` enforces the lattice precondition up front
+    (operators/lattice.validate_lattice — one map-side agg): continuous
+    inputs raise :class:`~.lattice.LatticeViolation` instead of
+    returning plausible-but-quantized ranks.
     """
+    if validate:
+        from .lattice import validate_lattice
+
+        validate_lattice(df, value_col, grid)
     p_bps = sorted({int(round(p * 10000)) for p in ps})
     v = F.round(F.col(value_col) * grid).cast("long")
     # NULL values are excluded up front: a NULL lattice point would ride

@@ -534,14 +534,23 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike the global exact_quantiles face there is NO driver collect
     anywhere: one (key, value) count shuffle, one window over the
     per-group distinct-value lattice, integer basis-point rank math.
-    The oracle replays the identical lattice construction in DuckDB."""
+    The oracle replays the identical lattice construction in DuckDB.
+
+    ``validate=True`` runs the fixed-point contract guard
+    (operators/lattice): TPC-H prices are cents-aligned so the guard
+    passes; continuous data would fail fast here instead of returning
+    silently-quantized ranks (r8 verdict task 7)."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
         grouped_quantiles,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
     return grouped_quantiles(
-        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.95]
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95],
+        validate=True,
     )
 
 

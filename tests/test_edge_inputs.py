@@ -227,6 +227,41 @@ def test_grouped_quantiles_matches_bruteforce_and_boundary_ranks(spark):
     assert len(got) == len(by_k) * len(ps)
 
 
+def test_validate_lattice_guard(spark):
+    """The fixed-point contract (r8 verdict task 7): cents-aligned data
+    passes, continuous data fails fast with the measured violation, and
+    NULLs/empty inputs are tolerated."""
+    import pytest
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        LatticeViolation,
+        lattice_deviation,
+        validate_lattice,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    cents = spark.createDataFrame(
+        [("a", 1.25), ("a", 0.01), ("b", 317.40), ("b", None)],
+        "k string, v double",
+    )
+    validate_lattice(cents, "v", 100)  # must not raise
+    row = lattice_deviation(cents, "v", 100).collect()[0]
+    assert (row["n_values"], row["n_off_lattice"]) == (3, 0)
+
+    cont = spark.createDataFrame(
+        [("a", 1.25), ("a", 1.0 / 3.0)], "k string, v double"
+    )
+    with pytest.raises(LatticeViolation, match="1/2 values off-lattice"):
+        validate_lattice(cont, "v", 100)
+    # wired into the operator under the flag
+    with pytest.raises(LatticeViolation):
+        grouped_quantiles(cont, "k", "v", [0.5], validate=True)
+    # empty input: vacuously on-lattice
+    validate_lattice(cents.filter("v > 1e9"), "v", 100)
+
+
 def test_grouped_quantiles_plan_is_two_exchanges_no_collect(spark):
     """The grouped operator's plan: the (key,value) count shuffle, the
     per-key window exchange, and nothing else — no cartesian, no
