@@ -309,6 +309,53 @@ def test_decayed_trending_stream_matches_batch(spark, tmp_path):
     assert expect == {"a": w(0) + 2 * w(2), "b": w(6) + w(7) + w(0)}
 
 
+def test_decayed_trending_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a micro-batch with the
+    same batch_id (restart/replay) must leave the counts store AND the
+    published board byte-identical in content — the same discipline
+    test_minhash_batch_replay_is_idempotent pins for the near-dup sink
+    (r8 verdict task 5). The latest-_bid-wins merge makes the replayed
+    rows collapse onto the rows they duplicate."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.decay import (
+        _decay_update,
+    )
+
+    store, board = str(tmp_path / "store"), str(tmp_path / "board")
+    kw = dict(
+        store_path=store,
+        board_path=board,
+        key_col="event_type",
+        half_life_days=2,
+        horizon_days=30,
+        max_b=14,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "day date, k string, n long")
+
+    import datetime as dt
+
+    d = dt.date
+    b0 = [(d(2024, 3, 1), "a", 2), (d(2024, 2, 25), "b", 1)]
+    # update-mode cumulative counts: batch 1 restates (03-01, a) at 3
+    b1 = [(d(2024, 3, 3), "a", 1), (d(2024, 3, 1), "a", 3)]
+    _decay_update(mk(b0), 0, **kw)
+    _decay_update(mk(b1), 1, **kw)
+
+    def snap(path):
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    store_before, board_before = snap(store), snap(board)
+    # replay the LAST batch twice more with the same id
+    _decay_update(mk(b1), 1, **kw)
+    _decay_update(mk(b1), 1, **kw)
+    assert snap(store) == store_before
+    assert snap(board) == board_before
+    # and the board is the decayed fold of the latest counts: ref 03-03
+    got = {k: s for k, s, in board_before}
+    assert got == {"a": 1 * (1 << 14) + 3 * (1 << 13), "b": 1 * (1 << 11)}
+
+
 def test_sorted_neighborhood_multipass_recall(spark):
     """The reversed-key pass must catch a pair whose shared content is a
     suffix (different blocks under the prefix key) — the documented
