@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""Round-9 probes (r8 verdict tasks 4 and 6).
+
+1. `skew` — interval join under a REAL chromosome-shaped 80/20 skew
+   (chr1 carries 80% of rows; `/root/reference/workflows/cnv.py:430`
+   reruns bedtools on exactly this shape). The binning strategy's claim
+   is that fine-grained (chrom, bin) keys dissolve chromosome skew
+   before the join shuffle; the probe measures (a) the alpha exponent
+   under 16x row growth at 80/20 skew, (b) the skewed-vs-uniform
+   wall-time ratio at equal size, and (c) the rows-per-output-partition
+   spread (max/mean — the direct proxy for per-partition task time on
+   this operator). Spread > 4x would mandate salting on (chrom, bin);
+   the expectation is ~1x because chr1's rows spread over its ~250 bins.
+
+2. `depth` — hierarchy pointer-doubling at FIXED 2M nodes and growing
+   depth 16 / 256 / 4096 (rounds = ceil(log2(depth)) = 4 / 8 / 12).
+   The doubling claim is "deeper costs log-many extra rounds, each
+   round flat": the probe pins total time ~ rounds (flat per-round
+   cost) while depth grows 256x.
+
+    python scripts/scale_round9.py [skew|depth|all]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+_CHROMS = 24  # chr1..chr22, X, Y
+_CHR_LEN = 250_000_000
+
+
+def _intervals(spark, n: int, skewed: bool, seed: int):
+    """n intervals; skewed=True puts 80% on chr1, rest uniform over the
+    other 23 chroms (cnv.py's real shape). Lengths ~ U[1k, 200k]."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).withColumn(
+        "_h", F.xxhash64(F.col("id") + seed)
+    )
+    u = (F.col("_h") % 1000 + 1000) % 1000  # non-negative residue
+    if skewed:
+        chrom = F.when(u < 800, F.lit("chr1")).otherwise(
+            F.concat(F.lit("chr"), ((u % 23) + 2).cast("string"))
+        )
+    else:
+        chrom = F.concat(F.lit("chr"), ((u % _CHROMS) + 1).cast("string"))
+    h2 = F.xxhash64(F.col("id") * 31 + seed)
+    start = ((h2 % _CHR_LEN) + _CHR_LEN) % _CHR_LEN
+    length = ((F.xxhash64(F.col("id") * 97 + seed) % 199_000) + 199_000) % 199_000 + 1_000
+    return df.select(
+        chrom.alias("chrom"),
+        start.cast("long").alias("start"),
+        (start + length).cast("long").alias("end"),
+    )
+
+
+def probe_skew(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    def run(n: int, skewed: bool) -> tuple[float, int]:
+        left = _intervals(spark, n, skewed, seed=1)
+        right = _intervals(spark, n // 4, skewed, seed=77)
+        t0 = time.monotonic()
+        j = interval_join(
+            left, right, bin_size=1_000_000,
+            left_prefix="g_", right_prefix="s_",
+        )
+        cnt = j.count()
+        return time.monotonic() - t0, cnt
+
+    run(100_000, True)  # warm codegen
+    sizes = [500_000, 2_000_000, 8_000_000]
+    times = []
+    for n in sizes:
+        dt, cnt = run(n, skewed=True)
+        times.append(dt)
+        print(f"skew n={n}: {dt:.2f}s pairs={cnt}")
+    alpha = math.log(times[-1] / times[0]) / math.log(sizes[-1] / sizes[0])
+    dt_u, _ = run(sizes[-1], skewed=False)
+    print(f"uniform n={sizes[-1]}: {dt_u:.2f}s -> skew ratio {times[-1]/dt_u:.2f}x")
+    print(f"interval_join skew alpha = {alpha:.2f}")
+
+    # rows-per-output-partition spread of the join at the biggest size
+    left = _intervals(spark, sizes[-1], True, seed=1)
+    right = _intervals(spark, sizes[-1] // 4, True, seed=77)
+    j = interval_join(
+        left, right, bin_size=1_000_000, left_prefix="g_", right_prefix="s_"
+    )
+    per = (
+        j.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(
+            F.max("count").alias("mx"),
+            F.mean("count").alias("mean"),
+            F.count(F.lit(1)).alias("parts"),
+        )
+        .first()
+    )
+    print(
+        f"partition spread: max={per['mx']} mean={per['mean']:.0f} "
+        f"parts={per['parts']} max/mean={per['mx']/per['mean']:.2f}x"
+    )
+    # and the join-KEY spread that drives it: rows per (chrom, bin)
+    kb = (
+        left.filter(F.col("end") > F.col("start"))
+        .select(
+            "chrom",
+            F.explode(
+                F.sequence(
+                    F.expr("start div 1000000"), F.expr("(end - 1) div 1000000")
+                )
+            ).alias("bin"),
+        )
+        .groupBy("chrom", "bin")
+        .count()
+        .agg(F.max("count").alias("mx"), F.mean("count").alias("mean"))
+        .first()
+    )
+    print(f"key spread: max={kb['mx']} mean={kb['mean']:.0f} max/mean={kb['mx']/kb['mean']:.2f}x")
+
+
+def probe_depth(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        tree_roots,
+    )
+
+    n = 2_000_000
+
+    def run(depth: int) -> tuple[float, int, int]:
+        rounds = max(1, math.ceil(math.log2(depth)))
+        nodes = spark.range(n).select(
+            F.col("id").alias("node"),
+            F.when(F.col("id") % depth == 0, F.col("id"))
+            .otherwise(F.col("id") - 1)
+            .alias("parent"),
+        )
+        t0 = time.monotonic()
+        roots = tree_roots(nodes, "node", "parent", rounds)
+        n_roots = roots.select("root").distinct().count()
+        return time.monotonic() - t0, rounds, n_roots
+
+    run(16)  # warm
+    for depth in (16, 256, 4096):
+        dt, rounds, n_roots = run(depth)
+        assert n_roots == (n + depth - 1) // depth, (n_roots, depth)
+        print(
+            f"depth={depth}: rounds={rounds} total={dt:.2f}s "
+            f"per-round={dt/rounds:.2f}s roots={n_roots}"
+        )
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    if which in ("skew", "all"):
+        probe_skew(spark)
+    if which in ("depth", "all"):
+        probe_depth(spark)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
