@@ -105,6 +105,112 @@ from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.sketches
     _hll_alpha_num as _hll_a9,
 )
 
+
+def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-signature set similarity with CERTIFIED estimation error
+    (operators/setsketch): per-language token-set signatures (64
+    universal-hash planes over md5 token ids — the llm.dedup hash family)
+    estimate all-pairs Jaccard as matches/k, emitted next to the exact
+    intersection/union counts so the estimate-vs-truth gap is the
+    certified approximation error (the ann_recall / lsh_recall discipline
+    applied to the resemblance sketch). The signature join is
+    corpus-size-independent: G·64 rows per side regardless of vocabulary;
+    the exact pair costs a full vocabulary self-join — the gap this
+    sketch exists to close at 100 TB."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.setsketch import (
+        jaccard_estimate_pairs,
+        minhash_group_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("lang").alias("g"),
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    ).distinct()
+    est = jaccard_estimate_pairs(
+        minhash_group_signature(toks, "g", "tok", num_hashes=64, seed=7)
+    )
+    sizes = toks.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("g").alias("g_a"), "tok")
+    tb = toks.select(F.col("g").alias("g_b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("g").alias("g_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("g").alias("g_b"), F.col("n").alias("_nb"))
+    return (
+        est.join(inter, ["g_a", "g_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sa, "g_a")
+        .join(sb, "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            "matches",
+            "k",
+            "n_inter",
+            (F.col("_na") + F.col("_nb") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+
+
+def _sql_jaccard_estimate() -> str:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        minhash_universal_coeffs,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.setsketch import (
+        MERSENNE31,
+    )
+
+    a_co, b_co = minhash_universal_coeffs(64, 7)
+    a_sql = "[" + ",".join(str(v) for v in a_co) + "]::BIGINT[]"
+    b_sql = "[" + ",".join(str(v) for v in b_co) + "]::BIGINT[]"
+    return f"""
+WITH t AS (
+  SELECT DISTINCT lang AS g,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), hx AS (
+  SELECT g, md5(tok) AS h FROM t
+), xs AS (
+  SELECT g, {_duck_hexfold(1, 8)} % {MERSENNE31} AS x FROM hx
+), coeff AS (
+  SELECT {a_sql} AS a, {b_sql} AS b
+), planes AS (
+  SELECT g, j, (a[j + 1] * x + b[j + 1]) % {MERSENNE31} AS h2
+  FROM xs, coeff, (SELECT unnest(range(0, 64)) AS j)
+), sig AS (
+  SELECT g, j, MIN(h2) AS h FROM planes GROUP BY g, j
+), est AS (
+  SELECT a.g AS g_a, b.g AS g_b,
+         CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS matches,
+         COUNT(*) AS k
+  FROM sig a JOIN sig b ON a.j = b.j AND a.g < b.g
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT g, COUNT(*) AS n FROM t GROUP BY g
+), inter AS (
+  SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS n_inter
+  FROM t a JOIN t b ON a.tok = b.tok AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT est.g_a, est.g_b, est.matches, est.k,
+       CAST(COALESCE(inter.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - COALESCE(inter.n_inter, 0) AS BIGINT) AS n_union
+FROM est
+LEFT JOIN inter ON est.g_a = inter.g_a AND est.g_b = inter.g_b
+JOIN sizes sa ON sa.g = est.g_a
+JOIN sizes sb ON sb.g = est.g_b
+"""
+
+
+SQL_JACCARD_ESTIMATE = _sql_jaccard_estimate()
+
 SQL_HLL_GROUPED_PROFILE = f"""
 WITH t AS (
   SELECT DISTINCT o_orderpriority AS g, CAST(o_custkey AS VARCHAR) AS token

@@ -309,6 +309,52 @@ def test_decayed_trending_stream_matches_batch(spark, tmp_path):
     assert expect == {"a": w(0) + 2 * w(2), "b": w(6) + w(7) + w(0)}
 
 
+def test_minhash_group_signature_merge_and_estimate(spark):
+    """The resemblance sketch's two contracts: (1) shard signatures merge
+    by per-(g, j) MIN into exactly the whole-corpus signature (the HLL
+    merge property with MIN), and (2) matches/k estimates a KNOWN Jaccard
+    within the binomial 3-sigma band; NULL tokens are not set members."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.setsketch import (
+        jaccard_estimate_pairs,
+        minhash_group_signature,
+    )
+
+    # two sets with |A|=|B|=600, |A∩B|=300 -> J = 300/900 = 1/3
+    rows = (
+        [("A", f"tok-shared-{i}") for i in range(300)]
+        + [("A", f"tok-a-{i}") for i in range(300)]
+        + [("B", f"tok-shared-{i}") for i in range(300)]
+        + [("B", f"tok-b-{i}") for i in range(300)]
+        + [("A", None), ("B", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, tok string")
+    k = 128
+    sig = minhash_group_signature(df, "g", "tok", num_hashes=k, seed=7)
+    assert sig.count() == 2 * k  # NULLs contributed nothing
+
+    # shard-merge property: split rows arbitrarily, sketch each shard,
+    # merge by MIN -> identical signature table
+    s1 = minhash_group_signature(
+        df.filter(F.length("tok") % 2 == 0), "g", "tok", num_hashes=k, seed=7
+    )
+    s2 = minhash_group_signature(
+        df.filter(F.length("tok") % 2 == 1), "g", "tok", num_hashes=k, seed=7
+    )
+    merged = (
+        s1.unionByName(s2).groupBy("g", "j").agg(F.min("h").alias("h"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sig.collect())
+    )
+
+    est = jaccard_estimate_pairs(sig).collect()
+    assert len(est) == 1 and est[0]["k"] == k
+    j_hat = est[0]["matches"] / k
+    true_j = 1.0 / 3.0
+    sigma = (true_j * (1 - true_j) / k) ** 0.5
+    assert abs(j_hat - true_j) <= 3 * sigma, j_hat
+
+
 def test_decayed_trending_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering a micro-batch with the
     same batch_id (restart/replay) must leave the counts store AND the
