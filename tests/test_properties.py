@@ -348,3 +348,78 @@ def test_hll_matches_python_model(spark, items):
     want_regs, want_s, want_est = _py_hll(items, 9)
     assert got_regs == want_regs
     assert (row["s_sum"], row["est_n"]) == (want_s, want_est)
+
+
+@given(
+    parents=st.lists(
+        st.one_of(st.none(), st.integers(0, 24)), min_size=1, max_size=25
+    ),
+    data=st.data(),
+)
+@SETTINGS
+def test_tree_roots_matches_python_model(spark, parents, data):
+    """Pointer doubling == the naive parent chase on ARBITRARY forests:
+    node ids 0..n-1, parents drawn from a wider id space so they may be
+    self, missing (dangling), NULL, or form deep chains; the healed
+    semantics (NULL/absent parent -> self-rooted) and the depth-clamp
+    contract (rounds covering >= max depth resolve every node) both hold
+    against a step-by-step Python walk."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        tree_roots,
+    )
+
+    n = len(parents)
+    ids = set(range(n))
+    # heal exactly as documented: NULL or absent -> self
+    eff = {
+        i: (p if (p is not None and p in ids) else i)
+        for i, p in enumerate(parents)
+    }
+    # break accidental cycles (a->b->a): hypothesis may generate them;
+    # the operator contract is forests, so re-point one edge of any
+    # cycle to self (deterministic: the smallest node in the cycle)
+    def chase(i, limit):
+        seen = []
+        cur = i
+        for _ in range(limit + 1):
+            if eff[cur] == cur:
+                return cur, len(seen)
+            seen.append(cur)
+            cur = eff[cur]
+            if cur in seen:  # cycle: cut it at its smallest member
+                eff[min(seen[seen.index(cur):] )] = min(
+                    seen[seen.index(cur):]
+                )
+                return chase(i, limit)
+        return cur, len(seen)
+
+    want = {}
+    max_depth = 1
+    for i in range(n):
+        root, depth = chase(i, n)
+        want[i] = root
+        max_depth = max(max_depth, max(depth, 1))
+    rounds = max(1, (max_depth - 1).bit_length())
+
+    # feed Spark the RAW parents (NULL / dangling included) so the
+    # operator's own healing is what's under test; only cycle-cut nodes
+    # (eff re-pointed to self, a contract repair the operator does not
+    # do) are fed their repaired edge
+    fed = [
+        (
+            i,
+            i
+            if eff[i] == i
+            and parents[i] is not None
+            and parents[i] in ids
+            and parents[i] != i
+            else parents[i],
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(fed, "node bigint, parent bigint")
+    got = {
+        r["node"]: r["root"]
+        for r in tree_roots(df, "node", "parent", rounds).collect()
+    }
+    assert got == want
