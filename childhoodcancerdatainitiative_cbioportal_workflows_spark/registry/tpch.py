@@ -451,3 +451,236 @@ SELECT l_orderkey,
 FROM lineitem WHERE l_orderkey < 2000
 GROUP BY l_orderkey
 """
+
+
+def q_tpch_q11_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group share vs a global scalar): nations whose
+    order revenue exceeds the all-nation average. The share predicate is
+    CROSS-MULTIPLIED onto the integer lattice (rev_fp * n_nations >
+    total_fp, DECIMAL(38,0) sums of order cents) so the boundary is
+    exact in both engines — comparing against a float average would let
+    a last-ulp disagreement flip boundary nations. Plan: one keyed agg,
+    one single-row broadcast (the scalar subquery), no second scan."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("decimal(38,0)")
+        .alias("_fp"),
+    )
+    per_nat = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum("_fp").alias("rev_fp"))
+    )
+    tot = per_nat.agg(
+        F.sum("rev_fp").alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_nat.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev_fp") * F.col("_n") > F.col("_total"))
+        .join(F.broadcast(nat), per_nat["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            "n_name", F.col("rev_fp").cast("bigint").alias("rev_cents")
+        )
+    )
+
+
+SQL_TPCH_Q11_SHARE = """
+WITH per AS (
+  SELECT c_nationkey, SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS rev_fp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+), tot AS (
+  SELECT SUM(rev_fp) AS total, COUNT(*) AS n FROM per
+)
+SELECT n_name, CAST(rev_fp AS BIGINT) AS rev_cents
+FROM per
+CROSS JOIN tot
+JOIN nation ON n_nationkey = c_nationkey
+WHERE rev_fp * n > total
+"""
+
+
+def q_tpch_q15_maxview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier over a revenue view): per-supplier
+    Q1-1996 revenue on the EXACT integer lattice (cents x discount
+    basis: round(price*100) * (100 - round(discount*100)), DECIMAL-
+    routed), then the supplier(s) achieving the scalar MAX — exact
+    integer equality, so ties and the winner are engine-independent
+    where a float MAX comparison would not be. Plan: one keyed agg, one
+    single-row broadcast, broadcast supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+                * (100 - F.round(F.col("l_discount") * 100)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("_fp"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("_fp").alias("total_fp"))
+    )
+    mx = rev.agg(F.max("total_fp").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_fp") == F.col("_mx"))
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_fp").cast("bigint").alias("revenue_fp"),
+        )
+    )
+
+
+SQL_TPCH_Q15_MAXVIEW = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * CAST(100 - round(l_discount * 100) AS HUGEINT)) AS total_fp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_fp AS BIGINT) AS revenue_fp
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_fp = (SELECT MAX(total_fp) FROM rev)
+"""
+
+
+def q_tpch_q21_sole_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS self-joins):
+    suppliers that are the SOLE returning ('R') supplier on orders that
+    involve at least one other supplier — the waiting-supplier query
+    reshaped onto this dataset's columns (the shared testdata carries no
+    commit/receipt dates; reference Q21 semantics otherwise intact,
+    including both correlated quantifiers). Spark plans the EXISTS as a
+    left-semi and the NOT EXISTS as a left-anti on (orderkey, suppkey !=
+    suppkey) — shuffled hash joins on orderkey, never a cartesian."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    r1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).distinct()
+    other_r = r1.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    cand = r1.join(
+        other,
+        (r1["l_orderkey"] == other["_ok"]) & (r1["l_suppkey"] != other["_sk"]),
+        "left_semi",
+    )
+    sole = cand.join(
+        other_r,
+        (cand["l_orderkey"] == other_r["_ok"])
+        & (cand["l_suppkey"] != other_r["_sk"]),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+SQL_TPCH_Q21_SOLE_RETURNS = """
+WITH r1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), cand AS (
+  SELECT r1.l_orderkey, r1.l_suppkey FROM r1
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = r1.l_orderkey AND l2.l_suppkey <> r1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = r1.l_orderkey AND l3.l_suppkey <> r1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM cand JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_suppkey, s_name
+"""
+
+
+def q_tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (anti-join + scalar-average predicate): customers
+    with above-average positive balance and NO RECENT orders (none
+    since 1998-01-01), grouped by a
+    synthetic country code (c_custkey % 7 — the shared testdata's c_name
+    carries no phone prefix). The average predicate is cross-multiplied
+    (bal_fp * n > sum_fp, integer cents) so boundary customers cannot
+    flip on a float-average ulp; the no-orders quantifier is a left-anti
+    join. Output: code, customer count, exact cent total."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_fp"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("_ck"))
+    )
+    pos = cust.filter(F.col("bal_fp") > 0).agg(
+        F.sum(F.col("bal_fp").cast("decimal(38,0)")).alias("_sum"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(
+            F.col("bal_fp").cast("decimal(38,0)") * F.col("_n")
+            > F.col("_sum")
+        )
+        .join(o, cust["c_custkey"] == o["_ck"], "left_anti")
+        .groupBy((F.col("c_custkey") % 7).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("bal_fp").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("totacctbal_fp"),
+        )
+    )
+
+
+SQL_TPCH_Q22_IDLE_BALANCES = """
+WITH cust AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_fp
+  FROM customer
+), pos AS (
+  SELECT SUM(CAST(bal_fp AS HUGEINT)) AS s, COUNT(*) AS n
+  FROM cust WHERE bal_fp > 0
+)
+SELECT c_custkey % 7 AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(bal_fp AS HUGEINT)) AS BIGINT) AS totacctbal_fp
+FROM cust, pos
+WHERE CAST(bal_fp AS HUGEINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY cntrycode
+"""
