@@ -171,17 +171,29 @@ FROM expected e FULL OUTER JOIN observed ob ON e.custkey = ob.custkey
 
 def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sort_values().drop_duplicates(keep='first') (cnv.py:372) == window
-    top-1: first line of each order by (shipdate, linenumber)."""
+    top-1: first line of each order by (shipdate, linenumber, partkey).
+    partkey is in the key to make the ordering TOTAL over the projected
+    columns: the shared testdata has duplicate (orderkey, linenumber)
+    pairs at sf0.1, and a non-total sort key makes top-1 engine-
+    nondeterministic — found by the round-9 sf0.1 parity sweep, invisible
+    at the sf0.01 gate scale."""
     li = load_table(spark, sf_dir, "lineitem")
     return keep_first(
-        li, ["l_orderkey"], [F.col("l_shipdate").asc(), F.col("l_linenumber").asc()]
+        li,
+        ["l_orderkey"],
+        [
+            F.col("l_shipdate").asc(),
+            F.col("l_linenumber").asc(),
+            F.col("l_partkey").asc(),
+        ],
     ).select("l_orderkey", "l_partkey", "l_linenumber", "l_shipdate")
 
 
 SQL_TOP1_PER_GROUP = """
 SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate
 FROM lineitem
-QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) = 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_shipdate, l_linenumber, l_partkey) = 1
 """
 
 
