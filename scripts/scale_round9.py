@@ -231,6 +231,83 @@ def probe_bloom(spark) -> None:
     )
 
 
+def probe_setsketch(spark) -> None:
+    """Resemblance-sketch scale shape: signature build cost follows the
+    SCAN (one map-side-combinable min per (group, plane)); the all-pairs
+    estimate join is CONSTANT (G·64 rows per side) while the exact
+    pairwise intersection join grows with the shared vocabulary — the
+    gap the sketch exists to close."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.setsketch import (
+        jaccard_estimate_pairs,
+        minhash_group_signature,
+    )
+
+    G = 8
+
+    def data(n):
+        # vocab ~ n/4, half shared across groups, half group-private
+        return spark.range(n).select(
+            (F.col("id") % G).cast("string").alias("g"),
+            F.when(
+                F.col("id") % 2 == 0,
+                # id//G decouples token from group, so shared tokens
+                # genuinely cross all G groups
+                F.concat(
+                    F.lit("shared-"),
+                    ((F.col("id") / G).cast("long") % (n // 8)).cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("own-"),
+                    (F.col("id") % G).cast("string"),
+                    F.lit("-"),
+                    (F.col("id") % (n // 8)).cast("string"),
+                )
+            )
+            .alias("tok"),
+        )
+
+    def run(n):
+        df = data(n)
+        t0 = time.monotonic()
+        sig = minhash_group_signature(df, "g", "tok", 64).localCheckpoint(
+            eager=True
+        )
+        t_sig = time.monotonic() - t0
+        t0 = time.monotonic()
+        est_rows = jaccard_estimate_pairs(sig).count()
+        t_est = time.monotonic() - t0
+        t0 = time.monotonic()
+        t = df.distinct()
+        ta = t.select(F.col("g").alias("ga"), "tok")
+        tb = t.select(F.col("g").alias("gb"), "tok")
+        exact_rows = (
+            ta.join(tb, "tok")
+            .filter(F.col("ga") < F.col("gb"))
+            .groupBy("ga", "gb")
+            .count()
+            .count()
+        )
+        t_exact = time.monotonic() - t0
+        return t_sig, t_est, t_exact, est_rows, exact_rows
+
+    run(200_000)  # warm
+    sizes = [500_000, 2_000_000, 8_000_000]
+    rows = [run(n) for n in sizes]
+    for n, (t_sig, t_est, t_exact, er, xr) in zip(sizes, rows):
+        print(
+            f"setsketch n={n}: sig {t_sig:.2f}s est {t_est:.2f}s "
+            f"exact {t_exact:.2f}s pairs={er}/{xr}"
+        )
+    a_sig = math.log(rows[-1][0] / rows[0][0]) / math.log(16)
+    a_est = math.log(max(rows[-1][1], 1e-3) / max(rows[0][1], 1e-3)) / math.log(16)
+    a_ex = math.log(rows[-1][2] / rows[0][2]) / math.log(16)
+    print(f"alphas: signature {a_sig:.2f} estimate-join {a_est:.2f} exact {a_ex:.2f}")
+
+
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -240,6 +317,8 @@ def main() -> int:
         probe_depth(spark)
     if which in ("bloom", "all"):
         probe_bloom(spark)
+    if which in ("setsketch", "all"):
+        probe_setsketch(spark)
     spark.stop()
     return 0
 
