@@ -308,6 +308,65 @@ def probe_setsketch(spark) -> None:
     print(f"alphas: signature {a_sig:.2f} estimate-join {a_est:.2f} exact {a_ex:.2f}")
 
 
+def probe_media(spark) -> None:
+    """Multimodal decode throughput: per-image cost of the Arrow-batched
+    mapInPandas encode->decode->featurize path must be FLAT as the media
+    count grows (1:1 row-bounded, no shuffle of payload bytes)."""
+    from pyspark.sql import functions as F
+
+    def run(n: int) -> float:
+        import numpy as np
+        import pandas as pd
+
+        from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.codecs import (
+            ppm_encode,
+        )
+        from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.multimodal import (
+            decode_and_featurize,
+        )
+
+        base = spark.range(n).select(F.col("id").alias("media_id"))
+
+        def gen(batches):
+            for pdf in batches:
+                keys = pdf["media_id"].to_numpy()
+                x = np.arange(16)[None, :, None, None]
+                y = np.arange(16)[None, None, :, None]
+                c = np.arange(3)[None, None, None, :]
+                px = (
+                    keys[:, None, None, None] * 7 + x * 13 + y * 31 + c * 5
+                ) % 256
+                payloads = [
+                    ppm_encode(px[i].transpose(1, 0, 2).astype(np.uint8))
+                    for i in range(len(keys))
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": keys,
+                        "payload": payloads,
+                        "meta": [{"mime": "image/x-portable-pixmap"}]
+                        * len(keys),
+                    }
+                )
+
+        media = base.mapInPandas(
+            gen, schema="media_id long, payload binary, meta struct<mime: string>"
+        )
+        t0 = time.monotonic()
+        decode_and_featurize(media, feat_dim=8).select(
+            F.sum(F.element_at("feature", 1)).alias("s")
+        ).collect()
+        return time.monotonic() - t0
+
+    run(20_000)  # warm
+    sizes = [50_000, 200_000, 800_000]
+    times = [run(n) for n in sizes]
+    for n, dt in zip(sizes, times):
+        print(f"media n={n}: {dt:.2f}s ({n/dt/1000:.0f}k img/s)")
+    alpha = math.log(times[-1] / times[0]) / math.log(16)
+    print(f"media decode alpha = {alpha:.2f}")
+
+
 def main() -> int:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -319,6 +378,8 @@ def main() -> int:
         probe_bloom(spark)
     if which in ("setsketch", "all"):
         probe_setsketch(spark)
+    if which in ("media", "all"):
+        probe_media(spark)
     spark.stop()
     return 0
 
