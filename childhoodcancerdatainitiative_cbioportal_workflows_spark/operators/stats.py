@@ -246,11 +246,16 @@ def exact_quantiles(
     ps: list[float],
     grid: int = 100,
     n_buckets: int = 8192,
+    validate: bool = False,
 ) -> DataFrame:
     """EXACT quantiles without a global sort: classic two-phase
     distributed selection. ``value_col`` must live on a 1/``grid``
     fixed-point lattice (prices, scores — anything stored with fixed
     decimals); values are scaled to exact integers up front.
+    ``validate=True`` enforces that precondition up front
+    (operators/lattice.validate_lattice — the grouped sibling carries
+    the same flag): continuous inputs raise LatticeViolation instead of
+    returning plausible-but-quantized ranks.
 
     Phase 1: one full-scan histogram over ``n_buckets`` equal-width
     ranges (map-side combinable) whose cumulative counts locate, for
@@ -270,6 +275,10 @@ def exact_quantiles(
 
     from pyspark.sql import Window
 
+    if validate:
+        from .lattice import validate_lattice
+
+        validate_lattice(df, value_col, grid)
     v = F.round(F.col(value_col) * grid).cast("long")
     staged = df.select(v.alias("_v")).persist()
     try:

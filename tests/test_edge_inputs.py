@@ -255,9 +255,15 @@ def test_validate_lattice_guard(spark):
     )
     with pytest.raises(LatticeViolation, match="1/2 values off-lattice"):
         validate_lattice(cont, "v", 100)
-    # wired into the operator under the flag
+    # wired into BOTH quantile operators under the flag
     with pytest.raises(LatticeViolation):
         grouped_quantiles(cont, "k", "v", [0.5], validate=True)
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        exact_quantiles,
+    )
+
+    with pytest.raises(LatticeViolation):
+        exact_quantiles(cont, "v", [0.5], validate=True)
     # empty input: vacuously on-lattice
     validate_lattice(cents.filter("v > 1e9"), "v", 100)
 
