@@ -63,33 +63,78 @@ def load_history() -> dict[str, dict[int, str]]:
     return hist
 
 
+FPR_ALGO = 2  # bump when the fingerprint resolution below changes shape
+
+
+def _module_file(obj) -> str | None:
+    mod = obj if isinstance(obj, types.ModuleType) else None
+    if mod is None and (callable(obj) or inspect.isclass(obj)):
+        mod = inspect.getmodule(obj)
+    if mod is not None and getattr(mod, "__name__", "").startswith(PACKAGE):
+        f = getattr(mod, "__file__", None)
+        if f and os.path.exists(f):
+            return f
+    return None
+
+
 def face_fingerprint(fn, sql: str | None) -> str:
     """Content hash of everything that determines a face's observable
     result: the face function's source, its (generated) oracle SQL
     VALUE, and the full text of every package module the face touches —
-    both modules/functions resolved through ``fn.__globals__`` (catches
-    top-level imports like the relational helpers) and in-body
+    modules/functions resolved through ``fn.__globals__`` (catches
+    top-level imports like the relational helpers), in-body
     ``from package.x import`` statements (the registry faces' local
-    import convention). Coarse on purpose: an edit anywhere in a
-    referenced operator module flips every face that uses it."""
+    import convention), and — algo 2 — each imported NAME chased to its
+    DEFINING module, so a face importing ``hierarchy_rollup`` through
+    the ``operators`` package re-export tracks
+    ``operators/hierarchy.py``, not just ``operators/__init__.py``.
+    Coarse on purpose: an edit anywhere in a referenced operator module
+    flips every face that uses it."""
     src = inspect.getsource(fn)
     h = hashlib.sha256()
     h.update(src.encode())
     h.update((sql or "").encode())
     files: set[str] = set()
     for name in fn.__code__.co_names:
-        obj = fn.__globals__.get(name)
-        mod = obj if isinstance(obj, types.ModuleType) else None
-        if mod is None and (callable(obj) or inspect.isclass(obj)):
-            mod = inspect.getmodule(obj)
-        if mod is not None and getattr(mod, "__name__", "").startswith(PACKAGE):
-            f = getattr(mod, "__file__", None)
-            if f and os.path.exists(f):
-                files.add(f)
-    for m in re.findall(rf"from ({PACKAGE}[.\w]*) import", src):
-        path = os.path.join(ROOT, m.replace(".", os.sep) + ".py")
-        if os.path.exists(path):
-            files.add(path)
+        f = _module_file(fn.__globals__.get(name))
+        if f:
+            files.add(f)
+    # In-body imports: hash the imported module file AND chase each
+    # imported name to its defining module (re-export transparency).
+    import ast
+    import importlib
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        tree = None
+    if tree is not None:
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.ImportFrom) or node.level:
+                continue
+            if not (node.module or "").startswith(PACKAGE):
+                continue
+            path = os.path.join(ROOT, node.module.replace(".", os.sep) + ".py")
+            pkg_init = os.path.join(
+                ROOT, node.module.replace(".", os.sep), "__init__.py"
+            )
+            if os.path.exists(path):
+                files.add(path)
+            elif os.path.exists(pkg_init):
+                files.add(pkg_init)
+            try:
+                mod = importlib.import_module(node.module)
+            except Exception:
+                continue
+            for alias in node.names:
+                f = _module_file(getattr(mod, alias.name, None))
+                if f:
+                    files.add(f)
+    else:  # unparsable source: fall back to the algo-1 regex
+        for m in re.findall(rf"from ({PACKAGE}[.\w]*) import", src):
+            path = os.path.join(ROOT, m.replace(".", os.sep) + ".py")
+            if os.path.exists(path):
+                files.add(path)
     for f in sorted(files):
         with open(f, "rb") as fh:
             h.update(fh.read())
@@ -144,6 +189,20 @@ def main() -> int:
     stored: dict[str, dict] = {}
     if os.path.exists(FPR_STORE):
         stored = json.load(open(FPR_STORE))
+    algo = stored.pop("__fpr_algo__", 1)
+    if algo != FPR_ALGO:
+        # One-time migration: the fingerprint ALGORITHM changed, not the
+        # code — re-snapshot every face against the current tree,
+        # preserving its certification round. Valid ONLY when run at
+        # round start on the certified tree (same precondition as the
+        # normal green-refresh path above).
+        print(
+            f"fingerprint algo {algo} -> {FPR_ALGO}: re-snapshotting all "
+            "faces against the current tree (must be the certified tree)"
+        )
+        for name, snap in stored.items():
+            if name in current:
+                snap["fpr"] = current[name]
     for name in order:
         greens = [r for r, s in hist.get(name, {}).items() if s == "green"]
         latest_green = max(greens) if greens else 0
@@ -162,7 +221,7 @@ def main() -> int:
             stored[name] = {"fpr": current[name], "round": 0}
     stored = {n: stored[n] for n in order}  # drop unregistered leftovers
     with open(FPR_STORE, "w") as f:
-        json.dump(stored, f, indent=1, sort_keys=False)
+        json.dump({"__fpr_algo__": FPR_ALGO, **stored}, f, indent=1)
 
     changed = {
         n for n in order
