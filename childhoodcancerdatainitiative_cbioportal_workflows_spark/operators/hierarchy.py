@@ -45,13 +45,16 @@ def tree_roots(
     one up-front left join normalizes every parent onto the node set, so
     the doubling rounds' inner self-joins can never lose rows on
     imperfect forests. Every node therefore appears in the output
-    exactly once."""
+    exactly once — PROVIDED node ids are unique (the forest contract;
+    duplicate ids would fan out the doubling self-joins regardless).
+    The healing join's probe side is deduplicated (r9 advice) so a
+    contract violation cannot silently amplify rows here."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
     raw = nodes.select(
         F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
     )
-    ids = raw.select(F.col("node").alias("_pid"))
+    ids = raw.select(F.col("node").alias("_pid")).distinct()
     anc = (
         raw.join(ids, raw["anc"] == ids["_pid"], "left")
         .select(

@@ -95,6 +95,21 @@ def _binned(df: DataFrame, chrom: str, start: str, end: str, bin_size: int, pref
     s_name, e_name = f"{prefix}{start}", f"{prefix}{end}"
     return (
         out.filter(F.col(e_name) > F.col(s_name))
+        # The BED non-negativity assumption is ENFORCED, not assumed
+        # (r9 advice): `div` truncates toward zero, so a negative start
+        # would mis-bin relative to floor and silently drop overlapping
+        # pairs. Fail loudly instead — assert_true returns NULL on pass,
+        # so the filter keeps every row; it lives IN the filter (not a
+        # dropped column) so Catalyst cannot prune the check away.
+        .filter(
+            F.assert_true(
+                F.col(s_name) >= 0,
+                F.lit(
+                    "interval_join: negative start coordinate — binning "
+                    "assumes BED-style start >= 0"
+                ),
+            ).isNull()
+        )
         .withColumn(
             "_bin",
             F.explode(

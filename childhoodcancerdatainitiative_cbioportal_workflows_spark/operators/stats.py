@@ -270,7 +270,10 @@ def exact_quantiles(
 
     Returns (p, value, rank): the rank-th smallest value (1-indexed,
     rank = ceil(p·n)) — DuckDB ``quantile_disc`` semantics, which the
-    registered face's oracle states as an explicit ROW_NUMBER query."""
+    registered face's oracle states as an explicit ROW_NUMBER query.
+    NULL values are excluded up front (r9 advice), matching
+    ``grouped_quantiles``: counting NULL rows into n would shift every
+    rank while the NULLs themselves can never be selected."""
     import math
 
     from pyspark.sql import Window
@@ -280,7 +283,9 @@ def exact_quantiles(
 
         validate_lattice(df, value_col, grid)
     v = F.round(F.col(value_col) * grid).cast("long")
-    staged = df.select(v.alias("_v")).persist()
+    staged = (
+        df.filter(F.col(value_col).isNotNull()).select(v.alias("_v")).persist()
+    )
     try:
         agg = staged.agg(
             F.count(F.lit(1)).alias("n"),

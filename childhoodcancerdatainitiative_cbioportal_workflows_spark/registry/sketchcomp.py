@@ -68,9 +68,13 @@ WITH snap AS (
 SELECT source, COUNT(*) AS n_new,
        CAST(SUM(CAST(doc_id AS HUGEINT)) AS BIGINT) AS id_sum
 FROM batch
-WHERE fp NOT IN (SELECT fp FROM snap)
+WHERE NOT EXISTS (SELECT 1 FROM snap WHERE snap.fp = batch.fp)
 GROUP BY source
 """
+# NOT EXISTS, not NOT IN (r9 advice): md5(NULL) = NULL, and a NULL in the
+# NOT-IN subquery would empty the whole result in SQL three-valued logic,
+# while Spark's left_anti KEEPS null-fp rows — NOT EXISTS matches the
+# anti-join on that slice.
 
 
 def q_hll_grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

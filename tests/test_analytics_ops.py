@@ -631,3 +631,21 @@ def test_snapshot_diff_model(spark):
         4: "changed",
         5: "added",
     }
+
+
+def test_tree_roots_healing_join_does_not_amplify_duplicate_ids(spark):
+    """Regression (r9 advice): the dangling-parent healing join probes a
+    DEDUPLICATED id set. Unique ids are the forest contract, but a
+    violation must not be silently amplified by the heal itself —
+    rounds=0 isolates the healing join from the doubling self-joins."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        tree_roots,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 99)],  # duplicate node 1; node 2 dangles
+        "node bigint, parent bigint",
+    )
+    out = tree_roots(df, "node", "parent", rounds=0).collect()
+    assert len(out) == 3  # one row per INPUT row, no join fan-out
+    assert {(r["node"], r["root"]) for r in out} == {(1, 1), (2, 2)}

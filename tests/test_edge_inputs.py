@@ -414,3 +414,24 @@ def test_grouped_quantiles_and_hll_overlap_ignore_nulls(spark):
     ).collect()[0]
     dirty = hll_overlap(a, b, "k").collect()[0]
     assert clean.asDict() == dirty.asDict()
+
+
+def test_exact_quantiles_excludes_nulls_from_ranks(spark):
+    """Regression (r9 advice): NULL value rows must not count into n —
+    pre-fix they shifted every rank (rank = ceil(p*n) over a count that
+    included rows that can never be selected), diverging from
+    grouped_quantiles' NULL handling."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        exact_quantiles,
+    )
+
+    rows = [(float(i),) for i in range(1, 10)] + [(None,)] * 6
+    df = spark.createDataFrame(rows, "value double")
+    out = exact_quantiles(df, "value", [0.5, 1.0]).collect()
+    # n = 9 (NULLs excluded): median rank ceil(0.5*9)=5 -> 5.0; pre-fix
+    # n = 15 gave rank 8 -> 8.0 for p=0.5 and an out-of-range rank 15
+    # for p=1.0 (no row produced).
+    assert [(r["p"], r["value"], r["rank"]) for r in out] == [
+        (0.5, 5.0, 5),
+        (1.0, 9.0, 9),
+    ]

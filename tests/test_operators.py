@@ -892,3 +892,26 @@ def test_hll_overlap_consistent_with_single_sketch_path(spark):
     # true overlap 1000; three-sketch inclusion-exclusion compounds the
     # per-sketch ~4.6% rse so allow a generous but bounded band
     assert 300 <= got["est_overlap"] <= 1700
+
+
+def test_interval_join_rejects_negative_starts(spark):
+    """Regression (r9 advice): `div` truncates toward zero, so a negative
+    start would mis-bin relative to floor and silently DROP overlapping
+    pairs. The BED non-negativity assumption is now enforced per row —
+    negative coordinates fail loudly instead of mis-joining."""
+    import pytest
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.interval_join import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [("chr1", -70, 10)], "chrom string, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [("chr1", 0, 5)], "chrom string, start long, end long"
+    )
+    with pytest.raises(Exception, match="negative start"):
+        interval_join(
+            left, right, bin_size=64, left_prefix="l_", right_prefix="r_"
+        ).collect()
