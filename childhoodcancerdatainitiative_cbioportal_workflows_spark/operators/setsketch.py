@@ -84,12 +84,37 @@ def minhash_group_signature(
     )
 
 
-def jaccard_estimate_pairs(sig: DataFrame) -> DataFrame:
+def jaccard_estimate_pairs(
+    sig: DataFrame, max_groups: int | None = 4096
+) -> DataFrame:
     """All-pairs Jaccard estimates from one signature table: for every
     unordered group pair (g_a < g_b), (matches, k) where matches counts
     the planes whose minima agree — matches/k is the unbiased resemblance
     estimate, emitted as the two INTEGERS so the face stays bit-exact
-    cross-engine (the caller divides if it wants the float)."""
+    cross-engine (the caller divides if it wants the float).
+
+    Scale contract (r9 verdict): the plane equi-join is G² in GROUP
+    count — each of the k planes pairs every group with every other, so
+    the intermediate is k·G² rows. That is by design for this operator's
+    stated use, corpus-LEVEL overlap (G = datasets/sources/cohorts,
+    thousands at most: G = 10³ at k = 64 is a 64M-row intermediate, a
+    constant-cost join regardless of corpus bytes). It is the WRONG plan
+    for entity-level groups — at G = 10⁶ the intermediate is 10¹²·k rows.
+    ``max_groups`` enforces the boundary with one driver-side distinct
+    count over the (G·k)-row signature table (parameter-sized, never
+    data-sized); past it, use the banded MinHash-LSH path
+    (llm.dedup.minhash_lsh), which buckets signatures so only in-band
+    collisions ever pair. Pass ``max_groups=None`` to waive the guard."""
+    if max_groups is not None:
+        n_g = sig.select("g").distinct().count()
+        if n_g > max_groups:
+            raise ValueError(
+                f"jaccard_estimate_pairs: {n_g} groups exceeds "
+                f"max_groups={max_groups}; the all-pairs plane join is "
+                "G^2 in group count — use llm.dedup.minhash_lsh banding "
+                "for entity-scale group counts, or pass max_groups=None "
+                "to waive"
+            )
     a = sig.select(
         F.col("g").alias("g_a"), "j", F.col("h").alias("h_a")
     )
