@@ -96,3 +96,67 @@ SELECT media_id, CAST(j AS BIGINT) AS j,
        CAST(35 AS BIGINT) AS payload_bytes
 FROM px
 """
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO twin of q_multimodal_features (r9 verdict task 6): binary
+    WAV column -> real RIFF decode -> RMS / zero-crossing features,
+    certified bit-exactly. Each part key becomes a 64-sample PCM16 clip
+    whose sample i is ``((key·37 + i·101) % 4096) - 2048`` — a sawtooth
+    that crosses zero — encoded through the REAL codec
+    (llm.codecs.wav_encode) and decoded by the REAL RIFF parser inside
+    the Arrow-batched mapInPandas (llm.audiofeat.audio_rms_zcr). The
+    oracle recomputes both descriptors from the generating formula:
+    zero crossings are pure integer arithmetic, and RMS =
+    sqrt(sum(pcm²)/64)/2^15 is exact-then-correctly-rounded (pcm² <
+    2^22, 64-sample sum < 2^28, /64 and /2^15 are power-of-two-exact,
+    IEEE sqrt is correctly rounded in both engines). Scale shape:
+    payloads are generated and consumed inside ONE stage — the shuffle
+    carries only the 5 scalar feature columns, never the bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.audiofeat import (
+        audio_rms_zcr,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.codecs import (
+        wav_encode,
+    )
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("media_id")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            keys = pdf["media_id"].to_numpy()
+            i = np.arange(64)[None, :]
+            pcm = (keys[:, None] * 37 + i * 101) % 4096 - 2048
+            payloads = [
+                wav_encode(pcm[r] / 32768.0, 8000) for r in range(len(keys))
+            ]
+            yield pd.DataFrame({"media_id": keys, "payload": payloads})
+
+    media = part.mapInPandas(gen, schema="media_id long, payload binary")
+    return audio_rms_zcr(media)
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH s AS (
+  SELECT p_partkey AS media_id, i,
+         ((p_partkey * 37 + i * 101) % 4096) - 2048 AS pcm
+  FROM part, (SELECT unnest(range(0, 64)) AS i)
+), lagged AS (
+  SELECT media_id, pcm,
+         lag(pcm) OVER (PARTITION BY media_id ORDER BY i) AS prev
+  FROM s
+)
+SELECT media_id,
+       CAST(172 AS BIGINT) AS payload_bytes,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN (pcm < 0) <> (prev < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       SQRT(CAST(SUM(pcm * pcm) AS DOUBLE) / 64) / 32768.0 AS rms
+FROM lagged
+GROUP BY media_id
+"""

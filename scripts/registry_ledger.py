@@ -250,12 +250,11 @@ def main() -> int:
         "",
         f"Driver rounds recorded: {', '.join(f'r{r:02d}' for r in rounds_seen)}.",
         "",
-        "Planned r10 rotation (r8 verdict task 8 — keep no certification "
-        "older than three rounds): the 21 remaining r06-latest faces "
-        "(`containment_dedup` .. `except_intersect`, plus the 5-green "
-        "`json_extract`/`sliding_windows`/`distinct_agg`/`rollup_agg`) "
-        "lead the r10 gate after any changed/never-certified faces, then "
-        "the oldest r07 bucket fills the rest.",
+        "Planned r11 rotation (keep no certification older than three "
+        "rounds): the remaining r07-latest faces "
+        "(`attribution_lastclick` onward, in ledger order) lead the r11 "
+        "gate after any changed/never-certified faces, then the oldest "
+        "r08 bucket fills the rest.",
         "",
         "| # | query | green in rounds | latest driver status | changed since cert | in r-next gate |",
         "|---|---|---|---|---|---|",
