@@ -4,9 +4,17 @@
 total wall-clock seconds. Results are forced with the noop sink (full
 execution, no driver collect).
 
-Self-defending against load contamination (r4 verdict #3):
-- records /proc/loadavg before starting, and waits (bounded) for the 1-min
-  load to settle below a threshold before measuring;
+Self-defending against load contamination (r4 verdict #3, tightened per
+the r9 verdict: the driver's BENCH_r09 started at load1 5.32 yet reported
+contended=false because only the post-settle load was consulted):
+- records /proc/loadavg (1-min AND 5-min) before starting, and waits
+  (bounded) for the 1-min load to settle below a threshold before
+  measuring;
+- a high START load now REFUSES the settle: the box stays measurably slow
+  until the 5-min average drains (the r7 contaminated-run lesson), so the
+  artifact is flagged contended whenever the start load1, the settled
+  load1, or the settled load5 exceeds the threshold — drift is then
+  diagnosable from the artifact alone;
 - runs up to $SPARK_GRAFT_BENCH_REPS (default 3) full passes inside the
   driver's time budget and reports the per-query MEDIAN, with min/max
   spread and the pass count in the artifact itself, so one contaminated
@@ -28,12 +36,14 @@ TIME_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
 MAX_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
-def _load1() -> float:
+def _loadavg() -> tuple[float, float]:
+    """(load1, load5); (-1, -1) when /proc is unreadable."""
     try:
         with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
-    except (OSError, ValueError):
-        return -1.0
+            parts = f.read().split()
+            return float(parts[0]), float(parts[1])
+    except (OSError, ValueError, IndexError):
+        return -1.0, -1.0
 
 
 def main() -> None:
@@ -42,12 +52,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    load_at_start = _load1()
-    settled_load = load_at_start
+    load_at_start, load5_at_start = _loadavg()
+    settled_load, settled_load5 = load_at_start, load5_at_start
     while settled_load > SETTLE_LOAD and time.time() - start < SETTLE_WAIT_S:
         print(f"# load {settled_load:.2f} > {SETTLE_LOAD}; settling...", file=sys.stderr)
         time.sleep(5)
-        settled_load = _load1()
+        settled_load, settled_load5 = _loadavg()
 
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import get_spark
 
@@ -101,8 +111,16 @@ def main() -> None:
                 "reps": len(pass_totals),
                 "spread": spread,
                 "load1_at_start": load_at_start,
+                "load5_at_start": load5_at_start,
                 "load1_after_settle": settled_load,
-                "contended": bool(settled_load > SETTLE_LOAD),
+                "load5_after_settle": settled_load5,
+                # start load counts: a 60s settle cannot undo load5-scale
+                # contamination, so a hot start refuses the settle
+                "contended": bool(
+                    load_at_start > SETTLE_LOAD
+                    or settled_load > SETTLE_LOAD
+                    or settled_load5 > SETTLE_LOAD
+                ),
             }
         )
     )
