@@ -565,38 +565,42 @@ WHERE total_fp = (SELECT MAX(total_fp) FROM rev)
 
 
 def q_tpch_q21_sole_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS self-joins):
-    suppliers that are the SOLE returning ('R') supplier on orders that
-    involve at least one other supplier — the waiting-supplier query
-    reshaped onto this dataset's columns (the shared testdata carries no
-    commit/receipt dates; reference Q21 semantics otherwise intact,
-    including both correlated quantifiers). Spark plans the EXISTS as a
-    left-semi and the NOT EXISTS as a left-anti on (orderkey, suppkey !=
-    suppkey) — shuffled hash joins on orderkey, never a cartesian."""
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS): suppliers that
+    are the SOLE returning ('R') supplier on orders that involve at
+    least one other supplier — the waiting-supplier query reshaped onto
+    this dataset's columns (the shared testdata carries no
+    commit/receipt dates; reference Q21 semantics otherwise intact).
+
+    Plan shape (r9 verdict task 3): the textbook semi/anti self-join
+    plan scanned lineitem THREE times (probe: scripts/scale_round10.py
+    q21) — Catalyst even pulls the candidate distinct above the joins,
+    so no exchange is reusable. Both correlated quantifiers instead
+    collapse into per-order COUNTS over one (orderkey, suppkey, is_r)
+    aggregate: EXISTS(other supplier) == n_sup > 1, NOT EXISTS(other R
+    supplier) == n_r = 1, and the sole R supplier is recoverable as
+    max(suppkey where is_r) exactly when n_r = 1. ONE fact-table scan,
+    two map-side-combinable exchanges (ok,sk then ok), no broadcast of
+    any fact-table derivative — the 100 TB shape. The semi/anti plan
+    form itself stays certified by tpch_q4_exists / anti_join; the
+    oracle here KEEPS the correlated EXISTS/NOT-EXISTS form, so
+    agreement certifies the rewrite, not just the arithmetic.
+    Plan contract pinned by test_partitioning
+    (test_q21_single_fact_scan)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    r1 = li.filter(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    other = li.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
-    ).distinct()
-    other_r = r1.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("is_r")
     )
-    cand = r1.join(
-        other,
-        (r1["l_orderkey"] == other["_ok"]) & (r1["l_suppkey"] != other["_sk"]),
-        "left_semi",
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum("is_r").alias("n_r"),
+        F.max(F.when(F.col("is_r") == 1, F.col("l_suppkey"))).alias(
+            "l_suppkey"
+        ),
     )
-    sole = cand.join(
-        other_r,
-        (cand["l_orderkey"] == other_r["_ok"])
-        & (cand["l_suppkey"] != other_r["_sk"]),
-        "left_anti",
-    )
+    sole = per_order.filter((F.col("n_sup") > 1) & (F.col("n_r") == 1))
     return (
         sole.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -234,3 +234,21 @@ def test_interval_join_bucketed_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ij_l")
         spark.sql("DROP TABLE IF EXISTS t_ij_r")
+
+
+def test_q21_single_fact_scan(spark):
+    """Plan contract for the Q21 rewrite (r9 verdict task 3): the
+    per-order-counts formulation must read lineitem exactly ONCE — the
+    semi/anti self-join plan it replaced scanned the fact table three
+    times with no reusable exchange (Catalyst pulls the candidate
+    distinct above the joins, defeating ReuseExchange)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry.tpch import (
+        q_tpch_q21_sole_returns,
+    )
+
+    df = q_tpch_q21_sole_returns(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
+    # both quantifier collapses are plain hash aggregates — partial
+    # (map-side) combine must be present on the pair aggregate
+    assert "partial_" in plan
