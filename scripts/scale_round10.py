@@ -1,0 +1,287 @@
+#!/usr/bin/env python3
+"""Round-10 probes (r9 verdict tasks 2 and 3).
+
+1. `somatic` — the pedmatch SNV end-to-end (plans/pedmatch.snv_somatic,
+   the flagship reference composition and 2nd-slowest bench face) at
+   1x / 4x / 16x synthetic cohort size (rows AND patients scale
+   together, the way a real cohort grows). Components were probed
+   individually in earlier rounds; this pins the COMPOSED alpha and the
+   stage breakdown the r9 verdict asked for: ALT explode vs the
+   tumor/normal full-outer merge vs FORMAT unpack + somatic gates.
+   Cuts are cumulative noop executions of the chain's prefixes, so a
+   stage's attribution is the delta to the previous cut.
+
+2. `q21` — the Q21 formulations head-to-head at sf0.1-shape and 10x
+   synthetic rows: the textbook semi/anti self-join plan (THREE
+   lineitem scans, no reusable exchange — Catalyst pulls the candidate
+   distinct above the joins) vs the shipped per-order-counts rewrite
+   (ONE scan, two map-side-combinable exchanges). The registered face's
+   oracle keeps the correlated EXISTS/NOT-EXISTS form, so cross-engine
+   agreement certifies the rewrite; this probe records what the rewrite
+   is worth and how it scales.
+
+    python scripts/scale_round10.py [somatic|q21|all]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.ansi.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _synth_cohort(spark, n_rows: int, n_pat: int):
+    """The somatic face's synthetic VCF cohort (registry/genomics.py
+    q_somatic_calls), parameterized: k rides spark.range, p = k % n_pat."""
+    from pyspark.sql import functions as F
+
+    o = spark.range(1, n_rows + 1).select(F.col("id").alias("o_orderkey"))
+    k = F.col("o_orderkey")
+    p = k % n_pat
+
+    ps = spark.range(n_pat).select(F.col("id").alias("p"))
+    mk = lambda suf, typ: ps.select(  # noqa: E731
+        F.concat(F.lit("P"), F.col("p")).alias("participant_id"),
+        F.concat(F.lit("P"), F.col("p"), F.lit(suf)).alias("sample_id"),
+        F.lit(typ).alias("sample_type"),
+        F.concat(F.lit("f"), F.col("p")).alias("file_name"),
+    )
+    manifest = mk("_T", "tissue").unionByName(mk("_N", "blood"))
+
+    t_fmt = F.concat_ws(
+        ":",
+        F.when(k % 17 == 0, F.lit("0/0")).otherwise(F.lit("0/1")),
+        F.lit("x"), (k % 40 + 10), F.lit("x"), F.lit("x"),
+        (k % 50), F.lit("x"), (k % 30),
+        F.concat(F.lit("0."), F.lpad((k % 20).cast("string"), 2, "0")),
+    )
+    tumor = o.select(
+        F.concat(F.lit("P"), p, F.lit("_T")).alias("sample_id"),
+        F.concat(F.lit("chr"), (k % 22 + 1)).alias("CHROM"),
+        ((k * 37) % 1000000).alias("POS"),
+        F.concat(F.lit("v"), k).alias("ID"),
+        F.lit("A").alias("REF"),
+        F.when(k % 3 == 0, F.lit("T"))
+        .when(k % 3 == 1, F.lit("G"))
+        .otherwise(F.lit("C,G"))
+        .alias("ALT"),
+        F.lit("100").alias("QUAL"),
+        F.when(k % 11 == 0, F.lit("SVTYPE=Fusion;X=1"))
+        .otherwise(F.lit("X=1"))
+        .alias("INFO"),
+        F.lit("GT:A:DP:B:C:FRO:D:FAO:AF").alias("FORMAT"),
+        F.when(k % 5 == 0, F.lit("FAIL")).otherwise(F.lit("PASS")).alias(
+            "FILTER"
+        ),
+        t_fmt.alias("SAMPLE_FMT"),
+    )
+    n_fmt = F.concat_ws(
+        ":",
+        F.when(k % 2 == 0, F.lit("0/0")).otherwise(F.lit("0/1")),
+        F.lit("x"), (k % 30 + 12), F.lit("x"), F.lit("x"),
+        (k % 50), F.lit("x"), (k % 30),
+        F.element_at(
+            F.array(
+                F.lit("0.00"), F.lit("0.01"), F.lit("0.02"), F.lit("0.03")
+            ),
+            (k % 4 + 1).cast("int"),
+        ),
+    )
+    normal = o.filter(k % 3 == 0).select(
+        F.concat(F.lit("P"), p, F.lit("_N")).alias("sample_id"),
+        F.concat(F.lit("chr"), (k % 22 + 1)).alias("CHROM"),
+        ((k * 37) % 1000000).alias("POS"),
+        F.concat(F.lit("v"), k).alias("ID"),
+        F.lit("A").alias("REF"),
+        F.lit("T").alias("ALT"),
+        F.lit("100").alias("QUAL"),
+        F.lit("X=1").alias("INFO"),
+        F.lit("GT:A:DP:B:C:FRO:D:FAO:AF").alias("FORMAT"),
+        F.lit("PASS").alias("FILTER"),
+        n_fmt.alias("SAMPLE_FMT"),
+    )
+    return tumor.unionByName(normal), manifest
+
+
+def probe_somatic() -> None:
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
+        pair_patients,
+        snv_somatic,
+    )
+
+    spark = _spark()
+    base_rows, base_pat = 150_000, 20  # the sf0.1 bench shape
+    print("scale | rows | explode | +sides | +merge | +gates | full e2e")
+    walls = []
+    for scale in (1, 4, 16):
+        n_rows, n_pat = base_rows * scale, base_pat * scale
+        vcf, manifest = _synth_cohort(spark, n_rows, n_pat)
+        pairs = pair_patients(manifest)
+
+        # cumulative cuts replicating snv_somatic's internal chain
+        v = vcf.withColumn("ALT", F.explode(F.split(F.col("ALT"), ",")))
+        t_explode = _noop(v)
+
+        pair_t = pairs.select("tumor_sample_id", "normal_sample_id")
+        t = v.join(
+            F.broadcast(pair_t),
+            v["sample_id"] == pair_t["tumor_sample_id"],
+            "inner",
+        ).select(
+            "tumor_sample_id", "normal_sample_id",
+            "CHROM", "POS", "ID", "REF", "ALT", "QUAL", "INFO", "FORMAT",
+            F.col("FILTER").alias("tumor_FILTER"),
+            F.col("SAMPLE_FMT").alias("tumor_fmt"),
+        )
+        n = v.join(
+            F.broadcast(pairs.select("normal_sample_id")),
+            v["sample_id"] == F.col("normal_sample_id"),
+            "inner",
+        ).select(
+            "normal_sample_id",
+            "CHROM", "POS", "ID", "REF", "ALT",
+            F.col("FILTER").alias("normal_FILTER"),
+            F.col("SAMPLE_FMT").alias("normal_fmt"),
+        )
+        t_sides = _noop(t) + _noop(n)
+
+        merged = t.join(
+            n,
+            on=["normal_sample_id", "CHROM", "POS", "ID", "REF", "ALT"],
+            how="full_outer",
+        )
+        t_merge = _noop(merged)
+
+        full = snv_somatic(vcf, pairs).groupBy("tumor_sample_id").agg(
+            F.count(F.lit(1)).alias("n_somatic")
+        )
+        t_full = _noop(full)
+        walls.append(t_full)
+        print(
+            f"{scale:>5}x | {n_rows:>9,} | {t_explode:6.2f}s | "
+            f"{t_sides:6.2f}s | {t_merge:6.2f}s | "
+            f"{max(0.0, t_full - t_merge):6.2f}s | {t_full:6.2f}s"
+        )
+    a_full = math.log(walls[-1] / walls[0]) / math.log(16)
+    print(f"end-to-end alpha over 16x: {a_full:.2f}")
+
+
+def _synth_lineitem(spark, n_rows: int):
+    """TPC-H-shaped (orderkey, suppkey, returnflag): ~4 lines per order,
+    suppliers hash-spread, ~25% R rows (the testdata's flag mix)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_rows).select(
+        (F.col("id") / 4).cast("long").alias("l_orderkey"),
+        (
+            (F.xxhash64("id") % 10_000 + 10_000) % 10_000
+        ).alias("l_suppkey"),
+        F.when(F.xxhash64(F.col("id") + 7) % 4 == 0, F.lit("R"))
+        .otherwise(F.lit("N"))
+        .alias("l_returnflag"),
+    )
+
+
+def _q21_joins(li, F):
+    """The replaced semi/anti formulation (kept here for the probe)."""
+    r1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    ).distinct()
+    other_r = r1.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    cand = r1.join(
+        other,
+        (r1["l_orderkey"] == other["_ok"]) & (r1["l_suppkey"] != other["_sk"]),
+        "left_semi",
+    )
+    sole = cand.join(
+        other_r,
+        (cand["l_orderkey"] == other_r["_ok"])
+        & (cand["l_suppkey"] != other_r["_sk"]),
+        "left_anti",
+    )
+    return sole.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def _q21_counts(li, F):
+    """The shipped single-scan formulation (registry/tpch.py)."""
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("is_r")
+    )
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.sum("is_r").alias("n_r"),
+        F.max(F.when(F.col("is_r") == 1, F.col("l_suppkey"))).alias(
+            "l_suppkey"
+        ),
+    )
+    sole = per_order.filter((F.col("n_sup") > 1) & (F.col("n_r") == 1))
+    return sole.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def probe_q21() -> None:
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    print("rows | joins(3-scan) | counts(1-scan) | speedup | equal")
+    for n_rows in (600_000, 6_000_000):
+        li = _synth_lineitem(spark, n_rows).persist()
+        li.count()
+        try:
+            t_join = _noop(_q21_joins(li, F))
+            t_cnt = _noop(_q21_counts(li, F))
+            a = {
+                (r["l_suppkey"], r["numwait"])
+                for r in _q21_joins(li, F).collect()
+            }
+            b = {
+                (r["l_suppkey"], r["numwait"])
+                for r in _q21_counts(li, F).collect()
+            }
+            print(
+                f"{n_rows:>9,} | {t_join:8.2f}s | {t_cnt:8.2f}s | "
+                f"{t_join / t_cnt:5.2f}x | {a == b}"
+            )
+        finally:
+            li.unpersist()
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("somatic", "all"):
+        probe_somatic()
+    if which in ("q21", "all"):
+        probe_q21()
