@@ -117,3 +117,47 @@ def test_real_ppm_resize_path_in_spark(spark):
     resized = ppm_decode(bytes(out["payload"]))
     assert resized.shape == (5, 4, 3)
     assert out["meta"]["width"] == 4 and out["meta"]["height"] == 5
+
+
+def test_audio_rms_zcr_matches_numpy_model(spark):
+    """llm/audiofeat against an independent numpy model: random PCM16
+    clips (including an all-zero and an empty-payload row) round-trip
+    through wav_encode -> the mapInPandas decoder, and RMS /
+    zero-crossings must equal the direct int16 computation. Pins the
+    exactness contract the multimodal_audio face's oracle relies on:
+    rint(mono*2^15) recovers the exact ints, sum(pcm^2) stays in int64,
+    and sqrt(ss/n)/2^15 is the one float operation chain."""
+    import math
+
+    import numpy as np
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.audiofeat import (
+        audio_rms_zcr,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.codecs import (
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    clips = {
+        1: rng.integers(-32768, 32767, size=101).astype(np.int64),
+        2: np.zeros(64, dtype=np.int64),
+        3: rng.integers(-4, 4, size=57).astype(np.int64) * 1000,
+    }
+    rows = [
+        (mid, bytearray(wav_encode(pcm / 32768.0, 8000)))
+        for mid, pcm in clips.items()
+    ] + [(4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_rms_zcr(df).collect()}
+
+    for mid, pcm in clips.items():
+        r = got[mid]
+        neg = pcm < 0
+        assert r["n_samples"] == len(pcm)
+        assert r["zero_crossings"] == int(np.count_nonzero(neg[1:] != neg[:-1]))
+        assert r["rms"] == math.sqrt(int(np.dot(pcm, pcm)) / len(pcm)) / 32768.0
+        assert r["payload_bytes"] == 44 + 2 * len(pcm)
+    assert (got[4]["payload_bytes"], got[4]["n_samples"], got[4]["rms"]) == (
+        0, 0, 0.0,
+    )
