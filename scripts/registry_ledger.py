@@ -170,6 +170,37 @@ def regate_offenders(
     return offenders
 
 
+def plan_rotation(
+    order: list[str],
+    hist: dict[str, dict[int, str]],
+    changed: set[str],
+    gate: int = GATE,
+) -> list[str]:
+    """Compute the NEXT round's recommended registry order under the
+    rotation policy: never-certified faces first (nothing to
+    invalidate), then changed-since-cert (re-gate is mandatory), then
+    stalest certifications (oldest latest-green round first, thinnest
+    green history as tie-break), until the gate is full; below the
+    gate, remaining faces sorted stalest-first so the round after is
+    equally mechanical. Advisory: prints what a human previously
+    hand-computed; the enforcement check stays regate_offenders."""
+    greens = {
+        n: sorted(r for r, s in hist.get(n, {}).items() if s == "green")
+        for n in order
+    }
+    never = [n for n in order if not greens[n]]
+    must = [n for n in order if n in changed and greens[n]]
+    rest = [n for n in order if n not in never and n not in must]
+    staleness = lambda n: (  # noqa: E731
+        greens[n][-1], len(greens[n]), order.index(n)
+    )
+    rest_sorted = sorted(rest, key=staleness)
+    head = never + must
+    fill = rest_sorted[: max(0, gate - len(head))]
+    tail = [n for n in rest_sorted if n not in fill]
+    return head + fill + tail
+
+
 def main() -> int:
     sys.path.insert(0, ROOT)
     import __spark_entry__ as entry
@@ -227,6 +258,14 @@ def main() -> int:
         n for n in order
         if stored[n]["fpr"] != current[n]
     }
+    if "--plan-rotation" in sys.argv:
+        proposal = plan_rotation(order, hist, changed)
+        print(f"# proposed next-gate order (first {GATE} = gate):")
+        for i, n in enumerate(proposal):
+            if i == GATE:
+                print("# --- gate boundary ---")
+            print(f'    "{n}",')
+        return 0
     offenders = regate_offenders(order, stored, current)
 
     lines = [
