@@ -423,3 +423,86 @@ def test_tree_roots_matches_python_model(spark, parents, data):
         for r in tree_roots(df, "node", "parent", rounds).collect()
     }
     assert got == want
+
+
+@given(
+    cents=st.lists(st.integers(-500, 500), min_size=1, max_size=60),
+    nulls=st.integers(0, 5),
+    ps=st.lists(
+        st.sampled_from([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@SETTINGS
+def test_exact_quantiles_matches_sorted_model(spark, cents, nulls, ps):
+    """exact_quantiles (two-phase distributed selection) against the
+    brute-force definition: value = sorted(values)[max(1, ceil(p*n)) - 1]
+    — the independent MEANING check the oracle-parity suite cannot give
+    (parity certifies cross-engine agreement, not the rank contract).
+    NULL rows ride along and must not shift ranks (r9 advice)."""
+    import math
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        exact_quantiles,
+    )
+
+    rows = [(c / 100.0,) for c in cents] + [(None,)] * nulls
+    df = spark.createDataFrame(rows, "value double")
+    got = {
+        r["p"]: (r["value"], r["rank"])
+        for r in exact_quantiles(df, "value", ps, n_buckets=4).collect()
+    }
+    vals = sorted(c / 100.0 for c in cents)
+    n = len(vals)
+    for p in ps:
+        rank = max(1, math.ceil(p * n))
+        assert got[p] == (vals[rank - 1], rank), (p, got[p], vals)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-300, 300),
+            st.integers(0, 4),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    p=st.sampled_from([0.25, 0.5, 0.9, 1.0]),
+)
+@SETTINGS
+def test_grouped_weighted_quantiles_match_expansion_model(spark, rows, p):
+    """grouped_quantiles with weights against weight EXPANSION: a row of
+    weight w must behave exactly like w copies of itself, with rank
+    walking total mass via the documented basis-point integer ceil
+    ((p_bp*n + 9999) div 10^4). Zero-weight rows contribute nothing;
+    groups whose total mass is zero emit no rows."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(k, c / 100.0, w) for k, c, w in rows],
+        "k string, value double, w long",
+    )
+    got = {
+        r["k"]: (r["value"], r["rank"], r["n"])
+        for r in grouped_quantiles(
+            df, "k", "value", [p], weight_col="w"
+        ).collect()
+    }
+    p_bp = int(round(p * 10000))
+    expect = {}
+    for key in {k for k, _, _ in rows}:
+        expanded = sorted(
+            c / 100.0 for k, c, w in rows if k == key for _ in range(w)
+        )
+        if not expanded:
+            continue
+        n = len(expanded)
+        rank = (p_bp * n + 9999) // 10000
+        expect[key] = (expanded[rank - 1], rank, n)
+    assert got == expect
