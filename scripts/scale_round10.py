@@ -20,7 +20,7 @@
    agreement certifies the rewrite; this probe records what the rewrite
    is worth and how it scales.
 
-    python scripts/scale_round10.py [somatic|q21|all]
+    python scripts/scale_round10.py [somatic|q21|audio|all]
 """
 
 from __future__ import annotations
@@ -279,9 +279,60 @@ def probe_q21() -> None:
             li.unpersist()
 
 
+
+
+def probe_audio() -> None:
+    """Audio twin of the r9 media probe: in-plan WAV synthesis ->
+    RIFF decode -> RMS/ZCR at growing clip counts; pins the same
+    1:1 row-bounded claim (payload bytes never shuffle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.audiofeat import (
+        audio_rms_zcr,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.codecs import (
+        wav_encode,
+    )
+
+    spark = _spark()
+    print("clips | wall | clips/s")
+    walls = []
+    for n in (50_000, 200_000, 800_000):
+        base = spark.range(n).select(F.col("id").alias("media_id"))
+
+        def gen(batches):
+            for pdf in batches:
+                keys = pdf["media_id"].to_numpy()
+                i = np.arange(64)[None, :]
+                pcm = (keys[:, None] * 37 + i * 101) % 4096 - 2048
+                payloads = [
+                    wav_encode(pcm[r] / 32768.0, 8000)
+                    for r in range(len(keys))
+                ]
+                yield pd.DataFrame(
+                    {"media_id": keys, "payload": payloads}
+                )
+
+        media = base.mapInPandas(
+            gen, schema="media_id long, payload binary"
+        )
+        agg = audio_rms_zcr(media).agg(
+            F.sum("zero_crossings").alias("z"), F.sum("rms").alias("r")
+        )
+        t = _noop(agg)
+        walls.append(t)
+        print(f"{n:>7,} | {t:6.2f}s | {n / t:,.0f}")
+    a = math.log(walls[-1] / walls[0]) / math.log(16)
+    print(f"audio alpha over 16x: {a:.2f}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("somatic", "all"):
         probe_somatic()
     if which in ("q21", "all"):
         probe_q21()
+    if which in ("audio", "all"):
+        probe_audio()
