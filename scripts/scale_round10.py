@@ -20,7 +20,7 @@
    agreement certifies the rewrite; this probe records what the rewrite
    is worth and how it scales.
 
-    python scripts/scale_round10.py [somatic|q21|audio|all]
+    python scripts/scale_round10.py [somatic|q21|audio|quantiles|all]
 """
 
 from __future__ import annotations
@@ -328,6 +328,43 @@ def probe_audio() -> None:
     print(f"audio alpha over 16x: {a:.2f}")
 
 
+def probe_quantiles() -> None:
+    """Pins grouped_quantiles' lattice-bound claim: the ordered window
+    is bounded by the group's DISTINCT-VALUE lattice (grid points), not
+    its row count — so rows x16 at a FIXED 1000-point lattice should
+    scale like the scan (alpha well under 1), while lattice x16 at
+    fixed rows is the shape that actually grows the window."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    spark = _spark()
+    # warm the JVM/codegen path so the first measured point is honest
+    warm = spark.range(100_000).select(
+        (F.col("id") % 8).alias("k"), (F.col("id") % 100 / 100.0).alias("value")
+    )
+    _noop(grouped_quantiles(warm, "k", "value", [0.5]))
+    print("rows | lattice | wall")
+    walls = []
+    for n_rows, lattice in ((1_000_000, 1000), (4_000_000, 1000),
+                            (16_000_000, 1000), (1_000_000, 16000)):
+        df = spark.range(n_rows).select(
+            (F.col("id") % 8).alias("k"),
+            (
+                ((F.xxhash64("id") % lattice + lattice) % lattice) / 100.0
+            ).alias("value"),
+        )
+        q = grouped_quantiles(df, "k", "value", [0.25, 0.5, 0.99])
+        t = _noop(q)
+        walls.append(t)
+        print(f"{n_rows:>11,} | {lattice:>6,} | {t:6.2f}s")
+    a = math.log(walls[2] / walls[0]) / math.log(16)
+    print(f"rows-alpha at fixed lattice: {a:.2f}; "
+          f"lattice x16 at fixed rows: {walls[3] / walls[0]:.2f}x")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("somatic", "all"):
@@ -336,3 +373,5 @@ if __name__ == "__main__":
         probe_q21()
     if which in ("audio", "all"):
         probe_audio()
+    if which in ("quantiles", "all"):
+        probe_quantiles()
