@@ -1,0 +1,53 @@
+"""The certification ledger's POLICY functions are pure — test them like
+operators. The rotation rule ("changed-since-cert must sit inside the
+gate; never-certified are exempt; stalest certifications fill free
+slots") decides what the driver certifies each round, so a bug here is
+an evidence bug, not a tooling nit."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+)
+
+from registry_ledger import plan_rotation, regate_offenders  # noqa: E402
+
+
+def test_regate_offenders_policy():
+    order = ["a", "b", "c", "d"]
+    stored = {
+        "a": {"fpr": "A", "round": 3},   # unchanged, in gate
+        "b": {"fpr": "B", "round": 3},   # changed, in gate -> fine
+        "c": {"fpr": "C", "round": 3},   # changed, OUTSIDE gate -> offender
+        "d": {"fpr": "D", "round": 0},   # never certified -> exempt
+    }
+    current = {"a": "A", "b": "B2", "c": "C2", "d": "D2"}
+    assert regate_offenders(order, stored, current, gate=2) == ["c"]
+    # a missing snapshot is conservative: offender when outside the gate
+    assert regate_offenders(order, {}, current, gate=2) == ["c", "d"]
+
+
+def test_plan_rotation_orders_never_changed_stalest():
+    order = ["w", "x", "y", "z"]
+    hist = {
+        "w": {5: "green", 8: "green"},   # certified r8, rich history
+        "x": {6: "green"},               # stalest (r6)
+        "y": {},                         # never certified
+        "z": {8: "green"},               # certified r8, thin history
+    }
+    got = plan_rotation(order, hist, changed={"z"}, gate=3)
+    # never first, changed second, stalest fill; 'w' (freshest+richest)
+    # falls below the gate
+    assert got == ["y", "z", "x", "w"]
+
+
+def test_plan_rotation_is_a_permutation():
+    order = [f"q{i}" for i in range(60)]
+    hist = {n: ({7: "green"} if i % 2 else {6: "green"}) for i, n in enumerate(order)}
+    got = plan_rotation(order, hist, changed=set(), gate=50)
+    assert sorted(got) == sorted(order)
+    # gate leads with the stale half (r6-latest), stable within
+    assert all(hist[n] == {6: "green"} for n in got[:30])
