@@ -8,18 +8,27 @@ survive depends on which earlier events survived, a per-key sequential
 fold that no window function expresses (``lag`` sees the previous ROW,
 not the previous KEPT row).
 
-It is therefore the package's canonical LEGITIMATE ``applyInPandas`` use:
-an Arrow-batched per-key fold (numpy scan, one pass, no Python per-row
-work in the driver), grouped on the key so each task folds only its own
-keys. Scale shape: one shuffle on the key; per-key state is a single
-timestamp; memory is bounded by the largest single key's events (the same
-bound any per-key window already pays). The DuckDB oracle replays the
-identical fold as a linear recursive CTE — certifying a genuinely
-iterative, non-window semantics (the bpe_merges / pagerank discipline
-applied to Pandas-UDF code).
+It is therefore the package's canonical LEGITIMATE Pandas-UDF use: a
+PARTITION fold over ``mapInPandas`` — hash-repartition on the key, sort
+within partitions on (key, ts, tiebreak), then fold whole Arrow batches
+with a cursor of (current key, last kept timestamp) that carries across
+batch boundaries. Per-key ``applyInPandas`` computed the same thing
+10x slower (r10 probe: 4.8s -> 0.46s on 100k events / 1.5k keys,
+identical output): one pandas object PER KEY is pure Python overhead
+when keys are small, while the partition fold streams every key in a
+task through one numpy pass. Scale shape: the SAME single shuffle on
+the key (repartition vs applyInPandas' grouping exchange), per-key
+state is one timestamp, and within a key the fold JUMPS between kept
+events with searchsorted — cost is O(kept · log events) per key, not
+O(events), so an aggressive gap gets cheaper, not slower. The DuckDB
+oracle replays the identical fold as a linear recursive CTE —
+certifying a genuinely iterative, non-window semantics (the
+bpe_merges / pagerank discipline applied to Pandas-UDF code).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
@@ -36,24 +45,57 @@ def throttle_events(
     Per key, events are ordered by (``ts_col``, ``tiebreak_col``) — the
     tiebreak makes equal-timestamp order deterministic — and an event is
     kept iff ``ts >= last_kept_ts + gap_seconds``. The first event of
-    every key is always kept."""
+    every key is always kept. ``gap_seconds <= 0`` keeps every event
+    (t - last >= gap is then always true — and the searchsorted jump
+    below would not advance)."""
+    import numpy as np
     import pandas as pd  # noqa: F401 — Arrow batch interface
 
     cols = df.columns
     gap_ns = int(round(gap_seconds * 1_000_000_000))
+    if gap_ns <= 0:
+        return df
 
-    def fold(pdf):
-        pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
-        ts = pdf[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
-        keep = [False] * len(ts)
-        last = None
-        for i, t in enumerate(ts):
-            if last is None or t - last >= gap_ns:
-                keep[i] = True
-                last = t
-        return pdf.loc[keep, cols]
+    def fold(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cur_key = None
+        last = 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ts = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
+            )
+            keys = pdf[key_col].to_numpy()
+            keep = np.zeros(n, dtype=bool)
+            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                if keys[s] != cur_key:  # new key: first event always kept
+                    cur_key = keys[s]
+                    keep[s] = True
+                    last = ts[s]
+                    s += 1
+                # jump straight to the next keeper: first ts >= last+gap
+                # (a key split across Arrow batches resumes here with the
+                # carried cursor — sortWithinPartitions guarantees the
+                # later batch holds the later timestamps)
+                while True:
+                    j = s + int(
+                        np.searchsorted(ts[s:e], last + gap_ns, "left")
+                    )
+                    if j >= e:
+                        break
+                    keep[j] = True
+                    last = ts[j]
+                    s = j
+            yield pdf.loc[keep, cols]
 
-    return df.groupBy(key_col).applyInPandas(fold, df.schema)
+    return (
+        df.repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, tiebreak_col)
+        .mapInPandas(fold, df.schema)
+    )
 
 
 def throttle_events_sql(
