@@ -20,7 +20,7 @@
    agreement certifies the rewrite; this probe records what the rewrite
    is worth and how it scales.
 
-    python scripts/scale_round10.py [somatic|q21|audio|quantiles|all]
+    python scripts/scale_round10.py [somatic|q21|audio|quantiles|throttle|all]
 """
 
 from __future__ import annotations
@@ -365,6 +365,46 @@ def probe_quantiles() -> None:
           f"lattice x16 at fixed rows: {walls[3] / walls[0]:.2f}x")
 
 
+def probe_throttle() -> None:
+    """Pins the r10 partition-fold rewrite's two claims: (a) wall rides
+    the scan (alpha < 1) as rows x16 at fixed keys-per-row density;
+    (b) per-key cost is O(kept . log events) — an AGGRESSIVE gap (fewer
+    kept events) is cheaper at equal input size, where the old per-row
+    fold was gap-independent."""
+    from pyspark.sql import functions as F
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+    )
+
+    spark = _spark()
+
+    def events(n):
+        return spark.range(n).select(
+            (F.col("id") % (n // 64)).alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1_600_000_000)
+                + ((F.xxhash64("id") % 5_000_000 + 5_000_000) % 5_000_000)
+            ).alias("ts"),
+        )
+
+    # warm
+    _noop(throttle_events(events(50_000), "user_id", "ts", 3600, "event_id"))
+    print("rows | gap | kept | wall")
+    walls = {}
+    for n, gap in ((500_000, 3600), (2_000_000, 3600), (8_000_000, 3600),
+                   (8_000_000, 500_000)):
+        out = throttle_events(events(n), "user_id", "ts", gap, "event_id")
+        t = _noop(out)
+        kept = out.count()
+        walls[(n, gap)] = t
+        print(f"{n:>9,} | {gap:>7,} | {kept:>9,} | {t:6.2f}s")
+    a = math.log(walls[(8_000_000, 3600)] / walls[(500_000, 3600)]) / math.log(16)
+    print(f"rows-alpha: {a:.2f}; aggressive-gap wall ratio: "
+          f"{walls[(8_000_000, 500_000)] / walls[(8_000_000, 3600)]:.2f}x")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("somatic", "all"):
@@ -375,3 +415,5 @@ if __name__ == "__main__":
         probe_audio()
     if which in ("quantiles", "all"):
         probe_quantiles()
+    if which in ("throttle", "all"):
+        probe_throttle()
