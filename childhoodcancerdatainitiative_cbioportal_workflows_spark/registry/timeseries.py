@@ -626,9 +626,11 @@ def q_throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff it is >= 24h after the previously KEPT event of that user — the
     alert-dedup semantics no window function expresses (lag sees the
     previous ROW, not the previous kept row). The engine side is the
-    package's canonical legitimate applyInPandas fold; the oracle replays
-    the identical fold as a linear recursive CTE, so the Pandas-UDF code
-    path is driver-certified like any declarative plan."""
+    package's canonical legitimate Pandas-UDF fold (r10: a mapInPandas
+    partition fold with a cross-batch cursor — see operators/throttle);
+    the oracle replays the identical fold as a linear recursive CTE, so
+    the Pandas-UDF code path is driver-certified like any declarative
+    plan."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
         throttle_events,
     )
