@@ -167,8 +167,11 @@ WITH t AS (
 ), hot AS (  -- doc-freq stoplist, mirrors ngram_jaccard_pairs(max_doc_freq=5)
   SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 5
 ), sh AS (
+  -- NOT EXISTS, not NOT IN (r9-advice NULL class): shingles here are
+  -- never NULL, but the anti-join form matches Spark's left_anti on
+  -- every input, so the oracle cannot silently diverge if they were
   SELECT doc_id, shingle FROM sh0
-  WHERE shingle NOT IN (SELECT shingle FROM hot)
+  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh0.shingle)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -461,8 +464,12 @@ WITH hx AS (
   FROM batch GROUP BY 1
 )
 SELECT doc_id, fp, n_copies
-FROM fresh WHERE fp NOT IN (SELECT fp FROM seen)
+FROM fresh WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.fp = fresh.fp)
 """
+# NOT EXISTS, not NOT IN (r9 advice on bloom_pruned_dedup, same latent
+# class): md5(NULL text) = NULL, and one NULL in the NOT-IN subquery
+# empties the result under three-valued logic while Spark's left_anti
+# KEEPS null-fp rows — NOT EXISTS matches the anti-join on that slice.
 
 
 def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

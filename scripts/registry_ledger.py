@@ -292,13 +292,12 @@ def main() -> int:
         "Planned r11 rotation (keep no certification older than three "
         "rounds): the remaining r07-latest faces "
         "(`attribution_lastclick` onward, in ledger order) lead the r11 "
-        "gate after any changed/never-certified faces, then the oldest "
-        "r08 bucket fills the rest. Queued r11 oracle edits (must ride "
-        "that gate; r10's was exactly full): `incremental_dedup` and "
-        "`ngram_jaccard_stoplist` still use `NOT IN (SELECT ...)` — the "
-        "same latent NULL three-valued-logic class the r9 advice flagged "
-        "on `bloom_pruned_dedup` (benign on current testdata; switch to "
-        "NOT EXISTS when their faces are next gated).",
+        "gate after any changed/never-certified faces (starting with "
+        "`session_paths`/`cumulative_actives`, displaced from the r10 "
+        "gate by the NOT-IN -> NOT-EXISTS oracle fixes), then the oldest "
+        "r08 bucket fills the rest. No queued oracle edits remain: the "
+        "registry is NOT-IN-free (the r9-advice NULL "
+        "three-valued-logic class).",
         "",
         "| # | query | green in rounds | latest driver status | changed since cert | in r-next gate |",
         "|---|---|---|---|---|---|",
