@@ -104,8 +104,15 @@ def jaccard_estimate_pairs(
     count over the (G·k)-row signature table (parameter-sized, never
     data-sized); past it, use the banded MinHash-LSH path
     (llm.dedup.minhash_lsh), which buckets signatures so only in-band
-    collisions ever pair. Pass ``max_groups=None`` to waive the guard."""
+    collisions ever pair. Pass ``max_groups=None`` to waive the guard.
+
+    When the guard runs, ``sig`` is persisted first so the eager count
+    does not compute the upstream signature pipeline (a full corpus
+    scan + minhash aggregation) a second time when the returned join is
+    materialized — the cache is parameter-sized (≤ max_groups·k rows);
+    callers may ``sig.unpersist()`` after consuming the result."""
     if max_groups is not None:
+        sig = sig.persist()
         n_g = sig.select("g").distinct().count()
         if n_g > max_groups:
             raise ValueError(

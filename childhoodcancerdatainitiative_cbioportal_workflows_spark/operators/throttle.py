@@ -33,6 +33,20 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 
 
+def _key_eq(a: object, b: object) -> bool:
+    """NULL-safe scalar key equality for the cross-batch cursor: two keys
+    match iff both are NA (None/NaN/NaT — ``NaN != NaN`` would fragment a
+    nullable-numeric NULL group into per-row groups) or compare equal."""
+    import pandas as pd
+
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return bool(a == b)
+
+
 def throttle_events(
     df: DataFrame,
     key_col: str,
@@ -57,7 +71,12 @@ def throttle_events(
         return df
 
     def fold(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cur_key = None
+        # Cursor state carried across Arrow batches. ``have_key`` is an
+        # explicit first-group flag: a ``cur_key = None`` sentinel would
+        # collide with a genuine NULL key (None == the initial sentinel,
+        # so the NULL group's first event would ride a stale ``last``).
+        have_key = False
+        cur_key: object = None
         last = 0
         for pdf in batches:
             n = len(pdf)
@@ -67,11 +86,17 @@ def throttle_events(
                 pdf[ts_col].astype("datetime64[ns]").astype("int64").to_numpy()
             )
             keys = pdf[key_col].to_numpy()
+            # Group boundaries via factorize, which folds every NA into
+            # one code (numpy ``!=`` on a float/NaT column fragments the
+            # NULL group: NaN != NaN row-by-row).
+            codes = pd.factorize(pdf[key_col], use_na_sentinel=False)[0]
             keep = np.zeros(n, dtype=bool)
-            starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
             ends = np.r_[starts[1:], n]
             for s, e in zip(starts, ends):
-                if keys[s] != cur_key:  # new key: first event always kept
+                if not have_key or not _key_eq(keys[s], cur_key):
+                    # new key: first event always kept
+                    have_key = True
                     cur_key = keys[s]
                     keep[s] = True
                     last = ts[s]
@@ -108,7 +133,16 @@ def throttle_events_sql(
 ) -> str:
     """DuckDB oracle for :func:`throttle_events`: the same greedy fold as
     a linear recursive CTE stepping one row per key per iteration.
-    ``source_cte`` must yield the throttle's input rows."""
+    ``source_cte`` must yield the throttle's input rows. The key join is
+    NULL-safe (``IS NOT DISTINCT FROM``) so a NULL-key group throttles as
+    one group, matching the engine fold.
+
+    SF envelope: the recursive CTE's iteration count is the MAX rows per
+    key, and every iteration rescans the ordered set — fine at sf0.1
+    (~70 events/user, the largest shipped testdata) but quadratic-ish at
+    sf1+. If a larger SF ever ships, precompute per-key keep-flags with a
+    bounded unroll or cap the face's input window; the Spark side needs
+    no change (the partition fold is O(kept·log events) per key)."""
     return f"""
 WITH RECURSIVE src AS ({source_cte}), ordered AS (
   SELECT *, ROW_NUMBER() OVER (
@@ -124,7 +158,7 @@ WITH RECURSIVE src AS ({source_cte}), ordered AS (
               THEN o.{ts_col} ELSE k._kept_ts END,
          o.{ts_col} >= k._kept_ts + INTERVAL {gap_seconds} SECOND
   FROM ordered o JOIN keep k
-    ON o.{key_col} = k.{key_col} AND o._rn = k._rn + 1
+    ON o.{key_col} IS NOT DISTINCT FROM k.{key_col} AND o._rn = k._rn + 1
 )
 SELECT {out_cols} FROM keep WHERE _kept
 """

@@ -36,6 +36,7 @@ import inspect
 import json
 import os
 import re
+import subprocess
 import sys
 import types
 
@@ -224,12 +225,35 @@ def main() -> int:
     if algo != FPR_ALGO:
         # One-time migration: the fingerprint ALGORITHM changed, not the
         # code — re-snapshot every face against the current tree,
-        # preserving its certification round. Valid ONLY when run at
-        # round start on the certified tree (same precondition as the
-        # normal green-refresh path above).
+        # preserving its certification round. Re-snapshotting absorbs any
+        # genuine face edit made since certification (it would never be
+        # flagged changed-since-cert), so it is gated behind an explicit
+        # flag AND a clean working tree — run it at round start on the
+        # certified tree only.
+        if "--migrate-fpr-algo" not in sys.argv:
+            print(
+                f"fingerprint algo changed ({algo} -> {FPR_ALGO}) but "
+                "migration re-snapshots EVERY stored fingerprint, "
+                "absorbing any uncertified edits; rerun with "
+                "--migrate-fpr-algo on the certified tree",
+                file=sys.stderr,
+            )
+            return 1
+        dirty = subprocess.run(
+            ["git", "-C", ROOT, "status", "--porcelain"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        if dirty:
+            print(
+                "refusing --migrate-fpr-algo on a dirty working tree "
+                "(the snapshot must be the certified tree):\n" + dirty,
+                file=sys.stderr,
+            )
+            return 1
         print(
             f"fingerprint algo {algo} -> {FPR_ALGO}: re-snapshotting all "
-            "faces against the current tree (must be the certified tree)"
+            "faces against the current (clean) tree"
         )
         for name, snap in stored.items():
             if name in current:

@@ -666,6 +666,120 @@ def test_throttle_events_greedy_not_lag(spark):
     assert kept == {10, 12, 20}
 
 
+def test_throttle_null_keys_one_group(spark):
+    """NULL keys throttle as ONE group (first kept, rest gated on the
+    gap), matching the old applyInPandas grouping — for BOTH null
+    representations the Arrow bridge produces: object-dtype None (string
+    key) and float NaN (nullable long key, where a naive numpy ``!=``
+    fragments the group because NaN != NaN)."""
+    import datetime as dt
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    for other_key, schema in (
+        ("a", "k string, eid long, ts timestamp"),
+        (7, "k long, eid long, ts timestamp"),
+    ):
+        rows = [
+            (None, 1, t0),
+            (None, 2, t0 + dt.timedelta(seconds=1)),  # throttled (gap 10)
+            (None, 3, t0 + dt.timedelta(seconds=12)),  # kept
+            (other_key, 4, t0),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        kept = {
+            r["eid"]
+            for r in throttle_events(df, "k", "ts", 10, "eid").collect()
+        }
+        assert kept == {1, 3, 4}, schema
+
+
+def test_throttle_cursor_across_arrow_batches(spark):
+    """A key split across Arrow batches resumes the carried cursor: with
+    maxRecordsPerBatch=4 a 30-event key spans ~8 batches, and the result
+    must still equal the sequential greedy model (the resume path the
+    default 10k batch size never exercises)."""
+    import datetime as dt
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # key 1: events every 3s, gap 7 -> keep t=0,9,18,... (greedy jumps);
+    # key 2 interleaved to exercise a batch-internal key change too.
+    rows = [(1, i, t0 + dt.timedelta(seconds=3 * i)) for i in range(30)]
+    rows += [(2, 100 + i, t0 + dt.timedelta(seconds=5 * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, eid long, ts timestamp")
+
+    want = set()
+    for k in (1, 2):
+        last = None
+        for kk, eid, ts in sorted(r for r in rows if r[0] == k):
+            if last is None or (ts - last).total_seconds() >= 7:
+                want.add(eid)
+                last = ts
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf, "10000")
+    spark.conf.set(conf, "4")
+    try:
+        got = {
+            r["eid"]
+            for r in throttle_events(df, "k", "ts", 7, "eid").collect()
+        }
+    finally:
+        spark.conf.set(conf, old)
+    assert got == want
+
+
+def test_throttle_oracle_null_safe_join(spark):
+    """The DuckDB oracle's recursive step joins NULL-safely
+    (IS NOT DISTINCT FROM): on an input with NULL keys it must agree with
+    the engine fold — a plain equality join would drop every NULL-key row
+    after the first."""
+    import datetime as dt
+
+    import duckdb
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.throttle import (
+        throttle_events,
+        throttle_events_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (None, 1, t0),
+        (None, 2, t0 + dt.timedelta(seconds=3)),
+        (None, 3, t0 + dt.timedelta(seconds=20)),
+        (None, 4, t0 + dt.timedelta(seconds=25)),
+        ("u", 5, t0),
+        ("u", 6, t0 + dt.timedelta(seconds=30)),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid long, ts timestamp")
+    got = {
+        r["eid"] for r in throttle_events(df, "k", "ts", 10, "eid").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev (k VARCHAR, eid BIGINT, ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    sql = throttle_events_sql(
+        "SELECT k, eid, ts FROM ev",
+        key_col="k",
+        ts_col="ts",
+        gap_seconds=10,
+        tiebreak_col="eid",
+        out_cols="eid",
+    )
+    want = {r[0] for r in con.execute(sql).fetchall()}
+    assert got == want == {1, 3, 5, 6}
+
+
 def test_countmin_merge_and_upper_bound(spark):
     """The Count-Min sketch is LINEAR: sketches of disjoint shards sum
     counter-wise into the full-corpus sketch (the property that makes it
