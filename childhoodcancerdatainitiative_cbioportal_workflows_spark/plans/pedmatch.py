@@ -233,15 +233,20 @@ def _fmt(col: F.Column, idx: int) -> F.Column:
     )
 
 
-def snv_somatic(vcf: DataFrame, pairs: DataFrame) -> DataFrame:
-    """The SNV chain (pedmatch:311-464) as relational ops.
+# the bcftools `merge -m id` identity: pair scope + variant identity.
+# Both sides of the full-outer merge are keyed on exactly these columns;
+# the bucketed layout (plans/pedmatch_bucketed.py) bucketBys on them so
+# the merge plans with zero Exchange.
+SNV_MERGE_KEYS = ["normal_sample_id", "CHROM", "POS", "ID", "REF", "ALT"]
 
-    bcftools merge -m id  -> full-outer join of tumor/normal on the variant
-    identity (CHROM, POS, ID, REF, ALT); norm -m -any -> explode of
-    comma-split ALT (each allele keeps its row's FORMAT payloads, as bcftools
-    does for per-sample fields of split records); view -i depth/AF gate and
-    the compound somatic filter -> typed column predicates. Output carries
-    the somatic VCF columns + af table columns."""
+
+def snv_merge_sides(
+    vcf: DataFrame, pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The tumor/normal sides of the variant merge (pedmatch:311-410):
+    multiallelics split, each side scoped to its cohort role via a
+    broadcast of the (tiny) pairs table, projected to the merge key +
+    its per-side FILTER/FORMAT payload."""
     # split multiallelics BEFORE the merge join so allele-level identity
     # aligns (bcftools norm after merge; equivalent since the join key
     # includes ALT and split rows re-join per allele)
@@ -270,10 +275,29 @@ def snv_somatic(vcf: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("FILTER").alias("normal_FILTER"),
         F.col("SAMPLE_FMT").alias("normal_fmt"),
     )
-    merged = t.join(
-        n, on=["normal_sample_id", "CHROM", "POS", "ID", "REF", "ALT"], how="full_outer"
-    )
+    return t, n
 
+
+def snv_somatic(vcf: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The SNV chain (pedmatch:311-464) as relational ops.
+
+    bcftools merge -m id  -> full-outer join of tumor/normal on the variant
+    identity (CHROM, POS, ID, REF, ALT); norm -m -any -> explode of
+    comma-split ALT (each allele keeps its row's FORMAT payloads, as bcftools
+    does for per-sample fields of split records); view -i depth/AF gate and
+    the compound somatic filter -> typed column predicates. Output carries
+    the somatic VCF columns + af table columns."""
+    t, n = snv_merge_sides(vcf, pairs)
+    merged = t.join(n, on=SNV_MERGE_KEYS, how="full_outer")
+    return snv_somatic_filter(merged)
+
+
+def snv_somatic_filter(merged: DataFrame) -> DataFrame:
+    """The post-merge tail of the SNV chain (pedmatch:378-464): FORMAT
+    unpacking, the depth/AF gate, the compound somatic predicate, and
+    the forced FILTER='PASS' rewrite — over the already-merged
+    tumor/normal frame (from :func:`snv_somatic` in-flight, or the
+    bucketed exchange-free merge in plans/pedmatch_bucketed.py)."""
     unpacked = (
         merged.withColumn("tumor_gt", _fmt(F.col("tumor_fmt"), _GT))
         .withColumn("normal_gt", _fmt(F.col("normal_fmt"), _GT))

@@ -24,23 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synth_documents(n: int, seed: int) -> "pd.DataFrame":
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    vocab = np.array([f"w{i}" for i in range(5000)])
-    texts = [" ".join(rng.choice(vocab, rng.integers(50, 200))) for _ in range(n)]
-    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
-
-
-def synth_embeddings(n: int, dim: int, seed: int) -> "pd.DataFrame":
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    vecs = rng.standard_normal((n, dim)).astype(np.float64)
-    return pd.DataFrame(
-        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(v) for v in vecs]}
-    )
+from _synth import synth_documents, synth_embeddings  # noqa: E402,F401
 
 
 def main() -> None:

@@ -33,99 +33,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _spark():
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.ansi.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    return spark
-
-
-def _noop(df) -> float:
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
-
-
-def _synth_cohort(spark, n_rows: int, n_pat: int):
-    """The somatic face's synthetic VCF cohort (registry/genomics.py
-    q_somatic_calls), parameterized: k rides spark.range, p = k % n_pat."""
-    from pyspark.sql import functions as F
-
-    o = spark.range(1, n_rows + 1).select(F.col("id").alias("o_orderkey"))
-    k = F.col("o_orderkey")
-    p = k % n_pat
-
-    ps = spark.range(n_pat).select(F.col("id").alias("p"))
-    mk = lambda suf, typ: ps.select(  # noqa: E731
-        F.concat(F.lit("P"), F.col("p")).alias("participant_id"),
-        F.concat(F.lit("P"), F.col("p"), F.lit(suf)).alias("sample_id"),
-        F.lit(typ).alias("sample_type"),
-        F.concat(F.lit("f"), F.col("p")).alias("file_name"),
-    )
-    manifest = mk("_T", "tissue").unionByName(mk("_N", "blood"))
-
-    t_fmt = F.concat_ws(
-        ":",
-        F.when(k % 17 == 0, F.lit("0/0")).otherwise(F.lit("0/1")),
-        F.lit("x"), (k % 40 + 10), F.lit("x"), F.lit("x"),
-        (k % 50), F.lit("x"), (k % 30),
-        F.concat(F.lit("0."), F.lpad((k % 20).cast("string"), 2, "0")),
-    )
-    tumor = o.select(
-        F.concat(F.lit("P"), p, F.lit("_T")).alias("sample_id"),
-        F.concat(F.lit("chr"), (k % 22 + 1)).alias("CHROM"),
-        ((k * 37) % 1000000).alias("POS"),
-        F.concat(F.lit("v"), k).alias("ID"),
-        F.lit("A").alias("REF"),
-        F.when(k % 3 == 0, F.lit("T"))
-        .when(k % 3 == 1, F.lit("G"))
-        .otherwise(F.lit("C,G"))
-        .alias("ALT"),
-        F.lit("100").alias("QUAL"),
-        F.when(k % 11 == 0, F.lit("SVTYPE=Fusion;X=1"))
-        .otherwise(F.lit("X=1"))
-        .alias("INFO"),
-        F.lit("GT:A:DP:B:C:FRO:D:FAO:AF").alias("FORMAT"),
-        F.when(k % 5 == 0, F.lit("FAIL")).otherwise(F.lit("PASS")).alias(
-            "FILTER"
-        ),
-        t_fmt.alias("SAMPLE_FMT"),
-    )
-    n_fmt = F.concat_ws(
-        ":",
-        F.when(k % 2 == 0, F.lit("0/0")).otherwise(F.lit("0/1")),
-        F.lit("x"), (k % 30 + 12), F.lit("x"), F.lit("x"),
-        (k % 50), F.lit("x"), (k % 30),
-        F.element_at(
-            F.array(
-                F.lit("0.00"), F.lit("0.01"), F.lit("0.02"), F.lit("0.03")
-            ),
-            (k % 4 + 1).cast("int"),
-        ),
-    )
-    normal = o.filter(k % 3 == 0).select(
-        F.concat(F.lit("P"), p, F.lit("_N")).alias("sample_id"),
-        F.concat(F.lit("chr"), (k % 22 + 1)).alias("CHROM"),
-        ((k * 37) % 1000000).alias("POS"),
-        F.concat(F.lit("v"), k).alias("ID"),
-        F.lit("A").alias("REF"),
-        F.lit("T").alias("ALT"),
-        F.lit("100").alias("QUAL"),
-        F.lit("X=1").alias("INFO"),
-        F.lit("GT:A:DP:B:C:FRO:D:FAO:AF").alias("FORMAT"),
-        F.lit("PASS").alias("FILTER"),
-        n_fmt.alias("SAMPLE_FMT"),
-    )
-    return tumor.unionByName(normal), manifest
+from _synth import get_spark as _spark  # noqa: E402
+from _synth import noop_time as _noop  # noqa: E402
+from _synth import synth_cohort as _synth_cohort  # noqa: E402
 
 
 def probe_somatic() -> None:
@@ -193,20 +103,7 @@ def probe_somatic() -> None:
     print(f"end-to-end alpha over 16x: {a_full:.2f}")
 
 
-def _synth_lineitem(spark, n_rows: int):
-    """TPC-H-shaped (orderkey, suppkey, returnflag): ~4 lines per order,
-    suppliers hash-spread, ~25% R rows (the testdata's flag mix)."""
-    from pyspark.sql import functions as F
-
-    return spark.range(n_rows).select(
-        (F.col("id") / 4).cast("long").alias("l_orderkey"),
-        (
-            (F.xxhash64("id") % 10_000 + 10_000) % 10_000
-        ).alias("l_suppkey"),
-        F.when(F.xxhash64(F.col("id") + 7) % 4 == 0, F.lit("R"))
-        .otherwise(F.lit("N"))
-        .alias("l_returnflag"),
-    )
+from _synth import synth_lineitem as _synth_lineitem  # noqa: E402
 
 
 def _q21_joins(li, F):

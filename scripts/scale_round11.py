@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Round-11 probe (r10 verdict task 2): the exchange-free bucketed
+somatic variant merge.
+
+SCALE_NOTES r10 measured the tumor/normal full-outer merge at ~50% of
+``somatic_calls`` wall — a shuffle of both cohort-sized sides on the
+near-unique variant-identity key, nothing to broadcast, no skew to
+salt. The claimed 100 TB knob: write both VCF sides bucketed on
+``SNV_MERGE_KEYS`` at ingest and every later merge (re-runs, re-gating
+with new thresholds, per-study reprocessing) plans with zero Exchange.
+The plan contract is pinned in
+tests/test_partitioning.py::test_snv_merge_bucketed_exchange_free; this
+probe records what the exchange-free re-run is WORTH at 1x/4x synthetic
+cohort scale, plus the one-time ingest cost that pays for it.
+
+Broadcast is disabled for the measured merges: at cohort scale neither
+side fits an executor broadcast, so the in-flight plan's true shape is
+the two-sided shuffle + SMJ this probe times.
+
+    python scripts/scale_round11.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _synth import get_spark, noop_time, synth_cohort  # noqa: E402
+
+
+def main() -> int:
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
+        pair_patients,
+        snv_somatic,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch_bucketed import (
+        snv_somatic_bucketed,
+        write_snv_sides_bucketed,
+    )
+
+    spark = get_spark()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    wh = "/tmp/scale_r11_bucketed"
+    shutil.rmtree(wh, ignore_errors=True)
+    os.makedirs(wh, exist_ok=True)
+
+    # warmup: JVM/codegen costs land here, not in the 1x row
+    w_vcf, w_manifest = synth_cohort(spark, 50_000, n_pat=20)
+    noop_time(snv_somatic(w_vcf, pair_patients(w_manifest)))
+
+    base = 500_000
+    print("scale | ingest(write bkt) | in-flight merge | bucketed merge | x")
+    for mult in (1, 4):
+        n = base * mult
+        vcf, manifest = synth_cohort(spark, n, n_pat=max(20, n // 25_000))
+        pairs = pair_patients(manifest)
+
+        # in-flight: sides recomputed + both shuffled on the merge key
+        t_flight = noop_time(snv_somatic(vcf, pairs))
+
+        # one-time ingest: sides computed once, shuffled once, persisted
+        tt, nt = f"snv_t_{mult}", f"snv_n_{mult}"
+        t0 = time.time()
+        write_snv_sides_bucketed(
+            vcf, pairs, tt, nt, n_buckets=32,
+            tumor_path=f"{wh}/t{mult}", normal_path=f"{wh}/n{mult}",
+        )
+        t_write = time.time() - t0
+
+        # re-run: exchange-free merge straight off the bucketed layout
+        t_bkt = noop_time(snv_somatic_bucketed(spark, tt, nt))
+        plan = (
+            snv_somatic_bucketed(spark, tt, nt)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, "bucketed merge plan has an Exchange"
+
+        print(
+            f"{mult:4}x | {t_write:8.2f}s | {t_flight:8.2f}s | "
+            f"{t_bkt:8.2f}s | {t_flight / t_bkt:5.2f}"
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tt}")
+        spark.sql(f"DROP TABLE IF EXISTS {nt}")
+    shutil.rmtree(wh, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -19,25 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scale_experiment import synth_documents, synth_embeddings  # noqa: E402
-
-
-def synth_events(n: int, seed: int) -> "pd.DataFrame":
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    users = max(10, n // 67)
-    base = np.datetime64("2024-01-01T00:00:00")
-    ts = base + rng.integers(0, 30 * 24 * 3600, n).astype("timedelta64[s]")
-    return pd.DataFrame(
-        {
-            "event_id": np.arange(n, dtype=np.int64),
-            "ts": ts,
-            "user_id": rng.integers(0, users, n).astype(np.int64),
-            "event_type": rng.choice(["click", "purchase", "view"], n),
-            "value": rng.uniform(0, 100, n).round(2),
-        }
-    )
+from _synth import synth_documents, synth_embeddings  # noqa: E402
+from _synth import synth_events_daily as synth_events  # noqa: E402
 
 
 def main() -> None:

@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scale_experiment import synth_documents  # noqa: E402
+from _synth import synth_documents  # noqa: E402
 
 
 def main() -> None:

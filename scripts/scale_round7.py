@@ -22,7 +22,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scale_experiment import synth_documents  # noqa: E402
+from _synth import synth_documents  # noqa: E402
 
 N_BATCHES = 100
 BATCH_DOCS = 20

@@ -18,39 +18,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scale_experiment import synth_documents  # noqa: E402
-
-
-def synth_events(n: int, n_users: int, seed: int):
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
-    offs = np.sort(rng.integers(0, 30 * 86400 * 1_000_000, n))
-    return pd.DataFrame(
-        {
-            "event_id": np.arange(n, dtype=np.int64),
-            "ts": ts0 + offs.astype("timedelta64[us]"),
-            "user_id": rng.integers(0, n_users, n).astype(np.int64),
-            "event_type": rng.choice(
-                ["click", "view", "purchase", "error"], n
-            ),
-            "value": np.round(rng.uniform(0, 200, n), 2),
-        }
-    )
-
-
-def synth_edges(n_edges: int, mean_deg: int, seed: int):
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    n_nodes = max(2, (2 * n_edges) // mean_deg)
-    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
-    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
-    keep = a != b
-    return pd.DataFrame(
-        {"id_a": np.minimum(a, b)[keep], "id_b": np.maximum(a, b)[keep]}
-    ).drop_duplicates()
+from _synth import synth_documents, synth_edges  # noqa: E402
+from _synth import synth_events_stream as synth_events  # noqa: E402
 
 
 def run(noop, fn, df):

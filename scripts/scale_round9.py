@@ -31,48 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _spark():
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
-        .config("spark.sql.adaptive.enabled", "true")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    return spark
-
-
-_CHROMS = 24  # chr1..chr22, X, Y
-_CHR_LEN = 250_000_000
-
-
-def _intervals(spark, n: int, skewed: bool, seed: int):
-    """n intervals; skewed=True puts 80% on chr1, rest uniform over the
-    other 23 chroms (cnv.py's real shape). Lengths ~ U[1k, 200k]."""
-    from pyspark.sql import functions as F
-
-    df = spark.range(n).withColumn(
-        "_h", F.xxhash64(F.col("id") + seed)
-    )
-    u = (F.col("_h") % 1000 + 1000) % 1000  # non-negative residue
-    if skewed:
-        chrom = F.when(u < 800, F.lit("chr1")).otherwise(
-            F.concat(F.lit("chr"), ((u % 23) + 2).cast("string"))
-        )
-    else:
-        chrom = F.concat(F.lit("chr"), ((u % _CHROMS) + 1).cast("string"))
-    h2 = F.xxhash64(F.col("id") * 31 + seed)
-    start = ((h2 % _CHR_LEN) + _CHR_LEN) % _CHR_LEN
-    length = ((F.xxhash64(F.col("id") * 97 + seed) % 199_000) + 199_000) % 199_000 + 1_000
-    return df.select(
-        chrom.alias("chrom"),
-        start.cast("long").alias("start"),
-        (start + length).cast("long").alias("end"),
-    )
+from _synth import get_spark as _spark  # noqa: E402
+from _synth import synth_intervals as _intervals  # noqa: E402
 
 
 def probe_skew(spark) -> None:

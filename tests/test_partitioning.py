@@ -236,6 +236,83 @@ def test_interval_join_bucketed_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_ij_r")
 
 
+def test_snv_merge_bucketed_exchange_free(spark, tmp_path):
+    """The 100 TB knob for the somatic chain's dominant cost (r10
+    SCALE_NOTES: the tumor/normal full-outer variant merge is ~50% of
+    somatic_calls wall): both VCF sides written bucketed + bucket-sorted
+    on SNV_MERGE_KEYS must (a) produce exactly the rows of the in-flight
+    snv_somatic and (b) plan the merge + somatic tail with ZERO Exchange
+    nodes — the variant-identity shuffle was paid once at ingest."""
+    import pandas as pd
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
+        snv_somatic,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch_bucketed import (
+        snv_somatic_bucketed,
+        write_snv_sides_bucketed,
+    )
+
+    def fmt(gt, dp, fro, fao, af):
+        return f"{gt}:x:{dp}:x:x:{fro}:x:{fao}:{af:.2f}"
+
+    t_rows, n_rows = [], []
+    for i in range(360):
+        pid = i % 2 + 1
+        t_rows.append(
+            (f"P{pid}_T", f"chr{i % 5 + 1}", i * 37 % 10_000, f"v{i}",
+             "A", "C,G" if i % 7 == 0 else "T", "100",
+             "FAIL" if i % 11 == 0 else "PASS",
+             "SVTYPE=Fusion;X=1" if i % 13 == 0 else "X=1",
+             "GT:A:DP:B:C:FRO:D:FAO:AF",
+             fmt("0/0" if i % 17 == 0 else "0/1",
+                 i % 40 + 10, i % 50, i % 30, (i % 20) / 100))
+        )
+        if i % 3 == 0:  # unmatched tumor rows exercise the full-outer
+            n_rows.append(
+                (f"P{pid}_N", f"chr{i % 5 + 1}", i * 37 % 10_000, f"v{i}",
+                 "A", "T", "100", "PASS", "X=1",
+                 "GT:A:DP:B:C:FRO:D:FAO:AF",
+                 fmt("0/0" if i % 2 == 0 else "0/1",
+                     i % 30 + 12, i % 50, i % 30, (i % 4) / 100))
+            )
+    cols = ["sample_id", "CHROM", "POS", "ID", "REF", "ALT", "QUAL",
+            "FILTER", "INFO", "FORMAT", "SAMPLE_FMT"]
+    vcf = spark.createDataFrame(pd.DataFrame(t_rows + n_rows, columns=cols))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"tumor_sample_id": ["P1_T", "P2_T"],
+             "normal_sample_id": ["P1_N", "P2_N"]}
+        )
+    )
+
+    write_snv_sides_bucketed(
+        vcf, pairs, "t_snv_t", "t_snv_n", n_buckets=8,
+        tumor_path=str(tmp_path / "t"), normal_path=str(tmp_path / "n"),
+    )
+    try:
+        # at cohort scale neither merge side broadcasts; pin the SMJ
+        # shape the 100 TB plan would take (Catalyst correctly narrows
+        # the full-outer to inner under the null-rejecting gates, and at
+        # test size would then broadcast the normal side)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = snv_somatic_bucketed(spark, "t_snv_t", "t_snv_n")
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SelectedBucketsCount" in plan
+            want = snv_somatic(vcf, pairs)
+            got_rows = sorted(map(tuple, got.select(*want.columns).collect()))
+            want_rows = sorted(map(tuple, want.collect()))
+            assert got_rows == want_rows and got_rows
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_snv_t")
+        spark.sql("DROP TABLE IF EXISTS t_snv_n")
+
+
 def test_q21_single_fact_scan(spark):
     """Plan contract for the Q21 rewrite (r9 verdict task 3): the
     per-order-counts formulation must read lineitem exactly ONCE — the
