@@ -313,15 +313,13 @@ def main() -> int:
         "",
         f"Driver rounds recorded: {', '.join(f'r{r:02d}' for r in rounds_seen)}.",
         "",
-        "Planned r11 rotation (keep no certification older than three "
-        "rounds): the remaining r07-latest faces "
-        "(`attribution_lastclick` onward, in ledger order) lead the r11 "
-        "gate after any changed/never-certified faces (starting with "
-        "`session_paths`/`cumulative_actives`, displaced from the r10 "
-        "gate by the NOT-IN -> NOT-EXISTS oracle fixes), then the oldest "
-        "r08 bucket fills the rest. No queued oracle edits remain: the "
-        "registry is NOT-IN-free (the r9-advice NULL "
-        "three-valued-logic class).",
+        "Planned r12 rotation (keep no certification older than three "
+        "rounds): the two never-certified r11 composition faces "
+        "(`clinical_merge_flow`, `maf_reconcile`) lead the r12 gate, "
+        "followed by any faces whose fingerprints flip on r11-advice "
+        "fixes, then the r08-latest bucket (oldest certifications "
+        "first, in ledger order — `--plan-rotation` prints the "
+        "policy-derived order).",
         "",
         "| # | query | green in rounds | latest driver status | changed since cert | in r-next gate |",
         "|---|---|---|---|---|---|",
