@@ -123,7 +123,13 @@ def merge_clinical_variants_to_maf(
             maf = maf.withColumn(c, F.lit("Not Reported"))
     maf = maf.withColumn("_src", F.lit(0))
     clin = anno_clin_muts.withColumn("_src", F.lit(1))
-    unioned = maf.unionByName(clin, allowMissingColumns=True)
+    # persisted because this function traverses the union TWICE — once
+    # for the eager stats aggregate below (the reference's mci:294 log
+    # counts) and once when the caller materializes the deduped output;
+    # without the cache both traversals recompute the upstream
+    # prep/annotation plan. MEMORY_AND_DISK (the DataFrame default)
+    # spills at cohort scale; callers may unpersist after consuming.
+    unioned = maf.unionByName(clin, allowMissingColumns=True).persist()
 
     deduped = keep_first(
         unioned,

@@ -17,7 +17,12 @@ Broadcast is disabled for the measured merges: at cohort scale neither
 side fits an executor broadcast, so the in-flight plan's true shape is
 the two-sided shuffle + SMJ this probe times.
 
-    python scripts/scale_round11.py
+Also `flows`: the two new r11 composition faces (clinical_merge_flow,
+maf_reconcile) timed across the shipped SFs (sf0.01 → sf0.1, 10x orders
+rows) for their scaling alpha — the composed-flow discipline the r10
+probe applied to somatic_calls.
+
+    python scripts/scale_round11.py [merge|flows|all]
 """
 
 from __future__ import annotations
@@ -33,7 +38,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from _synth import get_spark, noop_time, synth_cohort  # noqa: E402
 
 
-def main() -> int:
+def probe_flows(spark) -> None:
+    import math
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry.flows import (
+        q_clinical_merge_flow,
+        q_maf_reconcile,
+    )
+
+    print("face | sf0.01 | sf0.1 (10x rows) | alpha")
+    for name, fn in (
+        ("clinical_merge_flow", q_clinical_merge_flow),
+        ("maf_reconcile", q_maf_reconcile),
+    ):
+        noop_time(fn(spark, "/root/testdata/sf0.001"))  # warm
+        w1 = noop_time(fn(spark, "/root/testdata/sf0.01"))
+        w2 = noop_time(fn(spark, "/root/testdata/sf0.1"))
+        print(
+            f"{name} | {w1:5.2f}s | {w2:5.2f}s | "
+            f"{math.log(w2 / w1) / math.log(10):.2f}"
+        )
+
+
+def probe_merge() -> int:
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
         pair_patients,
         snv_somatic,
@@ -87,6 +114,15 @@ def main() -> int:
         spark.sql(f"DROP TABLE IF EXISTS {tt}")
         spark.sql(f"DROP TABLE IF EXISTS {nt}")
     shutil.rmtree(wh, ignore_errors=True)
+    return 0
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("merge", "all"):
+        probe_merge()
+    if which in ("flows", "all"):
+        probe_flows(get_spark())
     return 0
 
 
