@@ -313,6 +313,71 @@ def test_snv_merge_bucketed_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_snv_n")
 
 
+def test_maf_dedup_bucketed_exchange_free(spark, tmp_path):
+    """The clinical merge's one corpus-wide exchange is the
+    dedup-with-preference window on the 7-column MAF identity; a
+    megaMAF written bucketed on those keys must (a) dedup to exactly
+    the in-flight keep_first rows and (b) plan the window with ZERO
+    Exchange. Also pins the float-key contract: DOUBLE positions make
+    Catalyst wrap the partition keys in normalizenanandzero, which a
+    bucketed scan can never satisfy — write_maf_bucketed must refuse
+    them loudly instead of silently keeping the shuffle."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.dedup import (
+        keep_first,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.clinical_merge import (
+        MAF_DEDUP_KEYS,
+        _not_reported,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.clinical_merge_bucketed import (
+        read_maf_bucketed,
+        write_maf_bucketed,
+    )
+
+    cols = ["Tumor_Sample_Barcode", "Hugo_Symbol", "Chromosome",
+            "Start_Position", "End_Position", "Variant_Classification",
+            "HGVSp_Short", "Reported.Significance System",
+            "Reported.Significance", "_src"]
+    rows = [
+        (f"S{i % 10}", f"G{i % 50}", str(i % 22 + 1), i * 10, i * 10 + 10,
+         "Missense_Mutation", f"p.{i % 97}",
+         "AMP/ASCO/CAP" if i % 3 == 0 else "Not Reported",
+         "Tier I" if i % 3 == 0 else "Not Reported", i % 2)
+        for i in range(500)
+    ]
+    maf = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    pref = [
+        _not_reported(F.col("`Reported.Significance System`")).asc(),
+        _not_reported(F.col("`Reported.Significance`")).asc(),
+        F.col("_src").asc(),
+    ]
+
+    write_maf_bucketed(maf, "t_maf_bkt", n_buckets=8,
+                       path=str(tmp_path / "mafb"))
+    try:
+        got = keep_first(read_maf_bucketed(spark, "t_maf_bkt"),
+                         MAF_DEDUP_KEYS, pref)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan
+        want = keep_first(maf, MAF_DEDUP_KEYS, pref)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_maf_bkt")
+
+    floaty = maf.withColumn(
+        "Start_Position", F.col("Start_Position").cast("double")
+    )
+    with _pytest.raises(ValueError, match="float-typed dedup keys"):
+        write_maf_bucketed(floaty, "t_maf_bkt_f", n_buckets=8,
+                           path=str(tmp_path / "maff"))
+
+
 def test_q21_single_fact_scan(spark):
     """Plan contract for the Q21 rewrite (r9 verdict task 3): the
     per-order-counts formulation must read lineitem exactly ONCE — the
