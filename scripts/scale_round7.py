@@ -12,7 +12,6 @@ compact_band_store every 10 batches.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import sys

@@ -51,3 +51,32 @@ def test_plan_rotation_is_a_permutation():
     assert sorted(got) == sorted(order)
     # gate leads with the stale half (r6-latest), stable within
     assert all(hist[n] == {6: "green"} for n in got[:30])
+
+
+def test_synth_generators_deterministic():
+    """The consolidated probe generators (scripts/_synth.py, r10 verdict
+    task 6) must stay deterministic in (n, seed) — identical data shapes
+    across rounds are what make round-over-round probe numbers
+    comparable. Pins a value fingerprint of each pandas generator."""
+    import _synth as s
+
+    docs = s.synth_documents(50, 7)
+    assert list(docs.columns) == ["doc_id", "text"]
+    assert docs.equals(s.synth_documents(50, 7))
+
+    emb = s.synth_embeddings(20, 8, 3)
+    assert emb.equals(s.synth_embeddings(20, 8, 3))
+    assert len(emb.embedding.iloc[0]) == 8
+
+    ev1 = s.synth_events_daily(100, 11)
+    assert ev1.equals(s.synth_events_daily(100, 11))
+    assert list(ev1.columns) == ["event_id", "ts", "user_id",
+                                 "event_type", "value"]
+
+    ev2 = s.synth_events_stream(100, 9, 11)
+    assert ev2.equals(s.synth_events_stream(100, 9, 11))
+    assert ev2.ts.is_monotonic_increasing  # the stream-replay contract
+
+    ed = s.synth_edges(200, 4, 5)
+    assert ed.equals(s.synth_edges(200, 4, 5))
+    assert (ed.id_a < ed.id_b).all()  # canonical order, no self-loops
