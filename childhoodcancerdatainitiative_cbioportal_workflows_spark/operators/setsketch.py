@@ -115,6 +115,9 @@ def jaccard_estimate_pairs(
         sig = sig.persist()
         n_g = sig.select("g").distinct().count()
         if n_g > max_groups:
+            # the guard-trips path is exactly the one where the cache is
+            # LARGER than parameter-sized — release it before raising
+            sig.unpersist()
             raise ValueError(
                 f"jaccard_estimate_pairs: {n_g} groups exceeds "
                 f"max_groups={max_groups}; the all-pairs plane join is "

@@ -123,13 +123,22 @@ def merge_clinical_variants_to_maf(
             maf = maf.withColumn(c, F.lit("Not Reported"))
     maf = maf.withColumn("_src", F.lit(0))
     clin = anno_clin_muts.withColumn("_src", F.lit(1))
-    # persisted because this function traverses the union TWICE — once
-    # for the eager stats aggregate below (the reference's mci:294 log
-    # counts) and once when the caller materializes the deduped output;
-    # without the cache both traversals recompute the upstream
-    # prep/annotation plan. MEMORY_AND_DISK (the DataFrame default)
-    # spills at cohort scale; callers may unpersist after consuming.
-    unioned = maf.unionByName(clin, allowMissingColumns=True).persist()
+    # This function traverses the union TWICE — once for the eager stats
+    # aggregate below (the reference's mci:294 log counts) and once when
+    # the caller materializes the deduped output. localCheckpoint (not
+    # persist): a persist() here can never be released — the caller only
+    # receives the derived `deduped`, and unpersisting a derived frame
+    # does not drop the parent's CacheManager entry, so every merge would
+    # leak a session-lifetime cache of the full megaMAF union. The
+    # eager local checkpoint materializes the union exactly once, both
+    # consumers read its blocks, and the blocks live only as long as the
+    # returned frame references them (ContextCleaner frees them on GC —
+    # no catalog entry to leak). Tradeoff: executor-local blocks are not
+    # fault-tolerant; a cluster run that must survive executor loss
+    # should set a checkpoint dir and use reliable .checkpoint() instead.
+    unioned = maf.unionByName(clin, allowMissingColumns=True).localCheckpoint(
+        eager=True
+    )
 
     deduped = keep_first(
         unioned,

@@ -239,11 +239,21 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 1
-        dirty = subprocess.run(
+        proc = subprocess.run(
             ["git", "-C", ROOT, "status", "--porcelain"],
             capture_output=True,
             text=True,
-        ).stdout.strip()
+        )
+        if proc.returncode != 0:
+            # an empty stdout from a FAILED git call is not a clean tree
+            print(
+                "refusing --migrate-fpr-algo: cannot establish working-"
+                f"tree cleanliness (git exited {proc.returncode}: "
+                f"{proc.stderr.strip()})",
+                file=sys.stderr,
+            )
+            return 1
+        dirty = proc.stdout.strip()
         if dirty:
             print(
                 "refusing --migrate-fpr-algo on a dirty working tree "
