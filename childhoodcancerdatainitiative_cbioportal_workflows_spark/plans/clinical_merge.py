@@ -106,40 +106,27 @@ def _not_reported(c: Column) -> Column:
     return ((c == "Not Reported") | c.isNull()).cast("int")
 
 
-def merge_clinical_variants_to_maf(
-    maf_concat: DataFrame, anno_clin_muts: DataFrame
-) -> tuple[DataFrame, dict]:
-    """Union + dedup-with-preference-to-clinical (mci:236-296).
-
-    pandas sorted both Reported.Significance* columns by the boolean key
-    ``eq('Not Reported') | isna()`` and relied on stable order (maf rows
-    precede clinical rows in the concat) — here that order is an explicit
-    ``_src`` column. Output normalization strips the int-as-float ``.0``
-    artifact exactly as mci:285-289. Returns (df, stats) where stats carries
-    the reference's log-line counts (mci:294)."""
+def clin_union(maf_concat: DataFrame, anno_clin_muts: DataFrame) -> DataFrame:
+    """The tagged megaMAF ∪ annotated-clinical union the dedup operates
+    on (mci:236-262): pandas relied on stable concat order (maf rows
+    precede clinical rows); here that order is an explicit ``_src``
+    column. Shared by the in-flight merge below and the bucketed ingest
+    (plans/clinical_merge_bucketed.py) so both paths dedup the
+    byte-identical union."""
     maf = maf_concat
     for c in ("Reported.Significance System", "Reported.Significance"):
         if c not in maf.columns:
             maf = maf.withColumn(c, F.lit("Not Reported"))
     maf = maf.withColumn("_src", F.lit(0))
     clin = anno_clin_muts.withColumn("_src", F.lit(1))
-    # This function traverses the union TWICE — once for the eager stats
-    # aggregate below (the reference's mci:294 log counts) and once when
-    # the caller materializes the deduped output. localCheckpoint (not
-    # persist): a persist() here can never be released — the caller only
-    # receives the derived `deduped`, and unpersisting a derived frame
-    # does not drop the parent's CacheManager entry, so every merge would
-    # leak a session-lifetime cache of the full megaMAF union. The
-    # eager local checkpoint materializes the union exactly once, both
-    # consumers read its blocks, and the blocks live only as long as the
-    # returned frame references them (ContextCleaner frees them on GC —
-    # no catalog entry to leak). Tradeoff: executor-local blocks are not
-    # fault-tolerant; a cluster run that must survive executor loss
-    # should set a checkpoint dir and use reliable .checkpoint() instead.
-    unioned = maf.unionByName(clin, allowMissingColumns=True).localCheckpoint(
-        eager=True
-    )
+    return maf.unionByName(clin, allowMissingColumns=True)
 
+
+def dedup_preferring_clinical(unioned: DataFrame) -> DataFrame:
+    """Dedup-with-preference on the 7-column MAF identity (mci:263-289):
+    reported-significance rows beat Not-Reported ones, clinical (_src=1)
+    beats MAF on ties; output normalization strips the int-as-float
+    ``.0`` artifact exactly as mci:285-289."""
     deduped = keep_first(
         unioned,
         MAF_DEDUP_KEYS,
@@ -149,18 +136,21 @@ def merge_clinical_variants_to_maf(
             F.col("_src").asc(),
         ],
     ).drop("_src")
-
-    deduped = (
+    return (
         deduped.withColumn("Entrez_Gene_Id", strip_dot_zero(F.col("Entrez_Gene_Id")))
         .withColumn("Start_Position", strip_dot_zero(F.col("Start_Position")))
         .withColumn("End_Position", strip_dot_zero(F.col("End_Position")))
         .orderBy("Tumor_Sample_Barcode", "Chromosome", "Start_Position")
     )
 
-    # one traversal of the union DAG for all three log counts (the naive
-    # three .count() calls recompute the un-cached union/dedup tree 3x):
-    # per-key partial counts, then one global agg — group count == deduped
-    # rows, per-source sums == pre-dedup side counts
+
+def merge_stats(unioned: DataFrame) -> dict:
+    """The reference's mci:294 log-line counts in ONE traversal of the
+    union (the naive three .count() calls recompute the tree 3x):
+    per-key partial counts, then one global agg — group count == deduped
+    rows, per-source sums == pre-dedup side counts. Over a bucketed scan
+    the per-key aggregate is exchange-free (the keys ARE the bucket
+    keys)."""
     totals = (
         unioned.groupBy(*[F.col(f"`{k}`") for k in MAF_DEDUP_KEYS])
         .agg(
@@ -177,10 +167,35 @@ def merge_clinical_variants_to_maf(
     unannotated_rows = totals["maf_rows"]
     clin_rows = totals["clin_rows"]
     concat_rows = totals["dedup_rows"]
-    stats = {
+    return {
         "raw_maf_rows": unannotated_rows,
         "merged_rows": concat_rows,
         "clin_deduped": clin_rows - (concat_rows - unannotated_rows),
         "clin_added_uniquely": concat_rows - unannotated_rows,
     }
-    return deduped, stats
+
+
+def merge_clinical_variants_to_maf(
+    maf_concat: DataFrame, anno_clin_muts: DataFrame
+) -> tuple[DataFrame, dict]:
+    """Union + dedup-with-preference-to-clinical (mci:236-296). Returns
+    (df, stats) where stats carries the reference's log-line counts
+    (mci:294).
+
+    This function traverses the union TWICE — once for the eager stats
+    aggregate and once when the caller materializes the deduped output.
+    localCheckpoint (not persist): a persist() here can never be
+    released — the caller only receives the derived ``deduped``, and
+    unpersisting a derived frame does not drop the parent's CacheManager
+    entry, so every merge would leak a session-lifetime cache of the
+    full megaMAF union. The eager local checkpoint materializes the
+    union exactly once, both consumers read its blocks, and the blocks
+    live only as long as the returned frame references them
+    (ContextCleaner frees them on GC — no catalog entry to leak).
+    Tradeoff: executor-local blocks are not fault-tolerant; a cluster
+    run that must survive executor loss should set a checkpoint dir and
+    use reliable .checkpoint() — or use the bucketed-ingest path
+    (plans/clinical_merge_bucketed.py), where the union at rest IS the
+    materialization and needs neither."""
+    unioned = clin_union(maf_concat, anno_clin_muts).localCheckpoint(eager=True)
+    return dedup_preferring_clinical(unioned), merge_stats(unioned)

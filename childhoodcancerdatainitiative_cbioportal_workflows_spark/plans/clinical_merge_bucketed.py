@@ -32,11 +32,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from ..sources.bucketed import read_bucketed, write_bucketed
-from .clinical_merge import MAF_DEDUP_KEYS
+from .clinical_merge import MAF_DEDUP_KEYS, dedup_preferring_clinical, merge_stats
 
 
 def write_maf_bucketed(
@@ -71,3 +71,37 @@ def write_maf_bucketed(
 def read_maf_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read the bucketed megaMAF with its bucket metadata intact."""
     return read_bucketed(spark, table)
+
+
+def normalize_positions_bigint(unioned: DataFrame) -> DataFrame:
+    """Ingest normalization the float-key guard demands: the reference's
+    pandas artifact ships positions as exact-integer DOUBLEs
+    (``7675088.0``); cast them to bigint so the bucket layout's
+    HashPartitioning can satisfy the dedup window's required
+    distribution (see module docstring — ``normalizenanandzero`` defeats
+    bucket reuse on float keys). Lossless for the artifact's values and
+    the clean at-scale schema anyway; the downstream ``.0``-strip
+    normalization degenerates to a plain int-to-string cast."""
+    out = unioned
+    for c in ("Start_Position", "End_Position"):
+        if c in out.columns and isinstance(
+            out.schema[c].dataType, (T.DoubleType, T.FloatType)
+        ):
+            out = out.withColumn(c, F.col(c).cast("bigint"))
+    return out
+
+
+def merge_clinical_variants_bucketed(
+    spark: SparkSession, table: str
+) -> tuple[DataFrame, dict]:
+    """The merge tail over a megaMAF union AT REST in the bucketed
+    layout: same (deduped, stats) contract as
+    ``clinical_merge.merge_clinical_variants_to_maf``, but both
+    traversals — the dedup-with-preference window and the mci:294 stats
+    aggregate — read the bucketed scan's HashPartitioning and plan with
+    ZERO Exchange (plan-asserted in tests/test_partitioning.py). No
+    localCheckpoint either: the table on disk IS the materialization, so
+    re-merges (re-runs, new thresholds, per-study reprocessing) pay
+    neither the union recompute nor the corpus-wide shuffle."""
+    unioned = read_maf_bucketed(spark, table)
+    return dedup_preferring_clinical(unioned), merge_stats(unioned)

@@ -1,0 +1,141 @@
+"""Round-12 storage-layout faces (r11 verdict tasks 2 and 3).
+
+The two named 100 TB exchange-elimination claims — the somatic variant
+merge and the megaMAF dedup window over bucketed ingest — were
+plan-asserted and parity-tested locally in r11 (tests/test_partitioning
+.py); these faces put the SAME layouts under the driver's CORRECTNESS
+gate. Each writes its input bucketed to a session-temp warehouse path,
+runs the merge off the bucketed scans, and reuses the IN-FLIGHT face's
+oracle verbatim (``SQL_SOMATIC_CALLS`` / ``SQL_CLINICAL_MERGE_FLOW``):
+identical output from a different physical layout is the entire claim,
+so the strongest possible certificate is hash-equality against the
+unchanged oracle. The zero-Exchange plan asserts stay in pytest — a
+driver face must stay correct under ANY session conf, so it never pins
+planner knobs.
+
+At 100 TB the bucket count is sized so one bucket of the larger side
+fits an executor core's working set (sources/bucketed.py contract, e.g.
+4096); here 8 buckets exercise the same code path at test SF.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from ._common import *  # noqa: F401,F403
+
+_N_BUCKETS = 8
+
+
+def _bucket_path(table: str) -> str:
+    """Deterministic session-temp external-table location; the bucketed
+    writers use mode('overwrite'), so repeated face runs (driver gate,
+    bench, tests) reuse the same path instead of accreting tempdirs."""
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, table)
+
+
+def q_somatic_calls_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``somatic_calls`` through the exchange-free bucketed merge
+    (plans/pedmatch_bucketed.py; r10 SCALE_NOTES measured the in-flight
+    tumor/normal full-outer merge at ~50% of somatic_calls wall): the
+    same synthetic cohort (registry/_synth_pedmatch.py) has both VCF
+    sides written bucketed + bucket-sorted on ``SNV_MERGE_KEYS`` — the
+    variant-identity shuffle paid ONCE at ingest — and the somatic chain
+    re-run off the bucketed scans. The fusion branch is untouched (the
+    layout targets the SNV merge); output must hash-match
+    ``SQL_SOMATIC_CALLS`` exactly."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
+        fusion_germline_subtract,
+        fusion_prep,
+        pair_patients,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch_bucketed import (
+        snv_somatic_bucketed,
+        write_snv_sides_bucketed,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry._synth_pedmatch import (
+        pedmatch_fusion_vcf,
+        pedmatch_manifest,
+        pedmatch_snv_vcf,
+        somatic_summary,
+    )
+
+    pairs = pair_patients(pedmatch_manifest(spark, sf_dir))
+    write_snv_sides_bucketed(
+        pedmatch_snv_vcf(spark, sf_dir),
+        pairs,
+        "sg_snv_tumor_bkt",
+        "sg_snv_normal_bkt",
+        n_buckets=_N_BUCKETS,
+        tumor_path=_bucket_path("sg_snv_tumor_bkt"),
+        normal_path=_bucket_path("sg_snv_normal_bkt"),
+    )
+    somatic = snv_somatic_bucketed(spark, "sg_snv_tumor_bkt", "sg_snv_normal_bkt")
+    kept = fusion_germline_subtract(
+        fusion_prep(pedmatch_fusion_vcf(spark, sf_dir)), pairs
+    )
+    return somatic_summary(somatic, kept)
+
+
+def q_clinical_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``clinical_merge_flow`` through the bucketed megaMAF layout
+    (plans/clinical_merge_bucketed.py): same prep-filter + provider
+    annotation + union as the in-flight flow, but the union is
+    normalized (float positions -> bigint, the ingest contract the
+    float-key guard enforces) and written bucketed on the 7-column MAF
+    identity; the dedup-with-preference window AND the mci:294 stats
+    aggregate then run off the bucketed scan with no corpus-wide
+    exchange. Output — per-sample summary + merge-stats literals — must
+    hash-match ``SQL_CLINICAL_MERGE_FLOW`` exactly."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.annotation import (
+        LookupAnnotator,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.clinical_merge import (
+        annotate_clinical_variants,
+        clin_file_prep,
+        clin_union,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.clinical_merge_bucketed import (
+        merge_clinical_variants_bucketed,
+        normalize_positions_bigint,
+        write_maf_bucketed,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry.flows import (
+        _clin_inputs,
+    )
+
+    maf, clin, lookup = _clin_inputs(spark, sf_dir)
+    prepped = clin_file_prep(
+        clin, maf.select("Tumor_Sample_Barcode"), reference_genome="GRCh38"
+    )
+    anno = annotate_clinical_variants(prepped, LookupAnnotator(lookup, ["query"]))
+    unioned = normalize_positions_bigint(clin_union(maf, anno))
+    write_maf_bucketed(
+        unioned,
+        "sg_megamaf_bkt",
+        n_buckets=_N_BUCKETS,
+        path=_bucket_path("sg_megamaf_bkt"),
+        extra_keys=(),
+    )
+    deduped, stats = merge_clinical_variants_bucketed(spark, "sg_megamaf_bkt")
+
+    # summary tail mirrors q_clinical_merge_flow line-for-line — the
+    # shared oracle hash-checks that the two layouts cannot drift apart
+    out = deduped.groupBy("Tumor_Sample_Barcode").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum(
+            F.when(F.col("`Reported.Significance`") != "Not Reported", 1)
+            .otherwise(0)
+        ).alias("n_reported"),
+        F.sum(F.col("Start_Position").cast("bigint")).alias("sum_start"),
+        F.sum(
+            F.when(F.col("Entrez_Gene_Id") != "", 1).otherwise(0)
+        ).alias("n_entrez"),
+    )
+    for name in ("raw_maf_rows", "merged_rows", "clin_deduped",
+                 "clin_added_uniquely"):
+        out = out.withColumn(name, F.lit(stats[name]).cast("bigint"))
+    return out

@@ -202,6 +202,75 @@ def plan_rotation(
     return head + fill + tail
 
 
+def plan_two_rounds(
+    order: list[str],
+    hist: dict[str, dict[int, str]],
+    changed: set[str],
+    gate: int = GATE,
+) -> tuple[int, list[str], list[str], dict[str, dict[int, str]]]:
+    """Project the next TWO gates (r12 verdict task 4): the policy order
+    for the coming round, then — assuming that whole gate certifies
+    green — the round after. A stale bucket larger than one gate (38
+    r09-latest faces vs 50 slots in r12) cannot be rotated in a single
+    round, so the two-round schedule is what makes the 'no certification
+    older than three rounds' invariant PROVABLE instead of hoped-for.
+    Returns (next_round_number, next_order, following_order,
+    simulated_history)."""
+    nxt = max((r for h in hist.values() for r in h), default=0) + 1
+    first = plan_rotation(order, hist, changed, gate)
+    hist2 = {n: dict(hist.get(n, {})) for n in order}
+    for n in first[:gate]:
+        hist2[n][nxt] = "green"
+    second = plan_rotation(first, hist2, set(), gate)
+    return nxt, first, second, hist2
+
+
+def gate_buckets(names: list[str], hist: dict[str, dict[int, str]]) -> str:
+    """Summarize a gate as certification-staleness buckets, e.g.
+    '2 never-certified + 25 r08-latest + 20 r09-latest + 3 r11-latest'."""
+    from collections import Counter
+
+    c: Counter[int] = Counter()
+    for n in names:
+        greens = [r for r, s in hist.get(n, {}).items() if s == "green"]
+        c[max(greens) if greens else 0] += 1
+    return " + ".join(
+        f"{c[r]} never-certified" if r == 0 else f"{c[r]} r{r:02d}-latest"
+        for r in sorted(c)
+    )
+
+
+def _rotation_schedule_paragraph(
+    order: list[str],
+    hist: dict[str, dict[int, str]],
+    changed: set[str],
+) -> str:
+    """The computed two-round rotation schedule for the ledger header —
+    mechanical, so the paragraph can never go stale the way the
+    hand-written r11 one did (it predated the r11 cert and named the
+    wrong leaders)."""
+    nxt, first, second, hist2 = plan_two_rounds(order, hist, changed)
+    g1, g2 = first[:GATE], second[:GATE]
+    changed_txt = (
+        " (changed-since-cert: " + ", ".join(f"`{n}`" for n in sorted(changed)) + ")"
+        if changed
+        else ""
+    )
+    oldest2 = min(
+        (max((r for r, s in hist2.get(n, {}).items() if s == "green"), default=0)
+         for n in order if n not in g2),
+        default=0,
+    )
+    return (
+        "Planned rotation schedule (computed by `plan_two_rounds` — keep no "
+        f"certification older than three rounds): the r{nxt} gate is "
+        f"{gate_buckets(g1, hist)}{changed_txt}; assuming it certifies "
+        f"green, the r{nxt + 1} gate is {gate_buckets(g2, hist2)} "
+        f"(`{g2[0]}` … `{g2[-1]}`), after which no certification is older "
+        f"than r{oldest2:02d}. `--plan-rotation` prints both orders."
+    )
+
+
 def main() -> int:
     sys.path.insert(0, ROOT)
     import __spark_entry__ as entry
@@ -292,12 +361,35 @@ def main() -> int:
         n for n in order
         if stored[n]["fpr"] != current[n]
     }
+    # Watch-list (r11 verdict task 6, now structural): embedding_dup_pairs
+    # is the O(n^2) cross-join exact-dup BASELINE — certified on its own
+    # face so the LSH path's recall stays measurable, but it must never be
+    # composed into any other face, where corpus scale would make the
+    # cross join the plan. The LSH-bucketed variant is the composable one.
+    crossjoin_baseline_faces = {"embedding_dups_exact"}
+    for name, (fn, _sql) in _REGISTRY.items():
+        if name in crossjoin_baseline_faces:
+            continue
+        if re.search(r"\bembedding_dup_pairs\(", inspect.getsource(fn)):
+            print(
+                f"watch-list violation: face '{name}' calls the O(n^2) "
+                "embedding_dup_pairs baseline; compose "
+                "embedding_dup_pairs_lsh instead (r11 verdict task 6)",
+                file=sys.stderr,
+            )
+            return 1
+
     if "--plan-rotation" in sys.argv:
-        proposal = plan_rotation(order, hist, changed)
-        print(f"# proposed next-gate order (first {GATE} = gate):")
+        nxt, proposal, following, hist2 = plan_two_rounds(order, hist, changed)
+        print(f"# proposed r{nxt} order (first {GATE} = gate: "
+              f"{gate_buckets(proposal[:GATE], hist)}):")
         for i, n in enumerate(proposal):
             if i == GATE:
                 print("# --- gate boundary ---")
+            print(f'    "{n}",')
+        print(f"# projected r{nxt + 1} gate, assuming the r{nxt} gate "
+              f"certifies green ({gate_buckets(following[:GATE], hist2)}):")
+        for n in following[:GATE]:
             print(f'    "{n}",')
         return 0
     offenders = regate_offenders(order, stored, current)
@@ -323,13 +415,7 @@ def main() -> int:
         "",
         f"Driver rounds recorded: {', '.join(f'r{r:02d}' for r in rounds_seen)}.",
         "",
-        "Planned r12 rotation (keep no certification older than three "
-        "rounds): the two never-certified r11 composition faces "
-        "(`clinical_merge_flow`, `maf_reconcile`) lead the r12 gate, "
-        "followed by any faces whose fingerprints flip on r11-advice "
-        "fixes, then the r08-latest bucket (oldest certifications "
-        "first, in ledger order — `--plan-rotation` prints the "
-        "policy-derived order).",
+        _rotation_schedule_paragraph(order, hist, changed),
         "",
         "| # | query | green in rounds | latest driver status | changed since cert | in r-next gate |",
         "|---|---|---|---|---|---|",

@@ -394,3 +394,63 @@ def test_q21_single_fact_scan(spark):
     # both quantifier collapses are plain hash aggregates — partial
     # (map-side) combine must be present on the pair aggregate
     assert "partial_" in plan
+
+
+def test_merge_clinical_variants_bucketed_matches_inflight(spark, tmp_path):
+    """The r12 driver face's underlying function: the merge tail over a
+    bucketed megaMAF must return byte-identical (deduped, stats) to the
+    in-flight merge_clinical_variants_to_maf, with the dedup window
+    riding the bucket layout (the only Exchange left is the output-
+    canonical range sort — no hash exchange on the dedup identity)."""
+    import pandas as pd
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.clinical_merge import (
+        clin_union,
+        merge_clinical_variants_to_maf,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.clinical_merge_bucketed import (
+        merge_clinical_variants_bucketed,
+        normalize_positions_bigint,
+        write_maf_bucketed,
+    )
+
+    maf_cols = ["Tumor_Sample_Barcode", "Hugo_Symbol", "Chromosome",
+                "Start_Position", "End_Position", "Variant_Classification",
+                "HGVSp_Short", "Entrez_Gene_Id"]
+    maf = spark.createDataFrame(pd.DataFrame(
+        [(f"S{i % 7}", f"G{i % 31}", str(i % 22 + 1),
+          float(i * 10), float(i * 10 + 10), "Missense_Mutation",
+          f"p.{i % 13}", float(i % 99) if i % 5 else None)
+         for i in range(400)],
+        columns=maf_cols,
+    ))
+    clin_cols = maf_cols[:7] + ["Reported.Significance System",
+                                "Reported.Significance"]
+    clin = spark.createDataFrame(pd.DataFrame(
+        [(f"S{i % 7}", f"G{i % 31}", str(i % 22 + 1),
+          float(i * 10), float(i * 10 + 10), "Missense_Mutation",
+          f"p.{i % 13}", "AMP/ASCO/CAP", "Pathogenic")
+         for i in range(0, 400, 3)],
+        columns=clin_cols,
+    ))
+
+    want_df, want_stats = merge_clinical_variants_to_maf(maf, clin)
+    unioned = normalize_positions_bigint(clin_union(maf, clin))
+    write_maf_bucketed(unioned, "t_merge_bkt", n_buckets=8,
+                       path=str(tmp_path / "mb"))
+    try:
+        got_df, got_stats = merge_clinical_variants_bucketed(spark, "t_merge_bkt")
+        assert got_stats == want_stats
+        cols = want_df.columns
+        got_rows = sorted(
+            map(tuple, got_df.select(*[F.col(f"`{c}`") for c in cols]).collect())
+        )
+        want_rows = sorted(map(tuple, want_df.collect()))
+        assert got_rows == want_rows and got_rows
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan
+        # exactly one Exchange: the output-canonical range sort; the
+        # dedup identity hash exchange was paid once at ingest
+        assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_merge_bkt")
