@@ -37,17 +37,34 @@ class LookupAnnotator:
 
     Reproduces the observable contract of the Genome Nexus annotator output
     (``Annotation_Status`` SUCCESS/FAILED per row, vcf_anno.py:447) without
-    the subprocess."""
+    the subprocess.
 
-    def __init__(self, lookup: DataFrame, keys: list[str]):
+    ``broadcast``: True forces a broadcast hint on the lookup side, False
+    forbids it, None (default) leaves the strategy to Catalyst/AQE. The
+    r11 version hinted unconditionally; the r12 decade probe
+    (scripts/scale_round12.py) showed that turning superlinear the moment
+    the annotation snapshot outgrows an executor broadcast (alpha 1.24
+    at 100x sf0.1 — driver collect + per-task hash build of a
+    multi-million-row table). With AQE the hint buys nothing a runtime
+    size check doesn't: small snapshots still broadcast, big ones
+    sort-merge instead of falling over."""
+
+    def __init__(
+        self, lookup: DataFrame, keys: list[str], broadcast: bool | None = None
+    ):
         self.lookup = lookup
         self.keys = keys
+        self.broadcast = broadcast
 
     def __call__(self, variants: DataFrame) -> DataFrame:
         # explicit match marker: deriving SUCCESS from the nullness of a
         # value column misreports a matched row whose first value is
         # legitimately NULL (e.g. Entrez_Gene_Id absent) as FAILED
-        probe = F.broadcast(self.lookup.withColumn("_matched", F.lit(True)))
+        probe = self.lookup.withColumn("_matched", F.lit(True))
+        if self.broadcast:
+            probe = F.broadcast(probe)
+        elif self.broadcast is False:
+            probe = probe.hint("merge")
         out = variants.join(probe, on=self.keys, how="left")
         status = F.when(F.col("_matched").isNotNull(), F.lit("SUCCESS")).otherwise(
             F.lit("FAILED")
