@@ -80,3 +80,45 @@ def test_synth_generators_deterministic():
     ed = s.synth_edges(200, 4, 5)
     assert ed.equals(s.synth_edges(200, 4, 5))
     assert (ed.id_a < ed.id_b).all()  # canonical order, no self-loops
+
+
+def test_plan_two_rounds_projection():
+    """The two-round schedule (r12): the first gate follows plan_rotation;
+    the second assumes the first certifies green — so first-gate members
+    (freshest certs in the simulated history) must not reappear, and the
+    round-after gate drains the next-stalest bucket."""
+    from registry_ledger import plan_two_rounds
+
+    order = [f"q{i}" for i in range(8)]
+    hist = {
+        "q0": {},                 # never certified -> leads gate 1
+        "q1": {3: "green"},
+        "q2": {3: "green"},
+        "q3": {4: "green"},
+        "q4": {4: "green"},
+        "q5": {5: "green"},
+        "q6": {5: "green"},
+        "q7": {5: "green"},
+    }
+    nxt, first, second, hist2 = plan_two_rounds(order, hist, {"q5"}, gate=3)
+    assert nxt == 6
+    assert first[:3] == ["q0", "q5", "q1"]  # never, changed, stalest
+    # simulated: gate-1 members now r6-latest
+    assert all(hist2[n].get(6) == "green" for n in first[:3])
+    # gate 2 drains the remaining r3/r4 bucket, not the just-certified
+    assert second[:3] == ["q2", "q3", "q4"]
+    assert not set(second[:3]) & set(first[:3])
+
+
+def test_gate_buckets_summary():
+    from registry_ledger import gate_buckets
+
+    hist = {
+        "a": {},
+        "b": {8: "green"},
+        "c": {8: "green", 9: "red"},   # latest GREEN is what buckets
+        "d": {9: "green"},
+    }
+    assert gate_buckets(["a", "b", "c", "d"], hist) == (
+        "1 never-certified + 2 r08-latest + 1 r09-latest"
+    )
