@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(
@@ -35,9 +35,23 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (optionally bucket-sorted) table.
     ``path`` makes it external (data outside the warehouse dir). The
     write itself shuffles once on the keys — that is the point: pay the
-    exchange at write time, never again at read time."""
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(
-        n_buckets, *keys
+    exchange at write time, never again at read time.
+
+    The explicit ``repartition`` on the bucket keys is load-bearing at
+    scale: Spark's bucketed writer hash-splits EVERY input task into up
+    to ``n_buckets`` files, so without it a wide write produces
+    tasks x buckets files (100k tasks x 4096 buckets = a 400M-small-
+    files catastrophe on a 100 TB ingest). Repartitioning on the keys
+    first uses the same Murmur3 pmod assignment as the bucket id, so
+    each task holds exactly one bucket's rows and writes exactly ONE
+    file per bucket (plan-asserted in tests/test_partitioning.py).
+    This also makes the docstring's 'shuffles once' literal — the
+    exchange is this repartition."""
+    writer = (
+        df.repartition(n_buckets, *[F.col(f"`{k}`") for k in keys])
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *keys)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -454,3 +454,44 @@ def test_merge_clinical_variants_bucketed_matches_inflight(spark, tmp_path):
         assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_merge_bkt")
+
+
+def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
+    """The small-files contract (r12): Spark's bucketed writer splits
+    every input task into per-bucket files, so a 32-partition input
+    would write up to 32x8 files; write_bucketed's repartition on the
+    bucket keys must collapse that to exactly ONE file per non-empty
+    bucket (repartition's Murmur3-pmod assignment and the bucket id are
+    the same function), and the bucketed read must stay exchange-free."""
+    import glob
+    import re
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    df = (
+        spark.range(10_000)
+        .repartition(32)  # the wide-ingest shape that explodes files
+        .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    )
+    write_bucketed(df, "t_bkt_onefile", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "b"))
+    try:
+        files = glob.glob(str(tmp_path / "b" / "part-*"))
+        buckets = [
+            int(m.group(1))
+            for f in files
+            if (m := re.search(r"_(\d{5})\.", os.path.basename(f)))
+        ]
+        assert len(buckets) == len(files)
+        # one file per bucket, all 8 buckets populated
+        assert sorted(buckets) == list(range(8)), sorted(buckets)
+        back = read_bucketed(spark, "t_bkt_onefile")
+        agg = back.groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert back.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_onefile")
