@@ -64,7 +64,97 @@ def load_history() -> dict[str, dict[int, str]]:
     return hist
 
 
-FPR_ALGO = 2  # bump when the fingerprint resolution below changes shape
+# Bump when the fingerprint resolution below changes shape. Fingerprints
+# stay DIRECT-reference only (algo 2): a transitive-closure fingerprint
+# was built and rejected in r12 — typical closures span ~40 modules
+# (registry/_common.py pulls in most of the package), so any core edit
+# would flip all 163 faces into an unsatisfiable 50-slot mandatory
+# regate. The transitive blind spot algo 2 leaves (an edit to e.g.
+# sources/bucketed.py, reached only via plans/pedmatch_bucketed.py,
+# flips no consumer) is covered instead by the ADVISORY in main(): a
+# module-hash snapshot taken at round start flags every face whose
+# _module_closure touches a since-edited module, and the ≤3-round full
+# rotation bounds how long such a face can go without re-certification.
+FPR_ALGO = 2
+
+
+def _module_closure(
+    files: set[str], graph: dict[str, set[str]] | None = None
+) -> set[str]:
+    """Transitive expansion of a referenced-module set: parse each module
+    for package-internal imports (absolute AND relative) and chase to
+    fixpoint. File-level granularity. Used by the transitive-impact
+    advisory in main() — NOT by the fingerprint (see the FPR_ALGO note).
+    ``graph`` memoizes file -> imported-files across calls."""
+    import ast
+
+    def _to_file(dotted: str) -> str | None:
+        base = os.path.join(ROOT, dotted.replace(".", os.sep))
+        for cand in (base + ".py", os.path.join(base, "__init__.py")):
+            if os.path.exists(cand):
+                return cand
+        return None
+
+    def _module_name(path: str) -> str:
+        rel = os.path.relpath(path, ROOT)
+        parts = rel[:-3].split(os.sep)  # strip .py
+        if parts[-1] == "__init__":
+            parts = parts[:-1]
+        return ".".join(parts)
+
+    def _imports_of(f: str) -> set[str]:
+        if graph is not None and f in graph:
+            return graph[f]
+        out: set[str] = set()
+        try:
+            tree = ast.parse(open(f).read())
+        except (OSError, SyntaxError):
+            tree = None
+        if tree is not None:
+            mod_parts = _module_name(f).split(".")
+            is_pkg = os.path.basename(f) == "__init__.py"
+            targets: list[str] = []
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    targets += [a.name for a in node.names]
+                elif isinstance(node, ast.ImportFrom):
+                    if node.level == 0:
+                        base = node.module or ""
+                    else:
+                        # relative: level 1 = this module's package
+                        keep = (
+                            len(mod_parts)
+                            - (0 if is_pkg else 1)
+                            - (node.level - 1)
+                        )
+                        if keep < 1:
+                            continue
+                        prefix = ".".join(mod_parts[:keep])
+                        base = (
+                            f"{prefix}.{node.module}" if node.module else prefix
+                        )
+                    if base:
+                        targets.append(base)
+                        # `from pkg import name` where name is a submodule
+                        targets += [f"{base}.{a.name}" for a in node.names]
+            for t in targets:
+                if t.startswith(PACKAGE):
+                    path = _to_file(t)
+                    if path:
+                        out.add(path)
+        if graph is not None:
+            graph[f] = out
+        return out
+
+    seen = set(files)
+    frontier = [f for f in files if PACKAGE in f]
+    while frontier:
+        f = frontier.pop()
+        for path in _imports_of(f):
+            if path not in seen:
+                seen.add(path)
+                frontier.append(path)
+    return seen
 
 
 def _module_file(obj) -> str | None:
@@ -78,23 +168,16 @@ def _module_file(obj) -> str | None:
     return None
 
 
-def face_fingerprint(fn, sql: str | None) -> str:
-    """Content hash of everything that determines a face's observable
-    result: the face function's source, its (generated) oracle SQL
-    VALUE, and the full text of every package module the face touches —
-    modules/functions resolved through ``fn.__globals__`` (catches
-    top-level imports like the relational helpers), in-body
-    ``from package.x import`` statements (the registry faces' local
-    import convention), and — algo 2 — each imported NAME chased to its
-    DEFINING module, so a face importing ``hierarchy_rollup`` through
-    the ``operators`` package re-export tracks
-    ``operators/hierarchy.py``, not just ``operators/__init__.py``.
-    Coarse on purpose: an edit anywhere in a referenced operator module
-    flips every face that uses it."""
+def face_files(fn) -> set[str]:
+    """The package modules a face DIRECTLY references: resolved through
+    ``fn.__globals__`` (catches top-level imports like the relational
+    helpers), in-body ``from package.x import`` statements (the registry
+    faces' local import convention), and — algo 2 — each imported NAME
+    chased to its DEFINING module, so a face importing
+    ``hierarchy_rollup`` through the ``operators`` package re-export
+    tracks ``operators/hierarchy.py``, not just
+    ``operators/__init__.py``."""
     src = inspect.getsource(fn)
-    h = hashlib.sha256()
-    h.update(src.encode())
-    h.update((sql or "").encode())
     files: set[str] = set()
     for name in fn.__code__.co_names:
         f = _module_file(fn.__globals__.get(name))
@@ -136,7 +219,27 @@ def face_fingerprint(fn, sql: str | None) -> str:
             path = os.path.join(ROOT, m.replace(".", os.sep) + ".py")
             if os.path.exists(path):
                 files.add(path)
-    for f in sorted(files):
+    if FPR_ALGO >= 3:
+        files = _module_closure(files)
+    return files
+
+
+def face_fingerprint(fn, sql: str | None) -> str:
+    """Content hash of everything that determines a face's observable
+    result: the face function's source, its (generated) oracle SQL
+    VALUE, and the full text of every package module the face directly
+    references (``face_files``). Coarse on purpose: an edit anywhere in
+    a referenced operator module flips every face that uses it.
+    DELIBERATELY NOT transitive (see the FPR_ALGO note): transitive
+    edits are covered by the module-hash advisory in main() plus the
+    ≤3-round full rotation, because closure-sized fingerprints (~40
+    modules per face through registry/_common.py) would make any core
+    edit flip all 163 faces — an unsatisfiable 50-slot mandatory
+    regate."""
+    h = hashlib.sha256()
+    h.update(inspect.getsource(fn).encode())
+    h.update((sql or "").encode())
+    for f in sorted(face_files(fn)):
         with open(f, "rb") as fh:
             h.update(fh.read())
     return h.hexdigest()
@@ -290,6 +393,7 @@ def main() -> int:
     stored: dict[str, dict] = {}
     if os.path.exists(FPR_STORE):
         stored = json.load(open(FPR_STORE))
+    mods_entry = stored.pop("__modules__", None)
     algo = stored.pop("__fpr_algo__", 1)
     if algo != FPR_ALGO:
         # One-time migration: the fingerprint ALGORITHM changed, not the
@@ -354,13 +458,64 @@ def main() -> int:
             # state with nothing to invalidate — track the current tree
             stored[name] = {"fpr": current[name], "round": 0}
     stored = {n: stored[n] for n in order}  # drop unregistered leftovers
+
+    # ---- transitive-impact advisory (the gap direct fingerprints leave,
+    # found in r12: an edit to sources/bucketed.py flips no face because
+    # every consumer reaches it through plans/*_bucketed.py). A module-
+    # hash baseline is (re)taken on the same certified-tree assumption as
+    # the face snapshots (first run after a new CORRECTNESS round); any
+    # later run reports faces whose import CLOSURE touches a since-edited
+    # module but whose own fingerprint did not flip. Advisory, not fatal:
+    # closure-sized mandatory regates would overflow the gate (see the
+    # FPR_ALGO note); the ≤3-round rotation bounds the exposure.
+    latest_round = max(rounds_seen) if rounds_seen else 0
+    cur_mods = {
+        os.path.relpath(p, ROOT): hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(
+            os.path.join(ROOT, PACKAGE, "**", "*.py"), recursive=True
+        )
+    }
+    if mods_entry is None or latest_round > mods_entry.get("round", 0):
+        mods_entry = {"round": latest_round, "hashes": cur_mods}
+    baseline = mods_entry["hashes"]
+    changed_mods = {
+        r for r in set(cur_mods) | set(baseline)
+        if cur_mods.get(r) != baseline.get(r)
+    }
+
     with open(FPR_STORE, "w") as f:
-        json.dump({"__fpr_algo__": FPR_ALGO, **stored}, f, indent=1)
+        json.dump(
+            {"__fpr_algo__": FPR_ALGO, "__modules__": mods_entry, **stored},
+            f,
+            indent=1,
+        )
 
     changed = {
         n for n in order
         if stored[n]["fpr"] != current[n]
     }
+
+    transitive_hits: list[tuple[str, bool]] = []  # (name, in_gate)
+    if changed_mods:
+        changed_paths = {os.path.join(ROOT, r) for r in changed_mods}
+        igraph: dict[str, set[str]] = {}
+        for i, name in enumerate(order):
+            fn, _sql = _REGISTRY[name]
+            if name in changed:
+                continue  # already mandatory via its own fingerprint
+            if _module_closure(face_files(fn), igraph) & changed_paths:
+                transitive_hits.append((name, i < GATE))
+    out_of_gate_transitive = [n for n, in_gate in transitive_hits if not in_gate]
+    if out_of_gate_transitive:
+        print(
+            f"transitive-impact advisory: {len(out_of_gate_transitive)} "
+            "face(s) outside the gate import a since-edited module "
+            "through their closure (fingerprint unchanged): "
+            + ", ".join(out_of_gate_transitive[:10])
+            + (" …" if len(out_of_gate_transitive) > 10 else "")
+            + f" — changed module(s): {', '.join(sorted(changed_mods))}",
+            file=sys.stderr,
+        )
     # Watch-list (r11 verdict task 6, now structural): embedding_dup_pairs
     # is the O(n^2) cross-join exact-dup BASELINE — certified on its own
     # face so the LSH path's recall stays measurable, but it must never be
@@ -416,6 +571,31 @@ def main() -> int:
         f"Driver rounds recorded: {', '.join(f'r{r:02d}' for r in rounds_seen)}.",
         "",
         _rotation_schedule_paragraph(order, hist, changed),
+        "",
+        (
+            "Transitive-impact advisory (module-hash baseline r"
+            f"{mods_entry['round']:02d}): "
+            + (
+                "no package module edited since the baseline."
+                if not changed_mods
+                else (
+                    f"{len(changed_mods)} module(s) edited — "
+                    f"{sum(1 for _, g in transitive_hits if g)} affected "
+                    "face(s) already inside the gate, "
+                    f"{len(out_of_gate_transitive)} outside it"
+                    + (
+                        f" ({', '.join(out_of_gate_transitive[:12])}"
+                        + (" …" if len(out_of_gate_transitive) > 12 else "")
+                        + ")"
+                        if out_of_gate_transitive
+                        else ""
+                    )
+                    + " — fingerprint-unchanged faces reaching an edited "
+                    "module only transitively; re-certified by rotation "
+                    "within three rounds."
+                )
+            )
+        ),
         "",
         "| # | query | green in rounds | latest driver status | changed since cert | in r-next gate |",
         "|---|---|---|---|---|---|",

@@ -122,3 +122,37 @@ def test_gate_buckets_summary():
     assert gate_buckets(["a", "b", "c", "d"], hist) == (
         "1 never-certified + 2 r08-latest + 1 r09-latest"
     )
+
+
+def test_module_closure_reaches_transitive_deps():
+    """Algo-3 groundwork (r12): the transitive closure must chase both
+    absolute and RELATIVE package imports to fixpoint — the gap it
+    closes is sources/bucketed.py being reachable from the bucketed
+    faces only through plans/pedmatch_bucketed.py's `from ..sources`
+    import, which algo 2's face-direct resolution never sees."""
+    import os
+
+    from registry_ledger import ROOT, _module_closure
+
+    pkg = os.path.join(ROOT, "childhoodcancerdatainitiative_cbioportal_workflows_spark")
+    start = {os.path.join(pkg, "plans", "pedmatch_bucketed.py")}
+    closure = _module_closure(start)
+    rel = {os.path.relpath(f, pkg) for f in closure}
+    assert os.path.join("sources", "bucketed.py") in rel          # relative import
+    assert os.path.join("plans", "pedmatch.py") in rel            # sibling module
+    # fixpoint goes deeper than one hop: pedmatch.py's own deps appear
+    assert any(f.startswith("functions") for f in rel), sorted(rel)
+    # and the closure is a superset of the seed
+    assert start <= closure
+
+
+def test_fingerprints_stay_direct_reference():
+    """Fingerprints deliberately stay algo 2 (direct references only):
+    closure-sized fingerprints (~40 modules per face through
+    registry/_common.py) would turn any core edit into an unsatisfiable
+    163-face mandatory regate. The transitive gap is covered by the
+    module-hash advisory instead — if this bumps, the stored snapshots
+    must be migrated on a certified tree (--migrate-fpr-algo)."""
+    from registry_ledger import FPR_ALGO
+
+    assert FPR_ALGO == 2
