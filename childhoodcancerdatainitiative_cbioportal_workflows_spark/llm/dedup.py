@@ -1388,6 +1388,7 @@ def soft_dedup_weights(
     pairs: DataFrame,
     id_col: str = "doc_id",
     scale: int = 1_000_000,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Soft deduplication: instead of dropping near-duplicates, weight
     every document by the inverse size of its duplicate cluster
@@ -1398,19 +1399,39 @@ def soft_dedup_weights(
 
     Composes :func:`dedup_components` (O(log n) star contraction / driver
     union-find on the tiny pair graph) with one cluster-size aggregate
-    and a LEFT join back to the corpus — the weight table is
-    pair-graph-sized, so the join broadcasts; the corpus is scanned once
-    and never shuffled. floor(scale / k) is exact in any engine (the
-    double ratio only hits an integer when k divides scale)."""
+    and a LEFT join back to the corpus; the corpus is scanned once and
+    never shuffled when the weight side broadcasts. floor(scale / k) is
+    exact in any engine (the double ratio only hits an integer when k
+    divides scale).
+
+    ``broadcast``: True forces a broadcast hint on the weight side,
+    False forbids it (sort-merge hint), None (default) leaves the
+    strategy to Catalyst/AQE. The pre-r13 version hinted
+    unconditionally — the same landmine the r12 decade probe caught in
+    LookupAnnotator: the weight table is PAIR-GRAPH-sized, so on a
+    heavy-dup corpus (e.g. 50% dups at 100 TB) it is corpus-scaled and a
+    forced broadcast goes superlinear the moment it outgrows an executor
+    broadcast. With AQE the hint buys nothing a runtime size check
+    doesn't: sparse pair graphs still broadcast, heavy ones sort-merge
+    instead of falling over (probe table: SCALE_NOTES r13 heavy-dup
+    probe)."""
+
+    def _hint(frame: DataFrame) -> DataFrame:
+        if broadcast:
+            return F.broadcast(frame)
+        if broadcast is False:
+            return frame.hint("merge")
+        return frame
+
     comp = dedup_components(pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
-    weights = comp.join(F.broadcast(sizes), "component").select(
+    weights = comp.join(_hint(sizes), "component").select(
         F.col("id").alias("_wid"),
         F.floor(F.lit(scale) / F.col("_csize")).cast("long").alias("weight_fp"),
     )
     out = (
         docs.select(F.col(id_col))
-        .join(F.broadcast(weights), docs[id_col] == weights["_wid"], "left")
+        .join(_hint(weights), docs[id_col] == weights["_wid"], "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("weight_fp"), F.lit(scale).cast("long")).alias(

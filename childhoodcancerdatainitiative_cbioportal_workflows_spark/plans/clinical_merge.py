@@ -10,7 +10,7 @@ row-alignment hazard.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.genomics import strip_chr_prefix_only, strip_dot_zero
 from ..operators.dedup import keep_first
@@ -122,26 +122,34 @@ def clin_union(maf_concat: DataFrame, anno_clin_muts: DataFrame) -> DataFrame:
     return maf.unionByName(clin, allowMissingColumns=True)
 
 
-def dedup_preferring_clinical(unioned: DataFrame) -> DataFrame:
-    """Dedup-with-preference on the 7-column MAF identity (mci:263-289):
-    reported-significance rows beat Not-Reported ones, clinical (_src=1)
-    beats MAF on ties; output normalization strips the int-as-float
-    ``.0`` artifact exactly as mci:285-289."""
-    deduped = keep_first(
-        unioned,
-        MAF_DEDUP_KEYS,
-        [
-            _not_reported(F.col("`Reported.Significance System`")).asc(),
-            _not_reported(F.col("`Reported.Significance`")).asc(),
-            F.col("_src").asc(),
-        ],
-    ).drop("_src")
+_DEDUP_PREFERENCE = (
+    lambda: [
+        _not_reported(F.col("`Reported.Significance System`")).asc(),
+        _not_reported(F.col("`Reported.Significance`")).asc(),
+        F.col("_src").asc(),
+    ]
+)
+
+
+def _finalize_dedup(deduped: DataFrame) -> DataFrame:
+    """Output normalization shared by both dedup paths: strip the
+    int-as-float ``.0`` artifact exactly as mci:285-289, canonical
+    genomic sort."""
     return (
         deduped.withColumn("Entrez_Gene_Id", strip_dot_zero(F.col("Entrez_Gene_Id")))
         .withColumn("Start_Position", strip_dot_zero(F.col("Start_Position")))
         .withColumn("End_Position", strip_dot_zero(F.col("End_Position")))
         .orderBy("Tumor_Sample_Barcode", "Chromosome", "Start_Position")
     )
+
+
+def dedup_preferring_clinical(unioned: DataFrame) -> DataFrame:
+    """Dedup-with-preference on the 7-column MAF identity (mci:263-289):
+    reported-significance rows beat Not-Reported ones, clinical (_src=1)
+    beats MAF on ties; output normalization strips the int-as-float
+    ``.0`` artifact exactly as mci:285-289."""
+    deduped = keep_first(unioned, MAF_DEDUP_KEYS, _DEDUP_PREFERENCE()).drop("_src")
+    return _finalize_dedup(deduped)
 
 
 def merge_stats(unioned: DataFrame) -> dict:
@@ -182,20 +190,56 @@ def merge_clinical_variants_to_maf(
     (df, stats) where stats carries the reference's log-line counts
     (mci:294).
 
-    This function traverses the union TWICE — once for the eager stats
-    aggregate and once when the caller materializes the deduped output.
+    ONE traversal of the union (r12 verdict task 3; the r12 shape
+    checkpointed the full union and then ran the dedup window AND a
+    separate stats groupBy over it — the union-sized block
+    materialization was the 15M-row GC noise source in the decade
+    probe). The dedup window's partition IS the stats aggregate's
+    grouping, so the per-group source counts ride the same Exchange +
+    Sort as ``row_number`` (two Window ops, one shuffle): the group
+    representative carries (_maf_n, _clin_n), and the mci:294 counts
+    reduce to one cheap agg over the DEDUPED frame. What gets
+    localCheckpoint-ed is therefore the post-dedup frame — strictly
+    smaller than the union — and the union itself streams through the
+    window exactly once.
+
     localCheckpoint (not persist): a persist() here can never be
     released — the caller only receives the derived ``deduped``, and
     unpersisting a derived frame does not drop the parent's CacheManager
-    entry, so every merge would leak a session-lifetime cache of the
-    full megaMAF union. The eager local checkpoint materializes the
-    union exactly once, both consumers read its blocks, and the blocks
-    live only as long as the returned frame references them
-    (ContextCleaner frees them on GC — no catalog entry to leak).
-    Tradeoff: executor-local blocks are not fault-tolerant; a cluster
-    run that must survive executor loss should set a checkpoint dir and
-    use reliable .checkpoint() — or use the bucketed-ingest path
+    entry, so every merge would leak a session-lifetime cache. The eager
+    local checkpoint's blocks live only as long as the returned frame
+    references them (ContextCleaner frees them on GC — no catalog entry
+    to leak). Tradeoff: executor-local blocks are not fault-tolerant; a
+    cluster run that must survive executor loss should set a checkpoint
+    dir and use reliable .checkpoint() — or use the bucketed-ingest path
     (plans/clinical_merge_bucketed.py), where the union at rest IS the
     materialization and needs neither."""
-    unioned = clin_union(maf_concat, anno_clin_muts).localCheckpoint(eager=True)
-    return dedup_preferring_clinical(unioned), merge_stats(unioned)
+    unioned = clin_union(maf_concat, anno_clin_muts)
+    wp = Window.partitionBy(*[F.col(f"`{k}`") for k in MAF_DEDUP_KEYS])
+    wo = wp.orderBy(*_DEDUP_PREFERENCE())
+    kept = (
+        unioned.withColumn("_rn", F.row_number().over(wo))
+        .withColumn(
+            "_maf_n", F.sum(F.when(F.col("_src") == 0, 1).otherwise(0)).over(wp)
+        )
+        .withColumn(
+            "_clin_n", F.sum(F.when(F.col("_src") == 1, 1).otherwise(0)).over(wp)
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)
+    )
+    totals = kept.agg(
+        F.sum("_maf_n").alias("maf_rows"),
+        F.sum("_clin_n").alias("clin_rows"),
+        F.count(F.lit(1)).alias("dedup_rows"),
+    ).first()
+    stats = {
+        "raw_maf_rows": totals["maf_rows"],
+        "merged_rows": totals["dedup_rows"],
+        "clin_deduped": totals["clin_rows"]
+        - (totals["dedup_rows"] - totals["maf_rows"]),
+        "clin_added_uniquely": totals["dedup_rows"] - totals["maf_rows"],
+    }
+    deduped = _finalize_dedup(kept.drop("_maf_n", "_clin_n", "_src"))
+    return deduped, stats

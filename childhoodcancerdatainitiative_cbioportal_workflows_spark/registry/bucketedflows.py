@@ -28,11 +28,20 @@ from ._common import *  # noqa: F401,F403
 _N_BUCKETS = 8
 
 
-def _bucket_path(table: str) -> str:
-    """Deterministic session-temp external-table location; the bucketed
-    writers use mode('overwrite'), so repeated face runs (driver gate,
-    bench, tests) reuse the same path instead of accreting tempdirs."""
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed")
+def _bucket_path(spark: SparkSession, table: str) -> str:
+    """Session-keyed temp external-table location: the directory embeds
+    ``applicationId``, so two concurrent sessions running the gate can
+    never race each other's overwrite (one scan reading files the other
+    just deleted) and a pre-created world-shared /tmp dir cannot be
+    squatted to capture our writes (r12 advice). WITHIN a session the
+    path is stable, so the writers' mode('overwrite') still reuses it
+    across repeated face runs (driver gate, bench, tests) instead of
+    accreting tempdirs; the table names live in the session's own
+    in-memory catalog, so they need no suffix."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bucketed_{spark.sparkContext.applicationId}",
+    )
     os.makedirs(base, exist_ok=True)
     return os.path.join(base, table)
 
@@ -70,8 +79,8 @@ def q_somatic_calls_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sg_snv_tumor_bkt",
         "sg_snv_normal_bkt",
         n_buckets=_N_BUCKETS,
-        tumor_path=_bucket_path("sg_snv_tumor_bkt"),
-        normal_path=_bucket_path("sg_snv_normal_bkt"),
+        tumor_path=_bucket_path(spark, "sg_snv_tumor_bkt"),
+        normal_path=_bucket_path(spark, "sg_snv_normal_bkt"),
     )
     somatic = snv_somatic_bucketed(spark, "sg_snv_tumor_bkt", "sg_snv_normal_bkt")
     kept = fusion_germline_subtract(
@@ -117,7 +126,7 @@ def q_clinical_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         unioned,
         "sg_megamaf_bkt",
         n_buckets=_N_BUCKETS,
-        path=_bucket_path("sg_megamaf_bkt"),
+        path=_bucket_path(spark, "sg_megamaf_bkt"),
         extra_keys=(),
     )
     deduped, stats = merge_clinical_variants_bucketed(spark, "sg_megamaf_bkt")

@@ -31,6 +31,7 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: Sequence[str] | None = None,
     path: str | None = None,
+    one_file_per_bucket: bool = True,
 ) -> None:
     """Persist ``df`` as a bucketed (optionally bucket-sorted) table.
     ``path`` makes it external (data outside the warehouse dir). The
@@ -46,10 +47,23 @@ def write_bucketed(
     each task holds exactly one bucket's rows and writes exactly ONE
     file per bucket (plan-asserted in tests/test_partitioning.py).
     This also makes the docstring's 'shuffles once' literal — the
-    exchange is this repartition."""
+    exchange is this repartition.
+
+    Tradeoff (r12 advice): the repartition also CAPS write parallelism
+    at ``n_buckets`` tasks and funnels any hot bucket key into a single
+    task — a skewed ingest serializes on its largest bucket. For key
+    distributions known to be skewed, pass
+    ``one_file_per_bucket=False`` to skip the repartition and let the
+    upstream task layout (and AQE) spread the hot key across writers,
+    accepting up-to-tasks-per-bucket files in exchange; or pre-salt the
+    hot keys upstream. The default favors the file-count contract
+    because at 100 TB the small-files failure is table-wide and
+    permanent while bucket skew costs one slow write."""
+    staged = df
+    if one_file_per_bucket:
+        staged = df.repartition(n_buckets, *[F.col(f"`{k}`") for k in keys])
     writer = (
-        df.repartition(n_buckets, *[F.col(f"`{k}`") for k in keys])
-        .write.mode("overwrite")
+        staged.write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, *keys)
     )

@@ -521,11 +521,16 @@ def main() -> int:
     # face so the LSH path's recall stays measurable, but it must never be
     # composed into any other face, where corpus scale would make the
     # cross join the plan. The LSH-bucketed variant is the composable one.
+    # Detection is structural, not textual (r12 advice): a face merely
+    # MENTIONING the baseline in a docstring/comment must not fail the
+    # ledger. co_names carries both a direct call (LOAD_GLOBAL) and an
+    # in-body `from ..llm.dedup import embedding_dup_pairs`
+    # (IMPORT_FROM), while 'embedding_dup_pairs_lsh' is a distinct name.
     crossjoin_baseline_faces = {"embedding_dups_exact"}
     for name, (fn, _sql) in _REGISTRY.items():
         if name in crossjoin_baseline_faces:
             continue
-        if re.search(r"\bembedding_dup_pairs\(", inspect.getsource(fn)):
+        if "embedding_dup_pairs" in fn.__code__.co_names:
             print(
                 f"watch-list violation: face '{name}' calls the O(n^2) "
                 "embedding_dup_pairs baseline; compose "

@@ -22,7 +22,11 @@ o_custkey is xxhash64-derived (non-negative residue fold). A
 same-generator 150k baseline anchors the alphas so generator-vs-TPCH
 shape differences cannot masquerade as scaling.
 
-    python scripts/scale_round12.py
+    python scripts/scale_round12.py [--flows-only] [--keep]
+
+``--flows-only`` (bare ``flows-only`` also accepted) skips the
+expensive megaMAF re-run probe; ``--keep`` retains the generated
+parquet between runs.
 """
 
 from __future__ import annotations
@@ -202,7 +206,7 @@ def main() -> None:
             f"{name} | {walls[0]:5.2f}s | {walls[1]:5.2f}s | "
             f"{walls[2]:6.2f}s | {a1:.2f} | {a2:.2f}"
         )
-    if "flows-only" not in sys.argv:
+    if not ({"--flows-only", "flows-only"} & set(sys.argv)):
         probe_maf_rerun(spark, dirs)
     if "--keep" not in sys.argv:
         shutil.rmtree(BASE, ignore_errors=True)
