@@ -100,6 +100,13 @@ def main() -> None:
         for name, ts in samples.items()
         if len(ts) > 1
     }
+    # start load counts: a 60s settle cannot undo load5-scale
+    # contamination, so a hot start refuses the settle
+    contended = bool(
+        load_at_start > SETTLE_LOAD
+        or settled_load > SETTLE_LOAD
+        or settled_load5 > SETTLE_LOAD
+    )
     print(
         json.dumps(
             {
@@ -114,14 +121,40 @@ def main() -> None:
                 "load5_at_start": load5_at_start,
                 "load1_after_settle": settled_load,
                 "load5_after_settle": settled_load5,
-                # start load counts: a 60s settle cannot undo load5-scale
-                # contamination, so a hot start refuses the settle
-                "contended": bool(
-                    load_at_start > SETTLE_LOAD
-                    or settled_load > SETTLE_LOAD
-                    or settled_load5 > SETTLE_LOAD
-                ),
+                "contended": contended,
             }
+        )
+    )
+    # LAST line = a self-contained compact summary (r12 verdict task 5):
+    # the driver's BENCH_rNN.json keeps only the LAST 2000 BYTES of
+    # stdout, and both r11/r12 artifacts lost the totals/head to that
+    # truncation (parsed: null). A full 163-query dict is ~3.6 KB and can
+    # NEVER fit, so the final line carries what grading needs — total,
+    # n, distribution, load, contended — plus the slowest 25 faces, and
+    # is sized (~0.9 KB) so the tail always contains it whole. The full
+    # per-query line above remains first for the committed local
+    # artifacts.
+    vals = sorted(timings.values())
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(sum(vals), 2),
+                "unit": "sec",
+                "sf": sf,
+                "n": len(vals),
+                "reps": len(pass_totals),
+                "load1": settled_load,
+                "load5": settled_load5,
+                "contended": contended,
+                "q_median": round(statistics.median(vals), 3) if vals else None,
+                "q_p90": round(vals[int(0.9 * (len(vals) - 1))], 3) if vals else None,
+                "slowest": {n: round(v, 2) for n, v in slowest.items()},
+            },
+            separators=(",", ":"),
         )
     )
 

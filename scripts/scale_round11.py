@@ -22,7 +22,11 @@ maf_reconcile) timed across the shipped SFs (sf0.01 → sf0.1, 10x orders
 rows) for their scaling alpha — the composed-flow discipline the r10
 probe applied to somatic_calls.
 
-    python scripts/scale_round11.py [merge|flows|all]
+    python scripts/scale_round11.py [merge|flows|all] [mult ...]
+
+Extra integer args override the merge probe's scale multipliers
+(default ``1 4``); r12 verdict task 4 runs ``merge 1 10 100`` for the
+two-decade table.
 """
 
 from __future__ import annotations
@@ -81,8 +85,9 @@ def probe_merge() -> int:
     noop_time(snv_somatic(w_vcf, pair_patients(w_manifest)))
 
     base = 500_000
+    mults = [int(a) for a in sys.argv[2:] if a.isdigit()] or [1, 4]
     print("scale | ingest(write bkt) | in-flight merge | bucketed merge | x")
-    for mult in (1, 4):
+    for mult in mults:
         n = base * mult
         vcf, manifest = synth_cohort(spark, n, n_pat=max(20, n // 25_000))
         pairs = pair_patients(manifest)
