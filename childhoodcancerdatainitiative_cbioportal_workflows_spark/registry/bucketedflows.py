@@ -20,12 +20,47 @@ fits an executor core's working set (sources/bucketed.py contract, e.g.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import time
 
 from ._common import *  # noqa: F401,F403
 
 _N_BUCKETS = 8
+
+# Session dirs whose cleanup is already registered (one atexit hook per
+# session, however many faces run).
+_CLEANUP_REGISTERED: set[str] = set()
+
+_STALE_AFTER_S = 6 * 3600
+
+
+def _sweep_stale_bucket_dirs(keep: str) -> None:
+    """Delete ``spark_graft_bucketed_*`` dirs older than 6 h (r13 advice:
+    session-keyed paths fixed the concurrent-overwrite race but made the
+    accretion unbounded — a crashed session's dir would otherwise live in
+    /tmp forever). Age is the dir mtime; ``keep`` (the live session's own
+    dir) is never touched, and a dir another live session is actively
+    writing has a fresh mtime so the 6 h bar skips it."""
+    pattern_root = tempfile.gettempdir()
+    now = time.time()
+    try:
+        entries = os.listdir(pattern_root)
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith("spark_graft_bucketed_"):
+            continue
+        path = os.path.join(pattern_root, entry)
+        if path == keep:
+            continue
+        try:
+            if now - os.path.getmtime(path) > _STALE_AFTER_S:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _bucket_path(spark: SparkSession, table: str) -> str:
@@ -43,6 +78,13 @@ def _bucket_path(spark: SparkSession, table: str) -> str:
         f"spark_graft_bucketed_{spark.sparkContext.applicationId}",
     )
     os.makedirs(base, exist_ok=True)
+    if base not in _CLEANUP_REGISTERED:
+        # Bounded accretion (r13 advice): this session's dir dies with the
+        # process, and anything a crashed session left behind is swept once
+        # it ages past the stale bar.
+        _CLEANUP_REGISTERED.add(base)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _sweep_stale_bucket_dirs(keep=base)
     return os.path.join(base, table)
 
 

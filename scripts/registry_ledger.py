@@ -526,11 +526,21 @@ def main() -> int:
     # ledger. co_names carries both a direct call (LOAD_GLOBAL) and an
     # in-body `from ..llm.dedup import embedding_dup_pairs`
     # (IMPORT_FROM), while 'embedding_dup_pairs_lsh' is a distinct name.
+    # Recurse over nested code objects (r13 advice): a call inside a
+    # nested def/lambda/comprehension lands in a *nested* code object's
+    # co_names, which the top-level check would miss.
+    def _all_co_names(code) -> set[str]:
+        names = set(code.co_names)
+        for const in code.co_consts:
+            if isinstance(const, types.CodeType):
+                names |= _all_co_names(const)
+        return names
+
     crossjoin_baseline_faces = {"embedding_dups_exact"}
     for name, (fn, _sql) in _REGISTRY.items():
         if name in crossjoin_baseline_faces:
             continue
-        if "embedding_dup_pairs" in fn.__code__.co_names:
+        if "embedding_dup_pairs" in _all_co_names(fn.__code__):
             print(
                 f"watch-list violation: face '{name}' calls the O(n^2) "
                 "embedding_dup_pairs baseline; compose "

@@ -85,7 +85,7 @@ def probe_merge() -> int:
     noop_time(snv_somatic(w_vcf, pair_patients(w_manifest)))
 
     base = 500_000
-    mults = [int(a) for a in sys.argv[2:] if a.isdigit()] or [1, 4]
+    mults = [int(a) for a in sys.argv[2:]] or [1, 4]
     print("scale | ingest(write bkt) | in-flight merge | bucketed merge | x")
     for mult in mults:
         n = base * mult
@@ -123,7 +123,28 @@ def probe_merge() -> int:
 
 
 def main() -> int:
+    # Strict argv validation (r13 advice): a typo'd multiplier ('1O') or a
+    # misplaced flag must error loudly, never silently fall back to the
+    # default [1, 4] and run the wrong probe table.
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which not in ("merge", "flows", "all"):
+        print(
+            f"usage: scale_round11.py [merge|flows|all] [mult ...]; "
+            f"got mode {which!r}",
+            file=sys.stderr,
+        )
+        return 2
+    bad = [a for a in sys.argv[2:] if not (a.isdigit() and int(a) > 0)]
+    if bad:
+        print(
+            f"unrecognized multiplier arg(s) {bad}: every extra arg must "
+            "be a positive integer (e.g. `merge 1 10 100`)",
+            file=sys.stderr,
+        )
+        return 2
+    if which == "flows" and len(sys.argv) > 2:
+        print("multiplier args only apply to the merge probe", file=sys.stderr)
+        return 2
     if which in ("merge", "all"):
         probe_merge()
     if which in ("flows", "all"):

@@ -192,3 +192,79 @@ def test_merge_dedup_preference(spark):
     assert tp53.Start_Position.iloc[0] == "7675088"
     kras = pdf[pdf.Hugo_Symbol == "KRAS"]
     assert kras.Start_Position.iloc[0] == "" and kras.Entrez_Gene_Id.iloc[0] == ""
+
+
+def test_merge_stats_single_pass_equals_naive_recompute(spark):
+    """Pins the r13 single-pass stats rewrite (r13 verdict task 6): the
+    window-sum stats that ride the dedup Exchange must equal the naive
+    independently-computed ``.filter(_src==…).count()`` values on a
+    fixture with MULTI-ROW groups on both sides — groups with several
+    MAF rows, several clinical rows, both, and null dedup keys — the
+    shapes where a window-vs-groupBy discrepancy would surface."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.clinical_merge import (
+        MAF_DEDUP_KEYS,
+        clin_union,
+    )
+
+    def maf_row(sym, start, barcode="S1"):
+        return dict(
+            Tumor_Sample_Barcode=barcode,
+            Hugo_Symbol=sym,
+            Chromosome="1",
+            Start_Position=start,
+            End_Position=start,
+            Variant_Classification="Missense_Mutation",
+            HGVSp_Short=f"p.{sym}",
+            Entrez_Gene_Id=1.0,
+        )
+
+    def clin_row(sym, start, tier, barcode="S1"):
+        r = maf_row(sym, start, barcode)
+        del r["Entrez_Gene_Id"]
+        r["Reported.Significance System"] = "AMP/ASCO/CAP"
+        r["Reported.Significance"] = tier
+        return r
+
+    # group A: 3 MAF + 2 clinical rows (same 7-key identity)
+    # group B: 2 MAF rows only
+    # group C: 2 clinical rows only
+    # group D: 1 MAF + 1 clinical
+    # group E: null Start/End keys, 2 MAF + 1 clinical
+    maf = spark.createDataFrame(
+        pd.DataFrame(
+            [maf_row("A", 100.0)] * 3
+            + [maf_row("B", 200.0)] * 2
+            + [maf_row("D", 400.0)]
+            + [maf_row("E", None)] * 2
+        )
+    )
+    clin = spark.createDataFrame(
+        pd.DataFrame(
+            [clin_row("A", 100.0, "Tier I"), clin_row("A", 100.0, "Tier II")]
+            + [clin_row("C", 300.0, "Tier I"), clin_row("C", 300.0, "Tier III")]
+            + [clin_row("D", 400.0, "Tier II")]
+            + [clin_row("E", None, "Tier I")]
+        )
+    )
+    merged, stats = merge_clinical_variants_to_maf(maf, clin)
+
+    # naive recompute: three independent traversals of the same union
+    unioned = clin_union(maf, clin)
+    naive_maf = unioned.filter(F.col("_src") == 0).count()
+    naive_clin = unioned.filter(F.col("_src") == 1).count()
+    naive_groups = unioned.dropDuplicates(MAF_DEDUP_KEYS).count()
+    assert stats == {
+        "raw_maf_rows": naive_maf,
+        "merged_rows": naive_groups,
+        "clin_deduped": naive_clin - (naive_groups - naive_maf),
+        "clin_added_uniquely": naive_groups - naive_maf,
+    }
+    assert (naive_maf, naive_clin, naive_groups) == (8, 6, 5)
+    # the merged frame itself has exactly one row per group, and every
+    # group with a clinical row keeps the clinical (Tier I first) rep
+    pdf = merged.toPandas().set_index("Hugo_Symbol")
+    assert merged.count() == naive_groups
+    assert pdf.loc["A", "Reported.Significance"] == "Tier I"
+    assert pdf.loc["C", "Reported.Significance"] == "Tier I"
+    assert pdf.loc["E", "Reported.Significance"] == "Tier I"
+    assert pdf.loc["B", "Reported.Significance"] == "Not Reported"
