@@ -495,3 +495,34 @@ def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
         assert back.count() == 10_000
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_onefile")
+
+
+def test_stale_bucket_dir_sweep(tmp_path, monkeypatch):
+    """The r13-advice tempdir cleanup: session-keyed bucketed warehouse
+    dirs older than the stale bar are swept on startup; fresh dirs and
+    the live session's own dir survive whatever their age."""
+    import tempfile
+    import time as _time
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry import (
+        bucketedflows as bf,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    old = tmp_path / "spark_graft_bucketed_app-old"
+    fresh = tmp_path / "spark_graft_bucketed_app-fresh"
+    mine = tmp_path / "spark_graft_bucketed_app-mine"
+    unrelated = tmp_path / "some_other_dir"
+    for d in (old, fresh, mine, unrelated):
+        d.mkdir()
+    stale_ts = _time.time() - bf._STALE_AFTER_S - 60
+    os.utime(old, (stale_ts, stale_ts))
+    os.utime(mine, (stale_ts, stale_ts))  # keep= wins over age
+    os.utime(unrelated, (stale_ts, stale_ts))  # prefix mismatch: untouched
+
+    bf._sweep_stale_bucket_dirs(keep=str(mine))
+
+    assert not old.exists()
+    assert fresh.exists()
+    assert mine.exists()
+    assert unrelated.exists()
