@@ -497,6 +497,45 @@ def test_bucketed_write_one_file_per_bucket(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_bkt_onefile")
 
 
+def test_bucketed_write_skew_escape_hatch_stays_exchange_free(spark, tmp_path):
+    """The one_file_per_bucket=False escape hatch (r12 advice; the r14
+    skew probe measured a 1.35-2.1x write penalty at 60% hot-key
+    concentration that the hatch avoids) must preserve BOTH halves of
+    the bucketed contract even though it writes multiple files per
+    bucket: the bucketed scan stays exchange-free downstream, and
+    values round-trip exactly. If this broke, the documented
+    skewed-ingest guidance would silently trade the whole layout away."""
+    import glob
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    df = (
+        spark.range(10_000)
+        .repartition(16)
+        .select((F.col("id") % 100).alias("k"), (F.col("id") * 3).alias("v"))
+    )
+    write_bucketed(df, "t_bkt_free", ["k"], 8, path=str(tmp_path / "f"),
+                   one_file_per_bucket=False)
+    try:
+        files = glob.glob(str(tmp_path / "f" / "part-*"))
+        # the hatch's cost: more than one file per bucket (16 tasks x 8)
+        assert len(files) > 8
+        back = read_bucketed(spark, "t_bkt_free")
+        agg = back.groupBy("k").agg(F.sum("v").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        expected = {
+            (r["k"], r["s"])
+            for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+        }
+        assert {(r["k"], r["s"]) for r in agg.collect()} == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_free")
+
+
 def test_stale_bucket_dir_sweep(tmp_path, monkeypatch):
     """The r13-advice tempdir cleanup: session-keyed bucketed warehouse
     dirs older than the stale bar are swept on startup; fresh dirs and
