@@ -506,3 +506,56 @@ def test_grouped_weighted_quantiles_match_expansion_model(spark, rows, p):
         rank = (p_bp * n + 9999) // 10000
         expect[key] = (expanded[rank - 1], rank, n)
     assert got == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        max_size=30,
+    ),
+    n_docs=st.integers(1, 25),
+)
+@SETTINGS
+def test_soft_dedup_weights_matches_union_find(spark, edges, n_docs):
+    """soft_dedup_weights (AQE-decided join since r13) == a Python
+    union-find model on ANY pair graph: every doc's weight is
+    floor(1e6 / |its component|), docs outside the pair graph keep 1e6,
+    and pair endpoints not present in docs must not leak into the
+    output (left join semantics)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        release_plan_caches,
+        soft_dedup_weights,
+    )
+
+    e = {(a, b) for a, b in edges if a != b}
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+    pairs = spark.createDataFrame(
+        sorted(e) or [(0, 0)], "id_a long, id_b long"
+    )
+    if not e:
+        pairs = pairs.filter("id_a != id_a")  # empty pair graph
+
+    out = soft_dedup_weights(docs, pairs)
+    got = {r["doc_id"]: r["weight_fp"] for r in out.collect()}
+    release_plan_caches(out)
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        parent[find(a)] = find(b)
+    sizes: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        sizes[r] = sizes.get(r, 0) + 1
+    want = {
+        i: (1_000_000 // sizes[find(i)] if i in parent else 1_000_000)
+        for i in range(n_docs)
+    }
+    assert got == want
