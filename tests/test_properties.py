@@ -559,3 +559,54 @@ def test_soft_dedup_weights_matches_union_find(spark, edges, n_docs):
         for i in range(n_docs)
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=24,
+    ),
+)
+@settings(
+    max_examples=8,  # the star-contraction branch runs iterative Spark jobs
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_components_both_branches_match_union_find(spark, edges):
+    """dedup_components' two physical paths — driver union-find (small
+    graphs) and alternating large/small-star contraction (the 1M+-edge
+    scale path) — must BOTH produce the canonical min-id-reachable
+    labeling on ANY pair graph, including self-loops, parallel edges,
+    and chains (the diameter-n shape star contraction exists for)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        dedup_components,
+    )
+
+    pairs = spark.createDataFrame(sorted(set(edges)), "id_a long, id_b long")
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in set(edges):
+        parent[find(a)] = find(b)
+    members: dict[int, list[int]] = {}
+    for v in parent:
+        members.setdefault(find(v), []).append(v)
+    want = {
+        v: min(vs) for vs in members.values() for v in vs
+    }
+
+    fast = {r.id: r.component for r in dedup_components(pairs).collect()}
+    slow = {
+        r.id: r.component
+        for r in dedup_components(pairs, small_graph_threshold=0).collect()
+    }
+    assert fast == want
+    assert slow == want
