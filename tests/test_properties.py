@@ -610,3 +610,48 @@ def test_dedup_components_both_branches_match_union_find(spark, edges):
     }
     assert fast == want
     assert slow == want
+
+
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                 min_size=3, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_universal_identity_and_disjointness(spark, words):
+    """MinHash+LSH structural guarantees on ANY corpus: two docs with
+    IDENTICAL text (true Jaccard 1.0) always emit a candidate pair
+    (equal shingle sets -> equal signatures -> every band collides,
+    est_jaccard = 1); docs sharing NO shingle vocabulary never pair
+    (est_jaccard ~ 0 under the threshold, band collisions filtered);
+    and output pairs are canonical (id_a < id_b) and distinct."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        minhash_dedup_pairs_universal,
+    )
+
+    texts = [" ".join(ws) for ws in words]
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))          # original
+        rows.append((2 * i + 1, t))      # exact twin
+    alien = len(rows)
+    rows.append((alien, "zeta eta theta iota kappa"))  # disjoint vocab
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs_universal(
+            df, threshold=0.5, num_hashes=16, bands=4
+        ).collect()
+    }
+    for i in range(len(texts)):
+        assert (2 * i, 2 * i + 1) in got, (i, texts[i], got)
+    assert all(a < b for a, b in got)
+    assert not any(alien in pair for pair in got)
