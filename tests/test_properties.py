@@ -655,3 +655,45 @@ def test_minhash_universal_identity_and_disjointness(spark, words):
         assert (2 * i, 2 * i + 1) in got, (i, texts[i], got)
     assert all(a < b for a, b in got)
     assert not any(alien in pair for pair in got)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["red", "blue", "green", "gold", "gray"]),
+                 min_size=3, max_size=10),
+        min_size=2,
+        max_size=5,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_pairs_matches_set_model(spark, docs):
+    """containment_pairs == the brute-force set model
+    C(A,B) = |A∩B| / min(|A|,|B|) over distinct word 3-gram shingles,
+    for every doc pair, at threshold 0 (full matrix) — pinning the
+    explode/self-join/count plan against plain Python sets, including
+    the rounding and the id_a < id_b canonicalization."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        containment_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, n=3, threshold=0.0).collect()
+    }
+
+    def shingles(ws):
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if a & b:
+                want[(i, j)] = round(len(a & b) / min(len(a), len(b)), 4)
+    assert got == want
