@@ -697,3 +697,45 @@ def test_containment_pairs_matches_set_model(spark, docs):
             if a & b:
                 want[(i, j)] = round(len(a & b) / min(len(a), len(b)), 4)
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(-5, 5, allow_nan=False),
+            st.sampled_from([2.0, 0.3, -0.3, -1.0, 2.0000001, -1.0000001]),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@SETTINGS
+def test_gistic_call_matches_reference_branch_order(spark, vals):
+    """gistic_call == the reference's exact elif chain (cnv.py:465-481)
+    for ANY log2 ratio, pinning the boundary semantics (> / < strict,
+    branch order: amp before gain, deep-del before loss) and NULL
+    passthrough (CASE WHEN on NULL input falls to the else branch -> 0,
+    matching pandas' NaN comparison behavior in the reference)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.functions.genomics import (
+        gistic_call,
+    )
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, v double")
+    got = {r.i: r.g for r in df.select("i", gistic_call(F.col("v")).alias("g")).collect()}
+
+    def model(v):
+        if v is None:
+            return 0
+        if v > 2.0:
+            return 2
+        elif v > 0.3:
+            return 1
+        elif v < -1.0:
+            return -2
+        elif v < -0.3:
+            return -1
+        return 0
+
+    assert got == {i: model(v) for i, v in enumerate(vals)}
