@@ -739,3 +739,58 @@ def test_gistic_call_matches_reference_branch_order(spark, vals):
         return 0
 
     assert got == {i: model(v) for i, v in enumerate(vals)}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["red", "blue", "green", "gold", "gray"]),
+                 min_size=3, max_size=10),
+        min_size=2,
+        max_size=5,
+    ),
+    threshold=st.sampled_from([0.2, 0.5]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_jaccard_both_plans_match_set_model(spark, docs, threshold):
+    """ngram_jaccard_pairs AND its prefix-filtered twin (docstring
+    contract: identical output, different physical plan) both equal the
+    brute-force set model |A∩B|/|A∪B| over distinct 3-gram shingles —
+    the exact-truth construction lsh_recall certifies against. Rounding
+    modeled with HALF_UP (Spark's F.round), not Python's bankers'."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def shingles(ws):
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if not (a & b):
+                continue
+            jac = float(
+                (Decimal(len(a & b)) / Decimal(len(a | b))).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            if jac >= threshold:
+                want[(i, j)] = jac
+
+    for fn in (ngram_jaccard_pairs, ngram_jaccard_pairs_prefix):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in fn(df, n=3, threshold=threshold).collect()
+        }
+        assert got == want, (fn.__name__, got, want)
