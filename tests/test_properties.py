@@ -794,3 +794,62 @@ def test_ngram_jaccard_both_plans_match_set_model(spark, docs, threshold):
             for r in fn(df, n=3, threshold=threshold).collect()
         }
         assert got == want, (fn.__name__, got, want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=2, max_size=12),
+        min_size=2,
+        max_size=5,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_exact_substring_spans_matches_python_model(spark, docs):
+    """exact_substring_spans (posexplode + distinct-doc gram count +
+    gaps-and-islands window) == a direct Python model of the RefinedWeb
+    exact-substring shape on ANY corpus: same duplicated-gram set, same
+    island merging (gap > L starts a new island), same integer coverage
+    arithmetic, docs without duplicated spans absent from the output."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        exact_substring_spans,
+    )
+
+    L = 2
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_islands, r.dup_tokens, r.n_tokens, r.dup_frac_fp)
+        for r in exact_substring_spans(df, gram_words=L, min_docs=2).collect()
+    }
+
+    grams_by_doc = []
+    for ws in docs:
+        grams_by_doc.append(
+            {i + 1: " ".join(ws[i:i + L]) for i in range(len(ws) - L + 1)}
+        )
+    from collections import defaultdict
+    gram_docs = defaultdict(set)
+    for d, gmap in enumerate(grams_by_doc):
+        for g in gmap.values():
+            gram_docs[g].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+
+    want = {}
+    for d, gmap in enumerate(grams_by_doc):
+        pos = sorted(p for p, g in gmap.items() if g in dup)
+        if not pos:
+            continue
+        islands = []
+        for p in pos:
+            if islands and p - islands[-1][-1] <= L:
+                islands[-1].append(p)
+            else:
+                islands.append([p])
+        covered = sum(isl[-1] - isl[0] + L for isl in islands)
+        n_tok = len(docs[d])
+        want[d] = (len(islands), covered, n_tok, covered * 1_000_000 // n_tok)
+    assert got == want
