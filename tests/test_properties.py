@@ -853,3 +853,55 @@ def test_exact_substring_spans_matches_python_model(spark, docs):
         n_tok = len(docs[d])
         want[d] = (len(islands), covered, n_tok, covered * 1_000_000 // n_tok)
     assert got == want
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "q"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_decontaminate_matches_set_model(spark, corpus, bench):
+    """decontaminate (broadcast benchmark-shingle probe) == the direct
+    set model on ANY corpus/benchmark pair: n_hits = |doc's distinct
+    3-grams ∩ benchmark 3-gram union|, contaminated = n_hits > 0, and
+    EVERY corpus doc appears in the output (clean docs with 0), short
+    docs included (fewer than n tokens -> no shingles -> clean)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        decontaminate,
+    )
+
+    N = 3
+    cdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(bench)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(cdf, bdf, n=N).collect()
+    }
+
+    def sh(ws):
+        return {" ".join(ws[i:i + N]) for i in range(len(ws) - N + 1)}
+
+    bench_sh = set().union(*(sh(ws) for ws in bench)) if bench else set()
+    want = {}
+    for i, ws in enumerate(corpus):
+        hits = len(sh(ws) & bench_sh)
+        want[i] = (hits, hits > 0)
+    assert got == want
