@@ -21,6 +21,7 @@ fits an executor core's working set (sources/bucketed.py contract, e.g.
 from __future__ import annotations
 
 import atexit
+import glob
 import os
 import shutil
 import tempfile
@@ -35,26 +36,43 @@ _N_BUCKETS = 8
 _CLEANUP_REGISTERED: set[str] = set()
 
 _STALE_AFTER_S = 6 * 3600
+_PIDFILE = "owner.pid"
+
+
+def _owner_alive(path: str) -> bool:
+    """True when ``path``'s ``owner.pid`` names a live process. A dir's
+    mtime only refreshes when a direct child is created/removed, so a
+    session >6 h old that registered its tables early and is still
+    READING them would look stale by mtime alone (r14 advice) — the
+    pidfile is the liveness signal that survives read-only use."""
+    try:
+        with open(os.path.join(path, _PIDFILE)) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True  # exists but not ours — treat as alive
+    return True
 
 
 def _sweep_stale_bucket_dirs(keep: str) -> None:
     """Delete ``spark_graft_bucketed_*`` dirs older than 6 h (r13 advice:
     session-keyed paths fixed the concurrent-overwrite race but made the
     accretion unbounded — a crashed session's dir would otherwise live in
-    /tmp forever). Age is the dir mtime; ``keep`` (the live session's own
-    dir) is never touched, and a dir another live session is actively
-    writing has a fresh mtime so the 6 h bar skips it."""
-    pattern_root = tempfile.gettempdir()
+    /tmp forever). ``keep`` (the live session's own dir) is never touched;
+    a dir whose ``owner.pid`` names a live process is skipped regardless
+    of age (r14 advice: mtime alone misses a >6 h session that is still
+    reading); the glob is prefix-scoped so a shared /tmp with many
+    tenants is never listed wholesale (r14 verdict task 6)."""
     now = time.time()
-    try:
-        entries = os.listdir(pattern_root)
-    except OSError:
-        return
-    for entry in entries:
-        if not entry.startswith("spark_graft_bucketed_"):
-            continue
-        path = os.path.join(pattern_root, entry)
-        if path == keep:
+    for path in glob.glob(
+        os.path.join(tempfile.gettempdir(), "spark_graft_bucketed_*")
+    ):
+        if path == keep or _owner_alive(path):
             continue
         try:
             if now - os.path.getmtime(path) > _STALE_AFTER_S:
@@ -81,10 +99,23 @@ def _bucket_path(spark: SparkSession, table: str) -> str:
     if base not in _CLEANUP_REGISTERED:
         # Bounded accretion (r13 advice): this session's dir dies with the
         # process, and anything a crashed session left behind is swept once
-        # it ages past the stale bar.
+        # it ages past the stale bar AND its owner pid is dead (r14
+        # advice: the pidfile keeps a read-only long-lived session safe
+        # from a newly started session's sweep).
         _CLEANUP_REGISTERED.add(base)
+        try:
+            with open(os.path.join(base, _PIDFILE), "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
         atexit.register(shutil.rmtree, base, ignore_errors=True)
         _sweep_stale_bucket_dirs(keep=base)
+    try:
+        # Belt-and-braces freshness: every face run touches the base dir,
+        # so even without the pidfile a dir in active use never ages.
+        os.utime(base)
+    except OSError:
+        pass
     return os.path.join(base, table)
 
 

@@ -64,7 +64,11 @@ def probe_flows(spark) -> None:
         )
 
 
-def probe_merge() -> int:
+def probe_merge(mults: list[int] | None = None) -> int:
+    """``mults`` is the VALIDATED multiplier list from main() (r14
+    advice: re-reading sys.argv here made safety depend entirely on the
+    caller's upstream validation — a direct call now gets the default
+    instead of an unvalidated ValueError)."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
         pair_patients,
         snv_somatic,
@@ -85,7 +89,7 @@ def probe_merge() -> int:
     noop_time(snv_somatic(w_vcf, pair_patients(w_manifest)))
 
     base = 500_000
-    mults = [int(a) for a in sys.argv[2:]] or [1, 4]
+    mults = mults or [1, 4]
     print("scale | ingest(write bkt) | in-flight merge | bucketed merge | x")
     for mult in mults:
         n = base * mult
@@ -146,7 +150,7 @@ def main() -> int:
         print("multiplier args only apply to the merge probe", file=sys.stderr)
         return 2
     if which in ("merge", "all"):
-        probe_merge()
+        probe_merge([int(a) for a in sys.argv[2:]])
     if which in ("flows", "all"):
         probe_flows(get_spark())
     return 0

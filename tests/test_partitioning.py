@@ -565,3 +565,35 @@ def test_stale_bucket_dir_sweep(tmp_path, monkeypatch):
     assert fresh.exists()
     assert mine.exists()
     assert unrelated.exists()
+
+
+def test_stale_sweep_spares_live_owner(tmp_path, monkeypatch):
+    """The r14-advice liveness fix: a dir whose owner.pid names a LIVE
+    process survives the sweep even when its mtime is past the stale bar
+    (a >6 h session still reading its registered tables refreshes
+    nothing at the top level); a dead owner's dir is still swept."""
+    import tempfile
+    import time as _time
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry import (
+        bucketedflows as bf,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    live = tmp_path / "spark_graft_bucketed_app-live"
+    dead = tmp_path / "spark_graft_bucketed_app-dead"
+    mine = tmp_path / "spark_graft_bucketed_app-mine"
+    for d in (live, dead, mine):
+        d.mkdir()
+    (live / bf._PIDFILE).write_text(str(os.getpid()))
+    # A pid that cannot exist on Linux (> pid_max default) => dead owner.
+    (dead / bf._PIDFILE).write_text("4999999")
+    stale_ts = _time.time() - bf._STALE_AFTER_S - 60
+    for d in (live, dead):
+        os.utime(d, (stale_ts, stale_ts))
+
+    bf._sweep_stale_bucket_dirs(keep=str(mine))
+
+    assert live.exists()
+    assert not dead.exists()
+    assert mine.exists()

@@ -905,3 +905,165 @@ def test_decontaminate_matches_set_model(spark, corpus, bench):
         hits = len(sh(ws) & bench_sh)
         want[i] = (hits, hits > 0)
     assert got == want
+
+
+# ------------------------------------------------- round-15 order-sensitive family
+# (r14 verdict task 5: the remaining order-sensitive operators pinned
+# against brute-force Python models — asof tie rules, top-k under
+# duplicate sort keys, breakend pairing under interleaved arrival.)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10)), min_size=1, max_size=10
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    allow_exact=st.booleans(),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_tie_model(spark, left, right, direction, allow_exact):
+    """asof_join == the documented tie model on ANY (key, ts) multiset:
+    backward = max ts at-or-before (max tiebreak among equal right ts),
+    forward = min ts at-or-after (min tiebreak), nearest = the closer of
+    the two with equal distance breaking BACKWARD (pandas convention);
+    strict inequalities when allow_exact_matches=False. Small ts/key
+    domains force heavy tie collisions on both sides."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        asof_join,
+    )
+
+    lpdf = pd.DataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(left)], columns=["k", "ts", "lid"]
+    )
+    rpdf = pd.DataFrame(
+        [(k, ts, i, 100 + i) for i, (k, ts) in enumerate(right)],
+        columns=["k", "ts", "tb", "val"],
+    )
+    out = asof_join(
+        spark.createDataFrame(lpdf),
+        spark.createDataFrame(rpdf),
+        on=["k"],
+        ts="ts",
+        right_cols=["val"],
+        tiebreak="tb",
+        direction=direction,
+        allow_exact_matches=allow_exact,
+    ).toPandas()
+    got = {r.lid: (None if pd.isna(r.asof_val) else int(r.asof_val))
+           for r in out.itertuples()}
+
+    def model(k, ts):
+        cand = rpdf[rpdf.k == k]
+        back = cand[(cand.ts <= ts)] if allow_exact else cand[(cand.ts < ts)]
+        fwd = cand[(cand.ts >= ts)] if allow_exact else cand[(cand.ts > ts)]
+        b = None
+        if len(back):
+            m = back[back.ts == back.ts.max()]
+            b = m.loc[m.tb.idxmax()]
+        f = None
+        if len(fwd):
+            m = fwd[fwd.ts == fwd.ts.min()]
+            f = m.loc[m.tb.idxmin()]
+        if direction == "backward":
+            pick = b
+        elif direction == "forward":
+            pick = f
+        elif b is None or f is None:
+            pick = b if f is None else f
+        else:  # nearest: strictly closer forward wins, ties go backward
+            pick = f if (f.ts - ts) < (ts - b.ts) else b
+        return None if pick is None else int(pick.val)
+
+    want = {int(r.lid): model(r.k, r.ts) for r in lpdf.itertuples()}
+    assert got == want
+    assert len(out) == len(lpdf)  # enrichment never drops/duplicates left rows
+
+
+@given(
+    arrivals=st.lists(st.integers(0, 2), min_size=1, max_size=14),
+    drop=st.booleans(),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pair_rows_interleaved_arrival_model(spark, arrivals, drop):
+    """pair_rows == the reference's 2-at-a-time loop on a random
+    INTERLEAVED FUSION_ID arrival sequence (the existing model test
+    feeds contiguous groups; the reference's file order interleaves
+    breakend groups freely and pairs each group's rows in file order).
+    The arrival index is the order column, as a scan-attached
+    monotonically_increasing_id would be; the input is repartitioned so
+    physical layout can't stand in for the order column."""
+    pdf = pd.DataFrame(
+        [(f"g{g}", i, f"v{i}") for i, g in enumerate(arrivals)],
+        columns=["grp", "ord", "val"],
+    )
+    out = (
+        pair_rows(
+            spark.createDataFrame(pdf).repartition(5),
+            "grp", "ord", ["val"], drop_unpaired=drop,
+        )
+        .toPandas()
+        .sort_values(["grp", "pair_id"])
+    )
+    want = []
+    for g in sorted({f"g{a}" for a in arrivals}):
+        vals = pdf[pdf.grp == g].sort_values("ord").val.tolist()
+        for p in range(0, len(vals), 2):
+            if p + 1 < len(vals):
+                want.append((g, p // 2, vals[p], vals[p + 1]))
+            elif not drop:
+                want.append((g, p // 2, vals[p], None))
+    got = [
+        (r.grp, int(r.pair_id), r.val_1, None if pd.isna(r.val_2) else r.val_2)
+        for r in out.itertuples()
+    ]
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3)), min_size=1, max_size=20
+    ),
+    k=st.integers(1, 3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_keep_topk_duplicate_sort_keys(spark, rows, k):
+    """keep_topk under DUPLICATE sort keys (tiny v domain forces ties):
+    (a) with a total order (v, uid) the surviving uids equal the pandas
+    head(k) exactly, independent of input partitioning; (b) ordered on
+    the duplicated v alone, row identity is unspecified but the per-group
+    row count is min(k, group size) and the surviving v-multiset is the
+    k smallest of the group's v-multiset — the value-level guarantee the
+    registry faces rely on when they append uid tiebreakers."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        keep_topk,
+    )
+
+    pdf = pd.DataFrame(
+        [(kk, v, i) for i, (kk, v) in enumerate(rows)], columns=["k", "v", "uid"]
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+
+    total = keep_topk(df, ["k"], [F.col("v").asc(), F.col("uid").asc()], k).toPandas()
+    exp = pdf.sort_values(["k", "v", "uid"]).groupby("k").head(k)
+    assert sorted(total.uid) == sorted(exp.uid)
+
+    dup = keep_topk(df, ["k"], [F.col("v").asc()], k).toPandas()
+    for kk, grp in pdf.groupby("k"):
+        got_v = sorted(dup[dup.k == kk].v.tolist())
+        want_v = sorted(grp.v.tolist())[: min(k, len(grp))]
+        assert got_v == want_v
