@@ -11,6 +11,10 @@ its OWN fresh subprocess JVM — heap dies with the cell, no arm inherits
 another's old-gen — and the parent greps each cell's stderr for GC
 warnings so the table itself certifies the run was clean.
 
+Each cell warms its own arm's full path at 1x before measuring (a
+fresh JVM would otherwise pay first-execution C2 compilation in the
+measured row — the lsh_recall/pass-0 mechanism).
+
 Arms per scale (same generator `_synth.synth_cohort`, same 32 buckets,
 broadcast disabled, as r11/r14):
   * inflight  — the two-sided shuffle merge (snv_somatic)
@@ -57,9 +61,25 @@ def run_cell(arm: str, mult: int) -> int:
     spark = get_spark()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    # warmup: JVM/codegen costs land here, not in the measured row
-    w_vcf, w_manifest = synth_cohort(spark, 50_000, n_pat=20)
-    noop_time(snv_somatic(w_vcf, pair_patients(w_manifest)))
+    # Warmup runs THIS ARM's full path at 1x (BASE) scale so the measured
+    # row never pays first-in-JVM C2 compilation. A fresh JVM per cell
+    # removes the r14 GC cross-talk but would otherwise ADD cold-JIT tax
+    # (first run of this probe showed the 10x bucketed re-run at 14.5s
+    # cold vs 2.65s warm — the exact lsh_recall/pass-0 mechanism bench.py
+    # discards); warming the same code path at 1x restores the r14
+    # warm-path comparability while keeping each cell's heap isolated.
+    w_vcf, w_manifest = synth_cohort(spark, BASE, n_pat=20)
+    w_pairs = pair_patients(w_manifest)
+    if arm == "inflight":
+        noop_time(snv_somatic(w_vcf, w_pairs))
+    else:
+        write_snv_sides_bucketed(
+            w_vcf, w_pairs, "snv_t_warm", "snv_n_warm", n_buckets=N_BUCKETS,
+            tumor_path=f"{WH}/t_warm_{mult}", normal_path=f"{WH}/n_warm_{mult}",
+        )
+        noop_time(snv_somatic_bucketed(spark, "snv_t_warm", "snv_n_warm"))
+        spark.sql("DROP TABLE IF EXISTS snv_t_warm")
+        spark.sql("DROP TABLE IF EXISTS snv_n_warm")
 
     n = BASE * mult
     vcf, manifest = synth_cohort(spark, n, n_pat=max(20, n // 25_000))
