@@ -1067,3 +1067,154 @@ def test_keep_topk_duplicate_sort_keys(spark, rows, k):
         got_v = sorted(dup[dup.k == kk].v.tolist())
         want_v = sorted(grp.v.tolist())[: min(k, len(grp))]
         assert got_v == want_v
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 300), st.integers(0, 50)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_resample_locf_matches_model(spark, rows):
+    """resample_locf == the brute-force carry model on ANY irregular
+    (key, ts) multiset with heavy duplicate timestamps: one row per
+    (key, minute bucket) from trunc(min) to trunc(max); the carried
+    value at tick t is the event with the greatest ts <= t, ties broken
+    by greatest tiebreak (the asof pin); ticks before the key's first
+    event carry null. The tiny ts domain (<=5 minutes of seconds)
+    forces same-second collisions and grid ticks that coincide exactly
+    with event instants (the at-or-before INCLUSIVE edge)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        resample_locf,
+    )
+
+    pdf = pd.DataFrame(
+        [(k, s, v, i) for i, (k, s, v) in enumerate(rows)],
+        columns=["k", "sec", "v", "uid"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["sec"], unit="s")
+    out = resample_locf(
+        spark.createDataFrame(pdf[["k", "ts", "v", "uid"]]).repartition(5),
+        ["k"], "ts", "v", step="1 minute", unit="minute", tiebreak="uid",
+    ).toPandas()
+
+    want = {}
+    for k, grp in pdf.groupby("k"):
+        lo = (grp.sec.min() // 60) * 60
+        hi = (grp.sec.max() // 60) * 60
+        for tick in range(int(lo), int(hi) + 1, 60):
+            elig = grp[grp.sec <= tick]
+            if len(elig):
+                m = elig[elig.sec == elig.sec.max()]
+                val = int(m.loc[m.uid.idxmax()].v)
+            else:
+                val = None
+            want[(k, tick)] = val
+    got = {
+        (r.k, int(r.bucket.timestamp())): (
+            None if pd.isna(r.locf_value) else int(r.locf_value)
+        )
+        for r in out.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 8), st.integers(-5, 5)),
+        min_size=1,
+        max_size=18,
+    ),
+    width=st.integers(0, 4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_range_frame_includes_equal_ts_peers(spark, rows, width):
+    """A trailing RANGE frame [sec-width, sec] == the brute-force model
+    on ANY (user, sec) multiset with heavy collisions: every peer at
+    the SAME sec is in every such row's frame regardless of intra-second
+    order or physical partitioning (the semantic q_range_rolling's
+    trailing-1h frame relies on; rows-frame windows would disagree here
+    whenever duplicates exist). width=0 pins the degenerate
+    current-second-only frame."""
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(rows, columns=["u", "sec", "v"])
+    w = (
+        Window.partitionBy("u")
+        .orderBy("sec")
+        .rangeBetween(-width, Window.currentRow)
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .repartition(5)
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("v").over(w))
+        .toPandas()
+    )
+    for r in out.itertuples():
+        frame = pdf[(pdf.u == r.u) & (pdf.sec >= r.sec - width) & (pdf.sec <= r.sec)]
+        assert r.n == len(frame)
+        assert r.s == frame.v.sum()
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(0, 3)),
+        min_size=0,
+        max_size=16,
+    ),
+    seeds=st.lists(st.integers(0, 7), min_size=1, max_size=3),
+    hops=st.integers(0, 3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sssp_hops_matches_bellman_ford_model(spark, edges, seeds, hops):
+    """sssp_hops == hop-bounded Bellman-Ford on ANY small multigraph,
+    including ZERO-weight edges (w=0 relaxations produce equal-not-
+    better labels, which must NOT re-enter the frontier — the
+    frontier-only relaxation's termination argument — yet equal-cost
+    paths through them must still resolve to the same min), self-loops,
+    parallel edges with different weights, and multi-seed source sets.
+    The fixed-seed model test (test_analytics_ops) never generates w=0."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        sssp_hops,
+    )
+
+    e = spark.createDataFrame(
+        edges or [(0, 0, 0)], "src bigint, dst bigint, wt bigint"
+    )
+    if not edges:
+        e = e.filter("src < 0")  # truly empty edge set, schema kept
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_hops(
+            e,
+            spark.createDataFrame([(s,) for s in set(seeds)], "node bigint"),
+            hops,
+        ).collect()
+    }
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    best = {s: 0 for s in set(seeds)}
+    for _ in range(hops):
+        prev = dict(best)
+        for u, du in prev.items():
+            for v, w in adj.get(u, ()):
+                if du + w < best.get(v, 1 << 60):
+                    best[v] = du + w
+    assert got == best
