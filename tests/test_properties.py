@@ -1218,3 +1218,166 @@ def test_sssp_hops_matches_bellman_ford_model(spark, edges, seeds, hops):
                 if du + w < best.get(v, 1 << 60):
                     best[v] = du + w
     assert got == best
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 120), st.integers(0, 9)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionize_matches_greedy_model(spark, rows):
+    """sessionize (batch face of the built-in session_window) == the
+    greedy gap model on ANY (user, ts) multiset with a 30s gap: a new
+    session starts when ts - prev_ts >= gap (an event at EXACTLY the
+    gap boundary opens a new session — the convention the registry's
+    SQL_SESSION_WINDOWS oracle encodes with `>= INTERVAL`), session_end
+    = last_ts + gap, same-instant duplicates land in one session. The
+    tiny ts domain forces boundary-exact and duplicate collisions the
+    shipped events table may never contain."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.events import (
+        sessionize,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "sec", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["sec"], unit="s")
+    pdf["value"] = pdf["v"].astype(float)
+    out = sessionize(
+        spark.createDataFrame(pdf[["user_id", "ts", "value"]]).repartition(5),
+        gap="30 seconds",
+    ).toPandas()
+
+    GAP = 30
+    want = []
+    for u, grp in pdf.groupby("user_id"):
+        cur = None
+        for r in grp.sort_values("sec").itertuples():
+            if cur is None or r.sec - cur["last"] >= GAP:
+                if cur is not None:
+                    want.append(cur)
+                cur = {"u": u, "start": r.sec, "last": r.sec, "n": 0, "s": 0.0}
+            cur["last"] = r.sec
+            cur["n"] += 1
+            cur["s"] += r.value
+        want.append(cur)
+    want_set = {
+        (c["u"], c["start"], c["last"] + GAP, c["n"], c["s"]) for c in want
+    }
+    got_set = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp()),
+            int(r.session_end.timestamp()),
+            int(r.n_events),
+            float(r.sum_value),
+        )
+        for r in out.itertuples()
+    }
+    assert got_set == want_set
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_intervals_matches_model(spark, rows):
+    """scd2_intervals == the lead model on ANY keyed change stream with
+    DUPLICATE change timestamps: per key ordered by (ts, tiebreak), each
+    row's valid_to is the next row's ts (equal-ts duplicates produce
+    empty [t, t) intervals rather than being merged or dropped — the
+    pinned tiebreak convention), exactly one open (is_current) row per
+    key, and no input row lost."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        scd2_intervals,
+    )
+
+    pdf = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(rows)], columns=["k", "t", "uid"]
+    )
+    out = (
+        scd2_intervals(
+            spark.createDataFrame(pdf).repartition(5), ["k"], "t", tiebreak="uid"
+        )
+        .toPandas()
+        .sort_values("uid")
+    )
+    want = []
+    for k, grp in pdf.groupby("k"):
+        ordered = grp.sort_values(["t", "uid"]).reset_index(drop=True)
+        for i, r in ordered.iterrows():
+            nxt = ordered.t.iloc[i + 1] if i + 1 < len(ordered) else None
+            want.append((int(r.uid), int(r.t), nxt, nxt is None))
+    want.sort()
+    got = [
+        (
+            int(r.uid),
+            int(r.valid_from),
+            None if pd.isna(r.valid_to) else int(r.valid_to),
+            bool(r.is_current),
+        )
+        for r in out.itertuples()
+    ]
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-9, 9)),
+        min_size=1,
+        max_size=20,
+    ),
+    salt=st.sampled_from([1, 2, 16]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_salted_aggregate_equals_plain_groupby(spark, rows, salt):
+    """salted_aggregate == the plain one-phase groupBy for EVERY
+    re-combinable aggregate and ANY salt factor (including the
+    degenerate salt=1): salting may only change the exchange shape,
+    never the answer. Random values exercise min/max ties and negative
+    sums."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        salted_aggregate,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    df = spark.createDataFrame(pdf).repartition(5)
+    got = (
+        salted_aggregate(
+            df,
+            ["k"],
+            {
+                "s": ("v", "sum"),
+                "n": ("v", "count"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            salt=salt,
+        )
+        .toPandas()
+        .set_index("k")
+        .sort_index()
+    )
+    exp = pdf.groupby("k").agg(s=("v", "sum"), n=("v", "count"),
+                               lo=("v", "min"), hi=("v", "max")).sort_index()
+    assert got.s.to_dict() == exp.s.to_dict()
+    assert got.n.to_dict() == {k: int(v) for k, v in exp.n.to_dict().items()}
+    assert got.lo.to_dict() == exp.lo.to_dict()
+    assert got.hi.to_dict() == exp.hi.to_dict()
