@@ -36,25 +36,58 @@ _N_BUCKETS = 8
 _CLEANUP_REGISTERED: set[str] = set()
 
 _STALE_AFTER_S = 6 * 3600
+# Hard ceiling on how long a pidfile can defer the sweep (r15 advice: pid
+# recycling — a crashed owner's pid reused by ANY unrelated live process
+# would otherwise mark the dir immortally alive, re-opening the unbounded
+# /tmp accretion). Generous vs the 6 h stale bar: a real session that old
+# has long since re-touched the dir via os.utime in _bucket_path.
+_PIDFILE_TRUST_S = 7 * 24 * 3600
 _PIDFILE = "owner.pid"
 
 
-def _owner_alive(path: str) -> bool:
-    """True when ``path``'s ``owner.pid`` names a live process. A dir's
-    mtime only refreshes when a direct child is created/removed, so a
-    session >6 h old that registered its tables early and is still
-    READING them would look stale by mtime alone (r14 advice) — the
-    pidfile is the liveness signal that survives read-only use."""
+def _read_owner_pid(path: str) -> int:
+    """Parsed, range-validated owner pid, or 0 when absent/invalid. The
+    pidfile lives in world-writable /tmp, so its content is untrusted
+    (r15 advice): pid 0 would make ``os.kill(0, 0)`` signal OUR OWN
+    process group (always alive), a negative pid signals a process
+    group, and anything past the kernel's pid space (e.g. a squatted
+    10**20) raises OverflowError out of ``os.kill`` — none of those may
+    reach the liveness probe."""
     try:
         with open(os.path.join(path, _PIDFILE)) as f:
             pid = int(f.read().strip())
     except (OSError, ValueError):
+        return 0
+    try:
+        with open("/proc/sys/kernel/pid_max") as f:
+            pid_max = int(f.read().strip())
+    except (OSError, ValueError):
+        pid_max = 2**22  # kernel compile-time ceiling
+    return pid if 0 < pid <= pid_max else 0
+
+
+def _owner_alive(path: str) -> bool:
+    """True when ``path``'s ``owner.pid`` names a live process AND the
+    dir was touched within the pidfile trust window. A dir's mtime only
+    refreshes when a direct child is created/removed or _bucket_path
+    utimes it, so a session >6 h old that registered its tables early
+    and is still READING them would look stale by mtime alone (r14
+    advice) — the pidfile is the liveness signal that survives read-only
+    use. The mtime bound caps pid recycling (r15 advice): a recycled pid
+    can defer the sweep for at most the trust window, not forever."""
+    pid = _read_owner_pid(path)
+    if pid <= 0:
+        return False
+    try:
+        if time.time() - os.path.getmtime(path) > _PIDFILE_TRUST_S:
+            return False
+    except OSError:
         return False
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
         return False
-    except (PermissionError, OSError):
+    except (PermissionError, OSError, OverflowError, ValueError):
         return True  # exists but not ours — treat as alive
     return True
 

@@ -597,3 +597,71 @@ def test_stale_sweep_spares_live_owner(tmp_path, monkeypatch):
     assert live.exists()
     assert not dead.exists()
     assert mine.exists()
+
+
+def test_stale_sweep_rejects_untrusted_pidfiles(tmp_path, monkeypatch):
+    """The r15-advice hardening: owner.pid sits in world-writable /tmp so
+    its content is untrusted. A pid past the kernel pid space (10**20
+    would raise OverflowError out of os.kill and fail BOTH gate faces),
+    pid 0 (os.kill(0, 0) signals OUR OWN process group and always
+    succeeds => immortal dir), a negative pid (process group), and
+    non-numeric garbage must all read as dead owners."""
+    import tempfile
+    import time as _time
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry import (
+        bucketedflows as bf,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    bad = {
+        "overflow": str(10**20),
+        "zero": "0",
+        "negative": "-1",
+        "garbage": "not-a-pid",
+    }
+    dirs = {}
+    stale_ts = _time.time() - bf._STALE_AFTER_S - 60
+    for name, content in bad.items():
+        d = tmp_path / f"spark_graft_bucketed_app-{name}"
+        d.mkdir()
+        (d / bf._PIDFILE).write_text(content)
+        os.utime(d, (stale_ts, stale_ts))
+        dirs[name] = d
+        assert not bf._owner_alive(str(d)), name
+
+    bf._sweep_stale_bucket_dirs(keep=str(tmp_path / "none"))
+    for name, d in dirs.items():
+        assert not d.exists(), name
+
+
+def test_stale_sweep_pidfile_trust_window(tmp_path, monkeypatch):
+    """The r15-advice pid-recycling cap: a LIVE owner pid defers the
+    sweep only while the dir mtime is inside the trust window. Past it,
+    the pid is presumed recycled (a real session that old re-touches its
+    dir via os.utime on every face run) and the dir is swept; inside the
+    window the live pid still wins over the 6 h stale bar."""
+    import tempfile
+    import time as _time
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry import (
+        bucketedflows as bf,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    recycled = tmp_path / "spark_graft_bucketed_app-recycled"
+    fresh_live = tmp_path / "spark_graft_bucketed_app-freshlive"
+    for d in (recycled, fresh_live):
+        d.mkdir()
+        (d / bf._PIDFILE).write_text(str(os.getpid()))  # definitely live
+    ancient = _time.time() - bf._PIDFILE_TRUST_S - 60
+    os.utime(recycled, (ancient, ancient))
+    recent = _time.time() - bf._STALE_AFTER_S - 60  # stale but in-window
+    os.utime(fresh_live, (recent, recent))
+
+    assert not bf._owner_alive(str(recycled))
+    assert bf._owner_alive(str(fresh_live))
+
+    bf._sweep_stale_bucket_dirs(keep=str(tmp_path / "none"))
+    assert not recycled.exists()
+    assert fresh_live.exists()
