@@ -25,10 +25,32 @@ contended=false because only the post-settle load was consulted):
   snapshots and the warm-pass count (n_warm), so an anomalous run is
   diagnosable from the artifact alone.
 
+r15 hardening (the official BENCH_r15 headline was one contaminated warm
+pass — 75 s of box contention landed on three consecutive faces and the
+settle gate let the run start at load1 5.98 yet stamp contended:false):
+- single-warm-pass hole CLOSED: with n_warm == 1 the per-face statistic
+  is the min over ALL passes INCLUDING warmup (JIT inflates pass 0 by
+  seconds; contention inflated pass 1 by 75 s — min-over-all strictly
+  dominates one unprotected sample);
+- honest contended stamp: also true when any warm pass TOTAL exceeds the
+  warmup total (later passes are JIT-faster unless load intervened) or
+  consecutive pass-end load5 snapshots ramp >1.5x (+2.0 absolute) — a
+  relative bar because the bench's own executors dominate any static one;
+- settle threshold tightened 8.0 -> 2.0 (a 32-cpu box at load 6 is not
+  quiet, it is 6 runnable cores of someone else's work);
+- variance flags (r15 advice): min is blind to regressions that raise
+  variance, not the floor — faces whose warm spread max/min > 3 (and
+  max-min > 1 s) are listed in `variance_flags`;
+- opt-in outlier self-heal (r15 verdict task 7): with
+  $SPARK_GRAFT_BENCH_SELFHEAL=<prior artifact.json>, any face whose
+  statistic exceeds 3x its value in that artifact is re-run once at the
+  very end and both numbers are recorded — a box-drift event becomes a
+  same-run footnote instead of a next-round adjudication.
+
 Methodology note: r14 switched medians from all-pass to warm-only; r15
-switched warm-median to warm-min. Artifacts are comparable only within
-the same `stat` value ("min_warm" vs earlier medians) — BENCH_NOTES.md
-restates the tracked baselines under the current statistic.
+switched warm-median to warm-min; r16 extends min to all passes when
+n_warm == 1. Artifacts are comparable only within the same `stat` value —
+BENCH_NOTES.md restates the tracked baselines under the current statistic.
 """
 
 from __future__ import annotations
@@ -40,10 +62,114 @@ import statistics
 import sys
 import time
 
-SETTLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "8.0"))
+SETTLE_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
 SETTLE_WAIT_S = 60.0
 TIME_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "520"))
 MAX_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+# JVM/codegen warmup faces, one per plan family whose first compile is
+# expensive: scan+agg (tpch_q1), HOF/text (doc_quality), and the
+# shingle/join family (ngram_jaccard — r15 verdict task 4: lsh_recall/
+# dedup_canonical/triangle faces paid C2 maturation inside their first
+# timed pass every round their rotation slot came early).
+WARMUP_FACES = ("tpch_q1_agg", "doc_quality", "ngram_jaccard")
+
+SELFHEAL_RATIO = 3.0
+VARIANCE_RATIO = 3.0
+VARIANCE_MIN_SPREAD_S = 1.0
+
+
+def face_statistic(ts: list[float]) -> float:
+    """Per-face statistic from per-pass samples (warmup pass first).
+
+    min over warm passes when >= 2 warm passes exist; min over ALL
+    passes (warmup INCLUDED) when only one warm pass exists (r15 verdict
+    task 1: JIT can only inflate the warmup pass by seconds, while box
+    contention inflated the single warm pass by 75 s in BENCH_r15 — with
+    one warm sample, min-over-all strictly dominates); the lone sample
+    for a single-pass run.
+    """
+    if len(ts) >= 3:
+        return min(ts[1:])
+    return min(ts)
+
+
+def contention_reasons(
+    pass_totals: list[float],
+    pass_loads: list[list[float]],
+    load1_start: float,
+    load5_start: float,
+    settled1: float,
+    settled5: float,
+    threshold: float = None,
+) -> list[str]:
+    """Why this run should be stamped contended ([] = clean).
+
+    Beyond the r9-era load-threshold checks, two signals that caught the
+    r15 contamination after the fact are now stamped at run time: a warm
+    pass slower IN TOTAL than the warmup pass (JIT makes later passes
+    faster; only external load makes them slower — BENCH_r15's warmup was
+    46% faster than its timed pass), and a RAMP between consecutive
+    pass-end load5 snapshots of the WARM passes. The ramp is deliberately
+    relative, not a static bar: loadavg during the run includes the
+    bench's OWN local[n] executors, which push load5 past any fixed
+    threshold on a perfectly quiet box — but self-load is the same every
+    pass, so consecutive pass-end snapshots hold near ratio 1.0 unless
+    external work arrives mid-run. The warmup-end -> pass1-end pair is
+    excluded: load5's 5-minute exponential window is still SATURATING
+    with self-load across the first pass (a ~155 s pass captures ~40% of
+    steady state, two passes ~64%), so that pair ramps 1.5x+ on a clean
+    run by arithmetic alone.
+    """
+    if threshold is None:
+        threshold = SETTLE_LOAD
+    reasons = []
+    if load1_start > threshold:
+        reasons.append("start_load1")
+    if settled1 > threshold:
+        reasons.append("settled_load1")
+    if settled5 > threshold:
+        reasons.append("settled_load5")
+    if len(pass_totals) > 1 and any(
+        t > pass_totals[0] for t in pass_totals[1:]
+    ):
+        reasons.append("warm_pass_slower_than_warmup")
+    warm_ends = pass_loads[1:]
+    for prev, cur in zip(warm_ends, warm_ends[1:]):
+        if cur[1] > 1.5 * prev[1] and cur[1] - prev[1] > 2.0:
+            reasons.append("pass_end_load5_ramp")
+            break
+    return reasons
+
+
+def variance_flags(timed: dict[str, list[float]]) -> dict[str, list[float]]:
+    """Faces whose warm-pass spread says 'min is hiding something' (r15
+    advice: intermittent spill / GC pressure raises variance, never the
+    floor). Flag when max/min > VARIANCE_RATIO and the absolute spread
+    exceeds VARIANCE_MIN_SPREAD_S (sub-second jitter on cheap faces is
+    scheduler noise, not a regression)."""
+    flags = {}
+    for name, ts in timed.items():
+        if len(ts) < 2:
+            continue
+        lo, hi = min(ts), max(ts)
+        if lo > 0 and hi / lo > VARIANCE_RATIO and hi - lo > VARIANCE_MIN_SPREAD_S:
+            flags[name] = [round(lo, 3), round(hi, 3)]
+    return flags
+
+
+def selfheal_candidates(
+    timings: dict[str, float], reference: dict[str, float]
+) -> list[str]:
+    """Faces whose statistic exceeds SELFHEAL_RATIO x the prior artifact's
+    value — candidates for one on-the-spot re-run."""
+    return [
+        name
+        for name, v in timings.items()
+        if name in reference
+        and reference[name] > 0
+        and v > SELFHEAL_RATIO * reference[name]
+    ]
 
 
 def _loadavg() -> tuple[float, float]:
@@ -75,15 +201,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    # warm the JVM/codegen paths so the first measured query of each shape
-    # doesn't pay session startup or whole-stage-codegen compilation:
-    # scan+agg (tpch_q1) and the HOF/text family (doc_quality)
-    for warm in ("tpch_q1_agg", "doc_quality"):
+    for warm in WARMUP_FACES:
         qs[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
         release_plan_caches,
     )
+
+    def run_face(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        release_plan_caches(df)  # dedup plans persist intermediates; drop them
+        return round(time.time() - t0, 3)
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
     pass_totals: list[float] = []
@@ -94,12 +224,8 @@ def main() -> None:
             print(f"# stopping after {rep} pass(es): {remaining:.0f}s left", file=sys.stderr)
             break
         pass_total = 0.0
-        for name, fn in qs.items():
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            release_plan_caches(df)  # dedup plans persist intermediates; drop them
-            dt = round(time.time() - t0, 3)
+        for name in qs:
+            dt = run_face(name)
             samples[name].append(dt)
             pass_total += dt
             print(f"# pass{rep} {name}: {dt:.3f}s", file=sys.stderr)
@@ -109,41 +235,62 @@ def main() -> None:
         # diagnosable from the artifact alone (r14 verdict task 2)
         pass_loads.append(list(_loadavg()))
 
-    # Discard pass 0 as JVM warmup whenever at least one later pass exists
+    # Discard pass 0 as JVM warmup whenever at least TWO later passes exist
     # (r13 adjudication: the r13 rotation moved lsh_recall from position
     # 39 to 5 in the run order and its bench median jumped 2.6s -> 8.6s
-    # with a BYTE-IDENTICAL physical plan — pass timings 13.1/8.6/2.5
-    # were pure C2-JIT maturation that position-39 faces never paid
-    # because 35 earlier faces warmed the JIT for them. Median-including-
-    # pass0 therefore taxes whichever faces each round's rotation happens
-    # to put early; discarding pass 0 makes the per-face number
-    # position-independent and rotation-proof. Single-pass runs keep
-    # pass 0 and are flagged warm=false.)
+    # with a BYTE-IDENTICAL physical plan — pure C2-JIT maturation that
+    # position-39 faces never paid. Discarding pass 0 makes the per-face
+    # number position-independent and rotation-proof. With only ONE warm
+    # pass, face_statistic() keeps pass 0 in the min — see its docstring.)
     warm = len(pass_totals) > 1
-    n_warm = max(0, len(pass_totals) - 1)  # warm passes per query (r14 advice:
-    # with reps=2 the 'median' was a single sample yet looked as trustworthy
-    # as a 3-rep run; n_warm in the artifact makes the sample count explicit)
-    timed = {name: (ts[1:] if len(ts) > 1 else ts) for name, ts in samples.items()}
-    # Per-face statistic = MIN over warm passes (r14 verdict task 2: the
-    # recurring single-box load drift inflates medians — r12/r13/r14 each
-    # burned wall-clock hand-adjudicating spikes like the r14 pass-1 load5
-    # 4.98 event. A transient background load can only ever ADD time, so
-    # min-of-warm-passes is the drift-robust estimator of the true cost;
-    # the spread and per-pass loads stay in the artifact so an anomalous
-    # run remains diagnosable without prose.)
-    timings = {name: round(min(ts), 3) for name, ts in timed.items()}
+    n_warm = max(0, len(pass_totals) - 1)
+    timed = {name: (ts[1:] if len(ts) > 2 else ts) for name, ts in samples.items()}
+    timings = {name: round(face_statistic(ts), 3) for name, ts in samples.items()}
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)]
         for name, ts in timed.items()
         if len(ts) > 1
     }
-    # start load counts: a 60s settle cannot undo load5-scale
-    # contamination, so a hot start refuses the settle
-    contended = bool(
-        load_at_start > SETTLE_LOAD
-        or settled_load > SETTLE_LOAD
-        or settled_load5 > SETTLE_LOAD
+    # variance flags compare WARM passes only (pass 0 is legitimately
+    # slower under JIT — flagging warmup-vs-warm would be pure noise)
+    vflags = variance_flags(
+        {name: ts[1:] for name, ts in samples.items() if len(ts) > 2}
     )
+
+    # Opt-in outlier self-heal (r15 verdict task 7): one extra run for any
+    # face reading >3x its value in a prior artifact, recorded alongside.
+    selfheal: dict[str, dict[str, float]] = {}
+    heal_ref = os.environ.get("SPARK_GRAFT_BENCH_SELFHEAL", "")
+    if heal_ref:
+        try:
+            with open(heal_ref) as f:
+                reference = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            reference = {}
+        for name in selfheal_candidates(timings, reference):
+            if time.time() - start > TIME_BUDGET_S:
+                print(f"# selfheal budget exhausted before {name}", file=sys.stderr)
+                break
+            rerun = run_face(name)
+            print(f"# selfheal {name}: {timings[name]:.3f}s -> {rerun:.3f}s", file=sys.stderr)
+            selfheal[name] = {"before": timings[name], "rerun": rerun}
+            timings[name] = round(min(timings[name], rerun), 3)
+
+    reasons = contention_reasons(
+        pass_totals,
+        pass_loads,
+        load_at_start,
+        load5_at_start,
+        settled_load,
+        settled_load5,
+    )
+    contended = bool(reasons)
+    if n_warm == 1:
+        stat = "min_all_single_warm"
+    elif warm:
+        stat = "min_warm"
+    else:
+        stat = "single_pass"
     print(
         json.dumps(
             {
@@ -155,15 +302,18 @@ def main() -> None:
                 "reps": len(pass_totals),
                 "warm": warm,
                 "n_warm": n_warm,
-                "stat": "min_warm" if warm else "single_pass",
+                "stat": stat,
                 "pass_totals": [round(t, 2) for t in pass_totals],
                 "pass_loads": pass_loads,
                 "spread": spread,
+                "variance_flags": vflags,
+                "selfheal": selfheal,
                 "load1_at_start": load_at_start,
                 "load5_at_start": load5_at_start,
                 "load1_after_settle": settled_load,
                 "load5_after_settle": settled_load5,
                 "contended": contended,
+                "contention_reasons": reasons,
             }
         )
     )
@@ -191,10 +341,13 @@ def main() -> None:
                 "reps": len(pass_totals),
                 "warm": warm,
                 "n_warm": n_warm,
-                "stat": "min_warm" if warm else "single_pass",
+                "stat": stat,
                 "load1": settled_load,
                 "load5": settled_load5,
                 "contended": contended,
+                "reasons": reasons,
+                "vflags": len(vflags),
+                "healed": len(selfheal),
                 "q_median": round(statistics.median(vals), 3) if vals else None,
                 "q_p90": round(vals[int(0.9 * (len(vals) - 1))], 3) if vals else None,
                 "slowest": {n: round(v, 2) for n, v in slowest.items()},

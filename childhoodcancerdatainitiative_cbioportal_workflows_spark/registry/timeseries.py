@@ -69,8 +69,13 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSION_WINDOWS = """
 WITH o AS (
   SELECT user_id, ts, value, event_id,
+         -- STRICT >: Spark's built-in session_window MERGES an event at
+         -- exactly start+gap (probed; the r16 sessionize property test
+         -- pins it) — a >= here would disagree on any exact-gap pair.
+         -- The shipped events table's microsecond timestamps never
+         -- produce one, which is how >= survived 15 green rounds.
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

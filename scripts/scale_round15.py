@@ -154,7 +154,10 @@ def main() -> int:
           "| in-flight/re-run | gc-clean")
     for mult in mults:
         r = rows[mult]
-        ratio = float(r["merge_s"]) / float(r["rerun_s"])
+        # rerun_s is rounded to 2 decimals upstream: a sub-1x smoke run
+        # can legitimately read 0.0 — don't lose the whole table to a
+        # ZeroDivisionError after every cell has already run (r15 advice)
+        ratio = float(r["merge_s"]) / max(float(r["rerun_s"]), 0.01)
         clean = r["gc_clean_inflight"] and r["gc_clean_bucketed"]
         print(f"{mult:4}x ({BASE * mult / 1e6:g}M) | {r['ingest_s']:7.2f}s | "
               f"{r['merge_s']:7.2f}s | {r['rerun_s']:7.2f}s | {ratio:5.2f} | "

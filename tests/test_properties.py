@@ -1235,12 +1235,16 @@ def test_sssp_hops_matches_bellman_ford_model(spark, edges, seeds, hops):
 def test_sessionize_matches_greedy_model(spark, rows):
     """sessionize (batch face of the built-in session_window) == the
     greedy gap model on ANY (user, ts) multiset with a 30s gap: a new
-    session starts when ts - prev_ts >= gap (an event at EXACTLY the
-    gap boundary opens a new session — the convention the registry's
-    SQL_SESSION_WINDOWS oracle encodes with `>= INTERVAL`), session_end
-    = last_ts + gap, same-instant duplicates land in one session. The
-    tiny ts domain forces boundary-exact and duplicate collisions the
-    shipped events table may never contain."""
+    session starts when ts - prev_ts > gap, STRICT — an event at EXACTLY
+    the gap boundary MERGES into the running session (probed against
+    Spark's session_window; this test originally modeled >= and
+    hypothesis found the counterexample [(0,0),(0,30)] in r16 — the
+    registry's SQL_SESSION_WINDOWS oracle carried the same >= and was
+    fixed with it), session_end = last_ts + gap, same-instant duplicates
+    land in one session. The tiny ts domain forces boundary-exact and
+    duplicate collisions the shipped events table never contains (its
+    microsecond timestamps never produce an exact-gap pair, which is how
+    >= survived fifteen green rounds)."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.streaming.events import (
         sessionize,
     )
@@ -1258,7 +1262,7 @@ def test_sessionize_matches_greedy_model(spark, rows):
     for u, grp in pdf.groupby("user_id"):
         cur = None
         for r in grp.sort_values("sec").itertuples():
-            if cur is None or r.sec - cur["last"] >= GAP:
+            if cur is None or r.sec - cur["last"] > GAP:
                 if cur is not None:
                     want.append(cur)
                 cur = {"u": u, "start": r.sec, "last": r.sec, "n": 0, "s": 0.0}
@@ -1381,3 +1385,157 @@ def test_salted_aggregate_equals_plain_groupby(spark, rows, salt):
     assert got.n.to_dict() == {k: int(v) for k, v in exp.n.to_dict().items()}
     assert got.lo.to_dict() == exp.lo.to_dict()
     assert got.hi.to_dict() == exp.hi.to_dict()
+
+
+_span_interval = st.tuples(
+    st.sampled_from(["chr1", "chr2"]),
+    st.integers(0, 5000),
+    st.integers(0, 3000),  # length 0 => zero-length interval (must drop)
+)
+
+
+@given(
+    left=st.lists(_span_interval, min_size=1, max_size=8),
+    right=st.lists(_span_interval, min_size=1, max_size=8),
+    frac=st.sampled_from([None, 0.5]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_bin_width_invariance(spark, left, right, frac):
+    """r15 verdict task 5: the bin width is a purely PHYSICAL knob — the
+    result set must be identical for any W. The subtle piece is the
+    shuffle-free dedup (interval_join.py: keep the pair only in the bin
+    holding the overlap start): at W=16 a 3000 bp interval spans ~190
+    bins and every spanned bin sees the pair, while at W=1M everything
+    lands in one bin and the dedup filter must be a no-op. Zero-length
+    intervals (end == start) must vanish identically at every width."""
+    g = pd.DataFrame(
+        [(i, c, s, s + ln) for i, (c, s, ln) in enumerate(left)],
+        columns=["gid", "chrom", "start", "end"],
+    )
+    s_ = pd.DataFrame(
+        [(i, c, st_, st_ + ln) for i, (c, st_, ln) in enumerate(right)],
+        columns=["sid", "chrom", "start", "end"],
+    )
+    results = []
+    for w in (16, 1024, 1_000_000, "auto"):
+        out = interval_join(
+            spark.createDataFrame(g),
+            spark.createDataFrame(s_),
+            bin_size=w,
+            min_overlap_frac=frac,
+            left_prefix="g_",
+            right_prefix="s_",
+        ).toPandas()
+        results.append(
+            sorted(zip(out.g_gid, out.s_sid, out.overlap_bp))
+        )
+    assert results[0] == results[1] == results[2] == results[3]
+
+
+_maf_status = st.sampled_from(["SUCCESS", "FAILED"])
+_maf_chrom = st.sampled_from(["chr1", "chr2", "KI270713.1", "chrUn_KI270442v1"])
+_maf_barcode = st.sampled_from(["s0", "s1", "s2", None, ""])
+
+
+@given(
+    maf_rows=st.lists(
+        st.tuples(_maf_barcode, _maf_status, _maf_chrom), min_size=1, max_size=24
+    ),
+    ledger_delta=st.lists(st.sampled_from([0, 0, 1, -1, None]), min_size=3, max_size=3),
+    gz=st.lists(st.booleans(), min_size=3, max_size=3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_concat_maf_check_matches_pandas_model(spark, maf_rows, ledger_delta, gz):
+    """r15 verdict task 5: concat_maf_check's ledger arithmetic
+    (plans/vcf_anno.py, the reference's wc-l reconciliation at
+    vcf_anno.py:400-483) vs a pandas model. Covers: per-file counts that
+    agree / are off by one / are MISSING (null line_count — eqNullSafe
+    semantics: null == null is a match, null vs a count is a mismatch),
+    FAILED rows with the KI2* contig exemption, null/empty barcodes
+    (misformatted, excluded from cleaned), and the rerun routing being
+    the UNION of mismatch samples and FAILED samples."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.vcf_anno import (
+        concat_maf_check,
+    )
+
+    samples = ["s0", "s1", "s2"]
+    maf = pd.DataFrame(
+        maf_rows, columns=["Tumor_Sample_Barcode", "Annotation_Status", "Chromosome"]
+    )
+    manifest = pd.DataFrame(
+        {
+            "sample": samples,
+            "file_url": [
+                f"s3://bkt/in/{s}.vcf" + (".gz" if z else "")
+                for s, z in zip(samples, gz)
+            ],
+        }
+    )
+    true_counts = maf.groupby("Tumor_Sample_Barcode").size()
+    pfc_rows = []
+    for s, d in zip(samples, ledger_delta):
+        if d is None:
+            continue  # this file's individual MAF count is missing
+        pfc_rows.append((f"{s}_annotated.maf", int(true_counts.get(s, 0)) + d))
+    pfc = pd.DataFrame(pfc_rows, columns=["file_name", "line_count"])
+
+    out = concat_maf_check(
+        spark.createDataFrame(maf),
+        spark.createDataFrame(manifest),
+        spark.createDataFrame(
+            pfc
+            if len(pfc)
+            else pd.DataFrame({"file_name": pd.Series(dtype="object"),
+                               "line_count": pd.Series(dtype="int64")})
+        ),
+    )
+
+    # pandas model of vcf_anno.py:400-483
+    ind = {r.file_name: r.line_count for r in pfc.itertuples()}
+    concat_counts = {
+        b: n for b, n in true_counts.items() if b is not None and b != ""
+    }
+    mismatch_samples = set()
+    for s in samples:
+        individual = ind.get(f"{s}_annotated.maf")  # None when file missing
+        concat = concat_counts.get(s)  # None when sample absent from concat
+        if individual != concat:  # eqNullSafe: None == None is a MATCH
+            mismatch_samples.add(s)
+    # NB: the Spark face does NOT exclude null/"" barcodes from `failed`
+    # (they group under their own keys); they just never match a manifest
+    # sample downstream, so they can't route anything to rerun
+    failed_counts = {}
+    for r in maf.itertuples():
+        if r.Annotation_Status == "FAILED" and "KI2" not in r.Chromosome:
+            failed_counts[r.Tumor_Sample_Barcode] = (
+                failed_counts.get(r.Tumor_Sample_Barcode, 0) + 1
+            )
+    rerun = mismatch_samples | {b for b in failed_counts if b in samples}
+    n_misformatted = int(
+        (maf.Tumor_Sample_Barcode.isna() | (maf.Tumor_Sample_Barcode == "")).sum()
+    )
+    cleaned_counts = {
+        b: n for b, n in concat_counts.items() if b not in rerun
+    }
+
+    ledger = out["ledger"].toPandas().set_index("sample")
+    assert set(ledger.index[ledger.mismatch]) == mismatch_samples
+    got_failed = {
+        r.Tumor_Sample_Barcode: r.failed_annotations
+        for r in out["failed"].toPandas().itertuples()
+    }
+    assert got_failed == failed_counts
+    assert out["misformatted"].count() == n_misformatted
+    got_cleaned = (
+        out["cleaned_maf"].toPandas().groupby("Tumor_Sample_Barcode").size().to_dict()
+    )
+    assert got_cleaned == cleaned_counts
+    assert set(out["rerun_manifest"].toPandas()["sample"]) == rerun
