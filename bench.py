@@ -41,6 +41,11 @@ settle gate let the run start at load1 5.98 yet stamp contended:false):
 - variance flags (r15 advice): min is blind to regressions that raise
   variance, not the floor — faces whose warm spread max/min > 3 (and
   max-min > 1 s) are listed in `variance_flags`;
+- warm passes start OPTIMISTICALLY and bail mid-pass when the budget
+  nears (partial pass discarded, completed passes kept): the old
+  remaining < last*1.25 gate refused pass 1 whenever the cold pass ate
+  ~55% of the budget — the exact 520 s driver shape — leaving a
+  JIT-inflated single_pass headline;
 - opt-in outlier self-heal (r15 verdict task 7): with
   $SPARK_GRAFT_BENCH_SELFHEAL=<prior artifact.json>, any face whose
   statistic exceeds 3x its value in that artifact is re-run once at the
@@ -218,17 +223,42 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in qs}
     pass_totals: list[float] = []
     pass_loads: list[list[float]] = []
+    aborted_pass = False
     for rep in range(MAX_REPS):
         remaining = TIME_BUDGET_S - (time.time() - start)
-        if rep > 0 and pass_totals and remaining < pass_totals[-1] * 1.25:
+        # Start a warm pass OPTIMISTICALLY (warm passes run ~0.8x the cold
+        # pass, and the mid-pass bail below makes an overrun harmless —
+        # the partial pass is discarded and the artifact still prints).
+        # The old gate (remaining < last * 1.25) refused pass 1 whenever
+        # the cold pass consumed ~55% of the budget, which is exactly the
+        # 520 s driver shape — and a refused pass 1 means a JIT-inflated
+        # single_pass headline.
+        if rep > 0 and pass_totals and remaining < pass_totals[-1] * 0.3:
             print(f"# stopping after {rep} pass(es): {remaining:.0f}s left", file=sys.stderr)
             break
         pass_total = 0.0
+        done_this_pass: list[str] = []
         for name in qs:
+            # Mid-pass budget bail (warm passes only — pass 0 must finish
+            # or there is nothing to report): discard the partial pass and
+            # keep every COMPLETED pass for the statistic. Bailing beats
+            # being killed by the driver with no JSON on stdout.
+            if rep > 0 and time.time() - start > TIME_BUDGET_S - 10:
+                aborted_pass = True
+                for done in done_this_pass:
+                    samples[done].pop()
+                print(
+                    f"# pass{rep} aborted at {name} (budget); partial pass discarded",
+                    file=sys.stderr,
+                )
+                break
             dt = run_face(name)
             samples[name].append(dt)
+            done_this_pass.append(name)
             pass_total += dt
             print(f"# pass{rep} {name}: {dt:.3f}s", file=sys.stderr)
+        if aborted_pass:
+            break
         pass_totals.append(pass_total)
         # load snapshot at pass END: a spike that landed inside this pass
         # is still visible in load5 here, so per-pass contamination is
@@ -305,6 +335,7 @@ def main() -> None:
                 "stat": stat,
                 "pass_totals": [round(t, 2) for t in pass_totals],
                 "pass_loads": pass_loads,
+                "aborted_pass": aborted_pass,
                 "spread": spread,
                 "variance_flags": vflags,
                 "selfheal": selfheal,
