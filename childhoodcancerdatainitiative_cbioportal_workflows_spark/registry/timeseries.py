@@ -763,10 +763,18 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_prev").isNull()
                 | (
                     # NTZ needs the intermediate timestamp cast; the
-                    # difference cancels the session-tz interpretation
-                    F.col("ts").cast("timestamp").cast("long")
-                    - F.col("_prev").cast("timestamp").cast("long")
-                    > 1800
+                    # difference cancels the session-tz interpretation.
+                    # Microsecond-exact gap (r16): per-side whole-second
+                    # truncation (cast long) disagrees with a fractional
+                    # oracle on any true gap in (1800, 1801) s whose
+                    # floors difference to exactly 1800 — the same
+                    # truncation class q_funnel_conversion documents.
+                    # Every shipped events row has fractional micros, so
+                    # this was one adjacent-pair alignment away from a
+                    # red driver row.
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("_prev").cast("timestamp"))
+                    > 1800 * 1_000_000
                 ),
                 F.lit(1),
             ).otherwise(F.lit(0)),
@@ -798,8 +806,12 @@ WITH s AS (
   FROM events
 ), i AS (
   SELECT user_id, event_id, ts, event_type,
+         -- epoch_us, not epoch(): DuckDB's epoch() is a DOUBLE whose ULP
+         -- at 2020-era values (~2e-7 s) can flip an exact-boundary gap;
+         -- integer microseconds match the Spark side bit-for-bit (r16)
          SUM(CASE WHEN prev IS NULL
-                    OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END)
+                    OR epoch_us(ts) - epoch_us(prev)
+                       > CAST(1800 AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS sid
   FROM s

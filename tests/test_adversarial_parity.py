@@ -1,0 +1,102 @@
+"""Adversarial oracle parity: registry faces vs their DuckDB oracles on
+GENERATED events tables that force the boundary alignments the shipped
+testdata happens never to contain.
+
+Motivation (r16): two latent oracle-convention bugs survived fifteen
+all-green driver rounds because the disagreement needed a data alignment
+the shipped events table never produces — `session_windows` (Spark's
+built-in session_window merges an event at EXACTLY start+gap; the oracle
+said >=) and `session_paths` (per-side whole-second truncation vs the
+oracle's fractional epoch(): any adjacent pair with a true gap in
+(1800, 1801) s whose floors difference to exactly 1800 flips the session
+split). The driver's gate can only ever be as adversarial as its data;
+this suite generates timestamps that CLUSTER on the gap/tolerance
+boundaries (exact-second multiples of the 1800 s gap, ±1 µs neighbors,
+large fractional parts) and asserts face == oracle value-exactly, the
+same compare the driver runs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import __spark_entry__ as entrymod
+from test_oracle_parity import _normalize
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+_EVENT_TYPES = ("view", "click", "purchase", "scroll")
+
+# second-scale offsets that sit ON the 30 min / 1 h boundaries the
+# session/funnel/attribution faces cut at, plus their neighbors
+_BOUNDARY_SECS = st.sampled_from(
+    [0, 1, 1799, 1800, 1801, 3599, 3600, 3601, 5400, 7200]
+)
+# microsecond fractions that make per-side truncation and exact
+# arithmetic disagree when they can (0 keeps exact-boundary cases alive)
+_FRAC_US = st.sampled_from([0, 1, 100_000, 900_000, 999_999])
+
+_event = st.tuples(
+    st.integers(0, 1),  # user_id: collisions guaranteed
+    _BOUNDARY_SECS,
+    _FRAC_US,
+    st.integers(0, 3),  # event_type index
+)
+
+
+def _write_events(rows) -> str:
+    """Materialize generated rows as an events.parquet shaped exactly like
+    the shipped table (micros timestamps; value in exact quarters so
+    DECIMAL-summed oracles stay bit-identical)."""
+    pdf = pd.DataFrame(rows, columns=["user_id", "sec", "frac", "ti"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["ts"] = pd.to_datetime(pdf["sec"] * 1_000_000 + pdf["frac"], unit="us")
+    pdf["event_type"] = [_EVENT_TYPES[i] for i in pdf["ti"]]
+    pdf["value"] = (pdf["sec"] % 8) * 0.25
+    pdf["props"] = "{}"
+    out = pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    d = tempfile.mkdtemp(prefix="adversarial_events_")
+    out.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return d
+
+
+def _assert_face_matches_oracle(spark, name: str, sf_dir: str) -> None:
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}'"
+    )
+    odf = con.sql(ORACLES[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns)
+    assert len(s) == len(o), f"{name}: rows {len(s)} vs {len(o)}"
+    for c in s.columns:
+        eq = (pd.isna(s[c]) & pd.isna(o[c])) | (s[c] == o[c])
+        assert eq.all(), f"{name}: column {c} differs\n{s[~eq.to_numpy()]}\n{o[~eq.to_numpy()]}"
+
+
+@pytest.mark.parametrize(
+    "face",
+    ["session_windows", "session_paths", "funnel_conversion", "attribution_lastclick"],
+)
+@given(rows=st.lists(_event, min_size=1, max_size=14))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_boundary_events_face_matches_oracle(spark, face, rows):
+    d = _write_events(rows)
+    try:
+        _assert_face_matches_oracle(spark, face, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
