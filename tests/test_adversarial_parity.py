@@ -120,3 +120,100 @@ def test_boundary_events_face_matches_oracle(spark, face, rows):
         _assert_face_matches_oracle(spark, face, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# documents family: tokenization / regex / length / percentile conventions
+# on adversarial strings the shipped corpus never contains (empty text,
+# whitespace-only, punctuation runs, accented Latin + CJK codepoints,
+# duplicate texts, single-char docs). Java regex (Spark) and RE2 (DuckDB)
+# agree on the ASCII classes the faces use — this suite pins that the
+# oracles' conventions hold OFF the happy path too.
+# ---------------------------------------------------------------------------
+
+_SNIPPETS = (
+    "",
+    " ",
+    "\t\n ",
+    "the the the",
+    "a",
+    "Hello, World!",
+    "...!!!???",
+    "touché naïve café",
+    "数据 引擎 测试",
+    "email me at a@b.co or call 555-123-4567",
+    "UPPER lower MiXeD",
+    "word " * 12,
+    "1 22 333 4444",
+    "no-punct-just-hyphens",
+)
+
+
+def _write_documents(rows) -> str:
+    """rows: list of (snippet_idx, lang_idx, source_idx)."""
+    pdf = pd.DataFrame(rows, columns=["si", "li", "oi"])
+    pdf["doc_id"] = range(len(pdf))
+    pdf["text"] = [_SNIPPETS[i] for i in pdf["si"]]
+    pdf["lang"] = [("en", "de", "zh")[i] for i in pdf["li"]]
+    pdf["source"] = [("web", "wiki", "code")[i] for i in pdf["oi"]]
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    out = pdf[["doc_id", "text", "lang", "source", "n_chars"]]
+    d = tempfile.mkdtemp(prefix="adversarial_docs_")
+    out.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return d
+
+
+_doc_row = st.tuples(
+    st.integers(0, len(_SNIPPETS) - 1),
+    st.integers(0, 2),
+    st.integers(0, 2),
+)
+
+
+def _assert_docs_face_matches_oracle(spark, name: str, sf_dir: str) -> None:
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}'"
+    )
+    odf = con.sql(ORACLES[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns)
+    assert len(s) == len(o), f"{name}: rows {len(s)} vs {len(o)}"
+    for c in s.columns:
+        eq = (pd.isna(s[c]) & pd.isna(o[c])) | (s[c] == o[c])
+        assert eq.all(), (
+            f"{name}: column {c} differs\n{s[~eq.to_numpy()]}\n{o[~eq.to_numpy()]}"
+        )
+
+
+@pytest.mark.parametrize(
+    "face",
+    [
+        "explode_tokens",
+        "token_counts",
+        "token_frequency",
+        "bigram_top",
+        "text_profile",
+        "pii_redact",
+        "phrase_search",
+        "winsorize_lengths",
+        "histogram_profile",
+        "doc_quality",
+        "gopher_quality",
+        "repetition_profile",
+    ],
+)
+@given(rows=st.lists(_doc_row, min_size=1, max_size=10))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_documents_face_matches_oracle(spark, face, rows):
+    d = _write_documents(rows)
+    try:
+        _assert_docs_face_matches_oracle(spark, face, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
