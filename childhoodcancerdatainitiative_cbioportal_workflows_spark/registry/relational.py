@@ -516,7 +516,15 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load_table(spark, sf_dir, "orders")
-    return exact_quantiles(o, "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+    # validate=True (r16): the adversarial-parity sweep fed a half-cent
+    # price and the face silently QUANTIZED it onto the cents lattice
+    # while the ROW_NUMBER oracle returned the raw value — the exact
+    # failure mode the lattice guard exists for (r8 verdict task 7). The
+    # grouped sibling already carried the flag; now both fail fast on
+    # off-lattice data instead of disagreeing with their ground truth.
+    return exact_quantiles(
+        o, "o_totalprice", [0.25, 0.5, 0.75, 0.9, 0.99], validate=True
+    )
 
 
 SQL_EXACT_QUANTILES = """

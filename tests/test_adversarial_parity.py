@@ -217,3 +217,123 @@ def test_adversarial_documents_face_matches_oracle(spark, face, rows):
         _assert_docs_face_matches_oracle(spark, face, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# orders family: duplicate-key ties, quantile/median conventions, set-op
+# ALL semantics, and DECIMAL aggregation on adversarial prices (exact-tie
+# duplicates, half-cent .005 values, zero). The shipped orders table has
+# unique-ish prices, so tie-break and rank-walk conventions are never
+# stressed by the driver's gate.
+# ---------------------------------------------------------------------------
+
+# cents-aligned (the quantile faces' documented 1/100 lattice contract —
+# enforced fail-fast by validate=True since r16, when this suite fed a
+# half-cent price and exact_quantiles silently quantized it while its
+# ROW_NUMBER oracle returned the raw value); heavy exact-tie duplicates
+_PRICES = (0.0, 0.01, 0.02, 1.0, 1.0, 100.5, 100.5, 100.5, 250.25, 99999.99)
+_STATUSES = ("O", "F", "P")
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _write_orders(rows) -> str:
+    """rows: list of (custkey, price_idx, status_idx, prio_idx, day)."""
+    pdf = pd.DataFrame(rows, columns=["ck", "pi", "si", "ri", "day"])
+    pdf["o_orderkey"] = range(len(pdf))
+    pdf["o_custkey"] = pdf["ck"]
+    pdf["o_orderstatus"] = [_STATUSES[i] for i in pdf["si"]]
+    pdf["o_totalprice"] = [_PRICES[i] for i in pdf["pi"]]
+    pdf["o_orderdate"] = pd.to_datetime("1995-01-01") + pd.to_timedelta(
+        pdf["day"], unit="D"
+    )
+    pdf["o_orderpriority"] = [_PRIORITIES[i] for i in pdf["ri"]]
+    out = pdf[
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ]
+    ]
+    d = tempfile.mkdtemp(prefix="adversarial_orders_")
+    out.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    return d
+
+
+_order_row = st.tuples(
+    st.integers(0, 3),                      # custkey: collisions guaranteed
+    st.integers(0, len(_PRICES) - 1),       # price: exact-tie duplicates
+    st.integers(0, 2),
+    st.integers(0, 4),
+    st.integers(0, 6),                      # orderdate day offset
+)
+
+
+def _assert_orders_face_matches_oracle(spark, name: str, sf_dir: str) -> None:
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'orders.parquet')}'"
+    )
+    odf = con.sql(ORACLES[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns)
+    assert len(s) == len(o), f"{name}: rows {len(s)} vs {len(o)}"
+    for c in s.columns:
+        eq = (pd.isna(s[c]) & pd.isna(o[c])) | (s[c] == o[c])
+        assert eq.all(), (
+            f"{name}: column {c} differs\n{s[~eq.to_numpy()]}\n{o[~eq.to_numpy()]}"
+        )
+
+
+@pytest.mark.parametrize(
+    "face",
+    [
+        "topk_per_group",
+        "value_counts",
+        "reconcile_counts",
+        "except_intersect",
+        "exact_quantiles",
+        "snapshot_diff",
+        "running_window",
+        "delta_agg_maintenance",
+        "pivot_matrix",
+        "hll_profile",
+    ],
+)
+@given(rows=st.lists(_order_row, min_size=1, max_size=14))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_orders_face_matches_oracle(spark, face, rows):
+    d = _write_orders(rows)
+    try:
+        _assert_orders_face_matches_oracle(spark, face, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_exact_quantiles_face_fails_fast_off_lattice(spark):
+    """The r16 find, pinned at FACE level: an off-lattice price (half a
+    cent) must raise LatticeViolation out of q_exact_quantiles instead of
+    being silently quantized into disagreement with the ROW_NUMBER
+    oracle. (Operator-level coverage lives in test_edge_inputs; this pins
+    that the registered face actually passes validate=True.)"""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        LatticeViolation,
+    )
+
+    d = _write_orders([(0, 1, 0, 0, 0)])
+    try:
+        pdf = pd.read_parquet(os.path.join(d, "orders.parquet"))
+        pdf.loc[0, "o_totalprice"] = 0.005  # off the cents lattice
+        pdf.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+        with pytest.raises(LatticeViolation):
+            QUERIES["exact_quantiles"](spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
