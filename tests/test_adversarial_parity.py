@@ -337,3 +337,174 @@ def test_exact_quantiles_face_fails_fast_off_lattice(spark):
             QUERIES["exact_quantiles"](spark, d).collect()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# lineitem family: duplicate-key ties in top-1 selection, cube/rollup null
+# groups, weighted rank walks with ZERO weights, DECIMAL sums over heavy
+# duplicates. customer+orders family: dangling foreign keys both ways
+# (customers with no orders, orders whose custkey has no customer row) and
+# balances exactly AT the average — the join-quantifier and strict->
+# boundaries the shipped referentially-clean tables never exercise.
+# ---------------------------------------------------------------------------
+
+_LI_PRICES = (0.0, 0.01, 100.5, 100.5, 100.5, 250.25, 99999.99)
+_QTYS = (0.0, 1.0, 1.0, 50.0)
+_FLAGS = ("R", "A", "N")
+_STATUS = ("O", "F")
+
+
+def _write_lineitem(rows) -> str:
+    """rows: (orderkey, price_idx, qty_idx, flag_idx, status_idx, day,
+    linenumber, partkey) — duplicate (orderkey, shipdate, linenumber,
+    partkey) combos happen by construction, stressing keep_first ties."""
+    pdf = pd.DataFrame(
+        rows, columns=["ok", "pi", "qi", "fi", "si", "day", "ln", "pk"]
+    )
+    pdf["l_orderkey"] = pdf["ok"]
+    pdf["l_partkey"] = pdf["pk"]
+    pdf["l_suppkey"] = pdf["pk"] % 2
+    pdf["l_linenumber"] = pdf["ln"].astype("int32")
+    pdf["l_quantity"] = [_QTYS[i] for i in pdf["qi"]]
+    pdf["l_extendedprice"] = [_LI_PRICES[i] for i in pdf["pi"]]
+    pdf["l_discount"] = (pdf["pk"] % 3) * 0.05
+    pdf["l_tax"] = (pdf["ln"] % 2) * 0.02
+    pdf["l_returnflag"] = [_FLAGS[i] for i in pdf["fi"]]
+    pdf["l_linestatus"] = [_STATUS[i] for i in pdf["si"]]
+    pdf["l_shipdate"] = pd.to_datetime("1995-01-01") + pd.to_timedelta(
+        pdf["day"], unit="D"
+    )
+    out = pdf[
+        [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ]
+    ]
+    d = tempfile.mkdtemp(prefix="adversarial_li_")
+    out.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    return d
+
+
+_li_row = st.tuples(
+    st.integers(0, 2),                      # orderkey
+    st.integers(0, len(_LI_PRICES) - 1),
+    st.integers(0, len(_QTYS) - 1),         # incl. ZERO quantity/weight
+    st.integers(0, 2),
+    st.integers(0, 1),
+    st.integers(0, 3),                      # shipdate day
+    st.integers(1, 2),                      # linenumber: collisions
+    st.integers(0, 2),                      # partkey: collisions
+)
+
+
+def _assert_face_matches(spark, name, sf_dir, views):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for v in views:
+        con.sql(
+            f"CREATE VIEW {v} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, v + '.parquet')}'"
+        )
+    odf = con.sql(ORACLES[name]).df()
+    s, o = _normalize(sdf), _normalize(odf)
+    assert list(s.columns) == list(o.columns)
+    assert len(s) == len(o), f"{name}: rows {len(s)} vs {len(o)}"
+    for c in s.columns:
+        eq = (pd.isna(s[c]) & pd.isna(o[c])) | (s[c] == o[c])
+        assert eq.all(), (
+            f"{name}: column {c} differs\n{s[~eq.to_numpy()]}\n{o[~eq.to_numpy()]}"
+        )
+
+
+@pytest.mark.parametrize(
+    "face",
+    [
+        "tpch_q1_agg",
+        "distinct_rows",
+        "top1_per_group",
+        "salted_agg",
+        "cube_agg",
+        "union_concat",
+        "unpivot_metrics",
+        "grouped_quantiles",
+        "weighted_quantiles",
+    ],
+)
+@given(rows=st.lists(_li_row, min_size=1, max_size=12))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_lineitem_face_matches_oracle(spark, face, rows):
+    d = _write_lineitem(rows)
+    try:
+        _assert_face_matches(spark, face, d, ["lineitem"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_BALANCES = (-10.0, 0.0, 0.01, 100.0, 100.0, 100.0, 5000.55)
+
+
+def _write_cust_orders(cust_rows, order_rows) -> str:
+    c = pd.DataFrame(cust_rows, columns=["ck", "bi", "ni"])
+    c["c_custkey"] = c["ck"]
+    c["c_name"] = [f"Customer#{k}" for k in c["ck"]]
+    c["c_nationkey"] = c["ni"].astype("int32")
+    c["c_acctbal"] = [_BALANCES[i] for i in c["bi"]]
+    c["c_mktsegment"] = [("BUILDING", "MACHINERY")[i % 2] for i in c["ni"]]
+    c = c.drop_duplicates("c_custkey")
+    o = pd.DataFrame(order_rows, columns=["ck", "pi", "day"])
+    o["o_orderkey"] = range(len(o))
+    o["o_custkey"] = o["ck"]  # may dangle past the customer range
+    o["o_orderstatus"] = "O"
+    o["o_totalprice"] = [_PRICES[i] for i in o["pi"]]
+    # straddle Q22's 1998-01-01 recency cut
+    o["o_orderdate"] = pd.to_datetime("1997-12-30") + pd.to_timedelta(
+        o["day"], unit="D"
+    )
+    o["o_orderpriority"] = "3-MEDIUM"
+    d = tempfile.mkdtemp(prefix="adversarial_co_")
+    c[["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]].to_parquet(
+        os.path.join(d, "customer.parquet"), index=False
+    )
+    o[
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"]
+    ].to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    return d
+
+
+_cust_row = st.tuples(
+    st.integers(0, 5),
+    st.integers(0, len(_BALANCES) - 1),     # equal balances AT the average
+    st.integers(0, 2),
+)
+_co_order_row = st.tuples(
+    st.integers(0, 7),                      # custkeys 6-7 dangle
+    st.integers(0, len(_PRICES) - 1),
+    st.integers(0, 4),                      # orderdate straddles the cut
+)
+
+
+@pytest.mark.parametrize(
+    "face",
+    ["left_join_counts", "semi_join", "anti_join", "tpch_q22_idle_balances"],
+)
+@given(
+    cust_rows=st.lists(_cust_row, min_size=1, max_size=8),
+    order_rows=st.lists(_co_order_row, min_size=0, max_size=10),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_cust_orders_face_matches_oracle(spark, face, cust_rows, order_rows):
+    d = _write_cust_orders(cust_rows, order_rows)
+    try:
+        _assert_face_matches(spark, face, d, ["customer", "orders"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
