@@ -203,6 +203,21 @@ def _assert_docs_face_matches_oracle(spark, name: str, sf_dir: str) -> None:
         "doc_quality",
         "gopher_quality",
         "repetition_profile",
+        # second wave (r16): chunk boundary arithmetic, ntile ties on
+        # duplicate quality scores, md5 hash-threshold splits/samples,
+        # sketch replication, exact dedup on duplicate texts
+        "vocab_build",
+        "dataset_split",
+        "hash_sample",
+        "chunk_documents",
+        "curriculum_buckets",
+        "bpe_pair_counts",
+        "encode_tokens",
+        "normalize_dedup",
+        "countmin_tokens",
+        "boilerplate_ngrams",
+        "cooccurrence_top",
+        "dedup_exact",
     ],
 )
 @given(rows=st.lists(_doc_row, min_size=1, max_size=10))
