@@ -104,6 +104,7 @@ SQL_CUBE_AGG = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0  -- empty-input pin, see SQL_ROLLUP_AGG
 """
 
 
@@ -158,6 +159,11 @@ SELECT r_name, n_name, COUNT(*) AS n_customers,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+-- HAVING COUNT(*) > 0 is a NO-OP on any non-empty input (every grouping
+-- set's row aggregates >= 1 source row) and exists only to pin the
+-- empty-input convention to Spark's: Spark emits NO grand-total row over
+-- zero rows, DuckDB/ANSI emit one (r16 adversarial dims sweep).
+HAVING COUNT(*) > 0
 """
 
 
@@ -398,6 +404,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+HAVING COUNT(*) > 0  -- empty-input pin, see SQL_ROLLUP_AGG
 """
 
 

@@ -523,3 +523,147 @@ def test_adversarial_cust_orders_face_matches_oracle(spark, face, cust_rows, ord
         _assert_face_matches(spark, face, d, ["customer", "orders"])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings family (exact faces only): quantization at EXACT rounding
+# midpoints — the face pins floor(x/scale*127 + 0.5) precisely because
+# Spark round() is HALF_UP while DuckDB double round() is banker's; the
+# shipped random floats never land on a midpoint, so that pin is only
+# ever exercised here — and exact duplicate-vector detection.
+# ---------------------------------------------------------------------------
+
+_VEC_VALS = (0.0, 0.5, -0.5, 1.0, -1.0, 63.5, -63.5, 127.0, -127.0)
+
+
+def _write_embeddings(rows) -> str:
+    """rows: list of lists of value-indices (dim 64, padded cyclically)."""
+    import numpy as np
+
+    recs = []
+    for i, idxs in enumerate(rows):
+        vec = [np.float32(_VEC_VALS[idxs[j % len(idxs)]]) for j in range(64)]
+        recs.append((i, vec, i % 8))
+    pdf = pd.DataFrame(recs, columns=["vec_id", "embedding", "label"])
+    pdf["label"] = pdf["label"].astype("int32")
+    d = tempfile.mkdtemp(prefix="adversarial_emb_")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+_emb_row = st.lists(st.integers(0, len(_VEC_VALS) - 1), min_size=1, max_size=8)
+
+
+@pytest.mark.parametrize("face", ["quantize_embeddings", "embedding_dups_exact"])
+@given(rows=st.lists(_emb_row, min_size=1, max_size=6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_embeddings_face_matches_oracle(spark, face, rows):
+    d = _write_embeddings(rows)
+    try:
+        _assert_face_matches(spark, face, d, ["embeddings"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-match family: Levenshtein on adversarial dictionaries — edit pairs
+# at and below the q-gram soundness bound, unicode-accented variants
+# (Spark's levenshtein counts codepoints; a byte-counting oracle would
+# disagree on é), duplicate names, empty and single-char strings. Plus the
+# dims broadcast-join family with dangling nation/region keys.
+# ---------------------------------------------------------------------------
+
+_NAMES = (
+    "", "a", "ab", "IRAN", "IRAQ", "IRAN ", "CHINA", "CHINE", "chine",
+    "café", "cafe", "caff", "ALGERIA", "ALGERIA2", "MOZAMBIQUE",
+    "MOZAMBIQUE!", "数据", "数掂",
+)
+
+
+def _write_nation_region(n_rows, r_rows) -> str:
+    n = pd.DataFrame(n_rows, columns=["nk", "ni", "rk"])
+    n["n_nationkey"] = n["nk"].astype("int32")
+    n["n_name"] = [_NAMES[i] for i in n["ni"]]
+    n["n_regionkey"] = n["rk"].astype("int32")  # may dangle past regions
+    n = n.drop_duplicates("n_nationkey")
+    r = pd.DataFrame(r_rows, columns=["rk", "ri"])
+    r["r_regionkey"] = r["rk"].astype("int32")
+    r["r_name"] = [("AMERICA", "ASIA", "EUROPE")[i] for i in r["ri"]]
+    r = r.drop_duplicates("r_regionkey")
+    d = tempfile.mkdtemp(prefix="adversarial_dims_")
+    n[["n_nationkey", "n_name", "n_regionkey"]].to_parquet(
+        os.path.join(d, "nation.parquet"), index=False
+    )
+    r[["r_regionkey", "r_name"]].to_parquet(
+        os.path.join(d, "region.parquet"), index=False
+    )
+    return d
+
+
+_nation_row = st.tuples(
+    st.integers(0, 9),
+    st.integers(0, len(_NAMES) - 1),
+    st.integers(0, 3),  # regionkey 3 dangles
+)
+_region_row = st.tuples(st.integers(0, 2), st.integers(0, 2))
+
+
+@given(rows=st.lists(_nation_row, min_size=1, max_size=10))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_fuzzy_join_mixed_matches_oracle(spark, rows):
+    d = _write_nation_region(rows, [(0, 0), (1, 1), (2, 2)])
+    try:
+        _assert_face_matches(spark, "fuzzy_join_mixed", d, ["nation"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@given(
+    cust_rows=st.lists(_cust_row, min_size=1, max_size=8),
+    n_rows=st.lists(_nation_row, min_size=1, max_size=6),
+    r_rows=st.lists(_region_row, min_size=1, max_size=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.parametrize("face", ["join_dims_broadcast", "rollup_agg"])
+def test_adversarial_dims_face_matches_oracle(spark, face, cust_rows, n_rows, r_rows):
+    d = _write_nation_region(n_rows, r_rows)
+    try:
+        c = pd.DataFrame(cust_rows, columns=["ck", "bi", "ni"])
+        c["c_custkey"] = c["ck"]
+        c["c_name"] = [f"Customer#{k}" for k in c["ck"]]
+        c["c_nationkey"] = (c["ni"] * 4).astype("int32")  # some dangle
+        c["c_acctbal"] = [_BALANCES[i] for i in c["bi"]]
+        c["c_mktsegment"] = "BUILDING"
+        c = c.drop_duplicates("c_custkey")
+        c[["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]].to_parquet(
+            os.path.join(d, "customer.parquet"), index=False
+        )
+        _assert_face_matches(spark, face, d, ["customer", "nation", "region"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
