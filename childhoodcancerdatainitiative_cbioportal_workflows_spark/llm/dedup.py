@@ -1225,7 +1225,11 @@ def embedding_dup_pairs_lsh(
         F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)).alias(
             "norm"
         ),
-    )
+    ).filter(F.col("norm") > 0)
+    # zero-norm vectors are EXCLUDED above: cosine is undefined for them,
+    # and under ANSI mode (the driver's default) the cos_sim division
+    # raises DIVIDE_BY_ZERO instead of producing the NaN the pre-ANSI
+    # engine silently filtered (r16 adversarial embeddings sweep).
     # persist: the T*P projection pass feeds both sides of the bucket join
     bucketed = (
         v.select("id", F.explode(tables).alias("tb"))
@@ -1274,11 +1278,15 @@ def embedding_dup_pairs(
     norm = F.sqrt(
         F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # zero-norm vectors excluded: cosine undefined; under ANSI mode the
+    # division raises DIVIDE_BY_ZERO (r16 adversarial embeddings sweep —
+    # an all-zero embedding crashed the whole face). Mirrored in
+    # SQL_EMBEDDING_DUPS_EXACT's nrm > 0 predicates.
     v = df.select(
         F.col(id_col).alias("id"),
         as_double.alias("vec"),
         norm.alias("norm"),
-    )
+    ).filter(F.col("norm") > 0)
     a = v.toDF("id_a", "vec_a", "norm_a")
     b = v.toDF("id_b", "vec_b", "norm_b")
     dot = F.aggregate(

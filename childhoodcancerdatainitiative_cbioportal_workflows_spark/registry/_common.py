@@ -250,7 +250,9 @@ nv AS (SELECT id, vec,
        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
 SELECT id_a, id_b, ROUND({cos}, 4) AS cos_sim
 FROM pairs JOIN nv av ON av.id = pairs.id_a JOIN nv bv ON bv.id = pairs.id_b
-WHERE ROUND({cos}, 4) >= {threshold}
+-- zero-norm vectors excluded on both engines (cosine undefined; the
+-- Spark operator filters norm > 0 — r16 adversarial embeddings sweep)
+WHERE av.nrm > 0 AND bv.nrm > 0 AND ROUND({cos}, 4) >= {threshold}
 """
 
 def _ivf_centroid_ids(n_pool: int = 500, k: int = 16, seed: int = 7) -> list[int]:

@@ -237,6 +237,9 @@ SELECT a.id AS id_a, b.id AS id_b,
                          (p, q) -> p + q) / (a.nrm * b.nrm), 4) AS cos_sim
 FROM v a, v b
 WHERE a.id < b.id
+  -- zero-norm vectors excluded on both engines: cosine is undefined for
+  -- them (Spark side filters norm > 0; r16 adversarial embeddings sweep)
+  AND a.nrm > 0 AND b.nrm > 0
   AND ROUND(list_reduce(list_transform(list_zip(a.vec, b.vec), x -> x[1] * x[2]),
                         (p, q) -> p + q) / (a.nrm * b.nrm), 4) >= 0.45
 """
