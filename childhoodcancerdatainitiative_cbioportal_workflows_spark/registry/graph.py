@@ -38,13 +38,22 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right input; joining raw rows would just emit every dup-class
     quadratically (3.9M pairs at sf0.1 from 64 names). Exact result;
     candidates from a trigram equi-join + length prefilter, never the
-    n² cross product."""
+    n² cross product.
+
+    Contract pin (r17): the face compares SINGLE-BYTE text only
+    (``octet_length = length``, a no-op on the shipped ASCII names)
+    because Spark's ``levenshtein`` counts codepoints while DuckDB's
+    counts UTF-8 bytes — on 'café'→'cafe' they disagree (1 vs 2), so
+    the cross-engine oracle is only well-defined where byte == codepoint.
+    The operator itself keeps codepoint semantics, certified against a
+    pure-Python model in tests/test_properties.py."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         fuzzy_self_join,
     )
 
     p = (
         load_table(spark, sf_dir, "part")
+        .filter(F.octet_length("p_name") == F.length("p_name"))
         .groupBy("p_name")
         .agg(F.min("p_partkey").alias("rep_id"))
     )
@@ -53,7 +62,9 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FUZZY_JOIN = """
 WITH d AS (
-  SELECT p_name, MIN(p_partkey) AS rep_id FROM part GROUP BY p_name
+  SELECT p_name, MIN(p_partkey) AS rep_id FROM part
+  WHERE strlen(p_name) = length(p_name)
+  GROUP BY p_name
 )
 SELECT a.rep_id AS id_a, b.rep_id AS id_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
@@ -181,18 +192,32 @@ def q_fuzzy_join_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the length-bucket short stratum — IRAN/IRAQ is a genuine
     short-stratum edit pair — while the long names stay trigram-blocked.
     The pre-r6 operator raised on this input; the oracle is plain brute
-    force, so the union of both strata is certified exact."""
+    force, so the union of both strata is certified exact.
+
+    Contract pin (r17): single-byte guard on both engines (see
+    q_fuzzy_join) — Spark levenshtein is codepoint-level, DuckDB's is
+    byte-level; the face is defined where they agree. No-op on the
+    shipped ASCII nation names; codepoint semantics of the operator are
+    covered by the pure-Python model property test."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         fuzzy_self_join,
     )
 
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.octet_length("n_name") == F.length("n_name"))
+        .select("n_nationkey", "n_name")
+    )
     return fuzzy_self_join(n, "n_nationkey", "n_name", max_dist=1, q=3)
 
 
 SQL_FUZZY_JOIN_MIXED = """
+WITH n AS (
+  SELECT n_nationkey, n_name FROM nation
+  WHERE strlen(n_name) = length(n_name)
+)
 SELECT a.n_nationkey AS id_a, b.n_nationkey AS id_b,
        CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
-FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+FROM n a JOIN n b ON a.n_nationkey < b.n_nationkey
 WHERE levenshtein(a.n_name, b.n_name) <= 1
 """

@@ -203,6 +203,84 @@ def test_fuzzy_self_join_total_on_mixed_lengths(spark):
     assert (0, 1, 1) in want and (8, 9, 1) in want
 
 
+def test_fuzzy_self_join_unicode_codepoint_semantics(spark):
+    """The OPERATOR's contract is codepoint-level Levenshtein (Spark's
+    built-in), certified against a pure-Python model on multi-byte text
+    — this is the codepoint half of the r17 fuzzy contract pin: the
+    cross-engine faces guard to single-byte input (where DuckDB's
+    byte-level levenshtein agrees), and this model test owns the
+    non-ASCII semantics the oracle can't express. 'café'→'cafe' is one
+    edit (one codepoint substituted, two UTF-8 bytes)."""
+    import itertools
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    names = [
+        "café", "cafe", "caff", "cafés", "数据", "数掂", "数据库",
+        "naïve", "naive", "ü", "u", "résumé", "resume", "résume",
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_self_join(df, "id", "name", max_dist=1, q=3).collect()
+    )
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if _lev(names[i], names[j]) <= 1
+    )
+    assert got == want
+    # the multi-byte pairs are genuinely present: café/cafe (1 codepoint
+    # edit, 2 byte edits — byte-level counting would drop it) and the
+    # CJK pair 数据/数掂 (3-byte codepoints)
+    assert (0, 1, 1) in want and (4, 5, 1) in want
+
+
+def test_fuzzy_self_join_unicode_property(spark):
+    """Hypothesis: operator == pure-Python codepoint model on corpora
+    drawn from a mixed single/multi-byte alphabet, all strata."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
+        fuzzy_self_join,
+    )
+
+    alphabet = "abé数ü"
+
+    @given(
+        names=st.lists(
+            st.text(alphabet=alphabet, min_size=0, max_size=9),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(names):
+        df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+        got = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_self_join(df, "id", "name", max_dist=1, q=3).collect()
+        )
+        want = sorted(
+            (i, j, _lev(names[i], names[j]))
+            for i, j in itertools.combinations(range(len(names)), 2)
+            if _lev(names[i], names[j]) <= 1
+        )
+        assert got == want
+
+    run()
+
+
 def test_fuzzy_self_join_empty_schema_follows_id_type(spark):
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         fuzzy_self_join,
