@@ -52,10 +52,36 @@ settle gate let the run start at load1 5.98 yet stamp contended:false):
   very end and both numbers are recorded — a box-drift event becomes a
   same-run footnote instead of a next-round adjudication.
 
+r17 hardening (three driver rounds in a row produced contaminated
+wall-clock headlines; the r16 stamps detect contention, this round makes
+the artifact still COMPARABLE under it):
+- load-immune secondary statistic: per-face CPU seconds of the whole
+  process tree (Python driver + the live Spark JVM via /proc/[pid]/stat
+  jiffies, + getrusage(RUSAGE_CHILDREN) for reaped children) recorded in
+  `queries_cpu`/`value_cpu` alongside wall time. External load inflates
+  wall but never this counter, so per-face cross-round ratios stay
+  meaningful on a loaded box — BENCH_NOTES.md states the headline rule
+  (wall when clean, CPU ratios when `contended: true`);
+- the mid-pass budget bail margin is sized from the slowest face
+  observed so far (1.25x, floor 10 s) instead of a fixed 10 s, so a
+  >10 s face starting just under the threshold can no longer overrun
+  the budget (r16 advice);
+- warm_pass_slower_than_warmup requires a real margin (>2% AND >1 s over
+  the warmup total) so millisecond noise can't stamp contended:true
+  (r16 advice);
+- self-heal is DEFAULT-ON (r16 verdict task 7): with no env override it
+  references the newest committed BENCH_r*_local*.json at the same sf;
+  $SPARK_GRAFT_BENCH_SELFHEAL=<path> overrides, =off disables.
+
 Methodology note: r14 switched medians from all-pass to warm-only; r15
 switched warm-median to warm-min; r16 extends min to all passes when
 n_warm == 1. Artifacts are comparable only within the same `stat` value —
 BENCH_NOTES.md restates the tracked baselines under the current statistic.
+Sample-slice note (r16 advice): `spread` is computed over the SAME slice
+as the per-face statistic (all passes incl. warmup when n_warm == 1,
+warm-only otherwise — `spread_slice` names it), while `variance_flags`
+needs >= 2 warm samples and is therefore empty by construction when
+n_warm <= 1; the two diagnostics agree on slice whenever both exist.
 """
 
 from __future__ import annotations
@@ -135,8 +161,13 @@ def contention_reasons(
         reasons.append("settled_load1")
     if settled5 > threshold:
         reasons.append("settled_load5")
+    # Margin (r16 advice): a warm total within noise of the warmup total
+    # must not stamp contended — require BOTH >2% relative and >1 s
+    # absolute over pass 0 (the genuine signals this check exists for,
+    # e.g. BENCH_r15's 197 -> 287 s, clear it by two orders).
     if len(pass_totals) > 1 and any(
-        t > pass_totals[0] for t in pass_totals[1:]
+        t > pass_totals[0] * 1.02 and t > pass_totals[0] + 1.0
+        for t in pass_totals[1:]
     ):
         reasons.append("warm_pass_slower_than_warmup")
     warm_ends = pass_loads[1:]
@@ -187,6 +218,84 @@ def _loadavg() -> tuple[float, float]:
         return -1.0, -1.0
 
 
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _proc_tree_cpu() -> float:
+    """Cumulative CPU seconds (utime+stime) of this process and every
+    LIVE descendant — the Python driver plus the Spark JVM it spawned
+    (local-mode executors are threads INSIDE that JVM, so one /proc stat
+    row carries all executor compute). Reaped children are added via
+    getrusage(RUSAGE_CHILDREN) — getrusage alone would MISS the live JVM,
+    which only folds into RUSAGE_CHILDREN after wait(), i.e. never
+    mid-bench; that is why this walks /proc instead (r16 verdict task 3).
+
+    Load-immune by construction: other processes' work never increments
+    this counter, so per-face deltas stay comparable across rounds even
+    when wall-clock is contaminated. Returns -1.0 when /proc is
+    unavailable (callers drop the sample).
+
+    Cost: one /proc scan (~hundreds of stat reads, <5 ms) per call — two
+    calls per face, noise against multi-second faces."""
+    try:
+        kids: dict[int, list[int]] = {}
+        cpu: dict[int, float] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    data = f.read()
+            except OSError:
+                continue  # process exited mid-scan
+            # comm (field 2) may contain spaces/parens: fields are
+            # positional only after the LAST ')'
+            rest = data[data.rindex(")") + 2:].split()
+            ppid = int(rest[1])      # stat field 4
+            jiffies = int(rest[11]) + int(rest[12])  # utime+stime (14,15)
+            kids.setdefault(ppid, []).append(int(entry))
+            cpu[int(entry)] = jiffies / _CLK_TCK
+        total, stack = 0.0, [os.getpid()]
+        while stack:
+            p = stack.pop()
+            total += cpu.get(p, 0.0)
+            stack.extend(kids.get(p, []))
+        import resource
+
+        ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+        return total + ru.ru_utime + ru.ru_stime
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
+def _default_selfheal_ref(sf: float | None) -> str:
+    """Newest committed LOCAL bench artifact at the same sf — the
+    default self-heal reference (r16 verdict task 7: default-on). Local
+    artifacts are the engine-true ones; driver BENCH_rNN.json files are
+    the very measurements contention contaminates, so healing against
+    them would under-fire. Highest round wins; lexicographic tie-break
+    prefers *_local_final over *_local within a round."""
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_key = "", (-1, "")
+    for path in _glob.glob(os.path.join(here, "BENCH_r*_local*.json")):
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if art.get("sf") != sf or not art.get("queries"):
+            continue
+        key = (int(m.group(1)), os.path.basename(path))
+        if key > best_key:
+            best, best_key = path, key
+    return best
+
+
 def main() -> None:
     start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -213,14 +322,21 @@ def main() -> None:
         release_plan_caches,
     )
 
-    def run_face(name: str) -> float:
+    def run_face(name: str) -> tuple[float, float]:
+        """(wall seconds, process-tree CPU seconds; cpu -1 if unreadable)."""
+        c0 = _proc_tree_cpu()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         release_plan_caches(df)  # dedup plans persist intermediates; drop them
-        return round(time.time() - t0, 3)
+        wall = round(time.time() - t0, 3)
+        c1 = _proc_tree_cpu()
+        cpu = round(c1 - c0, 3) if c0 >= 0 and c1 >= 0 else -1.0
+        return wall, cpu
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
+    cpu_samples: dict[str, list[float]] = {name: [] for name in qs}
+    slowest_face_s = 10.0  # sizes the mid-pass bail margin (r16 advice)
     pass_totals: list[float] = []
     pass_loads: list[list[float]] = []
     aborted_pass = False
@@ -242,21 +358,29 @@ def main() -> None:
             # Mid-pass budget bail (warm passes only — pass 0 must finish
             # or there is nothing to report): discard the partial pass and
             # keep every COMPLETED pass for the statistic. Bailing beats
-            # being killed by the driver with no JSON on stdout.
-            if rep > 0 and time.time() - start > TIME_BUDGET_S - 10:
+            # being killed by the driver with no JSON on stdout. Margin
+            # sized from the slowest face seen so far (r16 advice: a
+            # fixed 10 s margin let a >10 s face starting just under the
+            # threshold overrun the budget anyway).
+            if rep > 0 and time.time() - start > TIME_BUDGET_S - max(
+                10.0, 1.25 * slowest_face_s
+            ):
                 aborted_pass = True
                 for done in done_this_pass:
                     samples[done].pop()
+                    cpu_samples[done].pop()
                 print(
                     f"# pass{rep} aborted at {name} (budget); partial pass discarded",
                     file=sys.stderr,
                 )
                 break
-            dt = run_face(name)
+            dt, dcpu = run_face(name)
             samples[name].append(dt)
+            cpu_samples[name].append(dcpu)
+            slowest_face_s = max(slowest_face_s, dt)
             done_this_pass.append(name)
             pass_total += dt
-            print(f"# pass{rep} {name}: {dt:.3f}s", file=sys.stderr)
+            print(f"# pass{rep} {name}: {dt:.3f}s cpu {dcpu:.3f}s", file=sys.stderr)
         if aborted_pass:
             break
         pass_totals.append(pass_total)
@@ -276,10 +400,26 @@ def main() -> None:
     n_warm = max(0, len(pass_totals) - 1)
     timed = {name: (ts[1:] if len(ts) > 2 else ts) for name, ts in samples.items()}
     timings = {name: round(face_statistic(ts), 3) for name, ts in samples.items()}
+    # spread intentionally shares face_statistic's slice (all passes incl.
+    # warmup when n_warm == 1, warm-only otherwise) — `spread_slice` in
+    # the artifact names it, and variance_flags (which needs >= 2 WARM
+    # samples) is empty by construction whenever the slices could differ
+    # (r16 advice: the two diagnostics previously disagreed silently on
+    # 2-pass runs).
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)]
         for name, ts in timed.items()
         if len(ts) > 1
+    }
+    # Load-immune CPU column (r16 verdict task 3): same slice rule as
+    # face_statistic, min over valid samples (-1 = /proc unreadable).
+    def cpu_statistic(ts: list[float]) -> float | None:
+        sl = ts[1:] if len(ts) >= 3 else ts
+        valid = [t for t in sl if t >= 0]
+        return round(min(valid), 3) if valid else None
+
+    timings_cpu = {
+        name: cpu_statistic(ts) for name, ts in cpu_samples.items()
     }
     # variance flags compare WARM passes only (pass 0 is legitimately
     # slower under JIT — flagging warmup-vs-warm would be pure noise)
@@ -287,10 +427,17 @@ def main() -> None:
         {name: ts[1:] for name, ts in samples.items() if len(ts) > 2}
     )
 
-    # Opt-in outlier self-heal (r15 verdict task 7): one extra run for any
-    # face reading >3x its value in a prior artifact, recorded alongside.
+    # Outlier self-heal — DEFAULT-ON since r17 (r16 verdict task 7): one
+    # extra run for any face reading >3x its value in the reference
+    # artifact, both numbers recorded. Reference resolution: env path if
+    # set, 'off'/'0'/'none' disables, otherwise the newest committed
+    # local artifact at this sf.
     selfheal: dict[str, dict[str, float]] = {}
     heal_ref = os.environ.get("SPARK_GRAFT_BENCH_SELFHEAL", "")
+    if heal_ref.lower() in ("off", "0", "none"):
+        heal_ref = ""
+    elif not heal_ref:
+        heal_ref = _default_selfheal_ref(sf)
     if heal_ref:
         try:
             with open(heal_ref) as f:
@@ -301,10 +448,13 @@ def main() -> None:
             if time.time() - start > TIME_BUDGET_S:
                 print(f"# selfheal budget exhausted before {name}", file=sys.stderr)
                 break
-            rerun = run_face(name)
+            rerun, rerun_cpu = run_face(name)
             print(f"# selfheal {name}: {timings[name]:.3f}s -> {rerun:.3f}s", file=sys.stderr)
             selfheal[name] = {"before": timings[name], "rerun": rerun}
             timings[name] = round(min(timings[name], rerun), 3)
+            prior_cpu = timings_cpu.get(name)
+            if rerun_cpu >= 0 and (prior_cpu is None or rerun_cpu < prior_cpu):
+                timings_cpu[name] = rerun_cpu
 
     reasons = contention_reasons(
         pass_totals,
@@ -328,17 +478,24 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cpu": timings_cpu,
+                "value_cpu": round(
+                    sum(v for v in timings_cpu.values() if v is not None), 3
+                ),
+                "cpu_source": "proc_tree+rusage_children",
                 "sf": sf,
                 "reps": len(pass_totals),
                 "warm": warm,
                 "n_warm": n_warm,
                 "stat": stat,
+                "spread_slice": "all_passes" if n_warm <= 1 else "warm_only",
                 "pass_totals": [round(t, 2) for t in pass_totals],
                 "pass_loads": pass_loads,
                 "aborted_pass": aborted_pass,
                 "spread": spread,
                 "variance_flags": vflags,
                 "selfheal": selfheal,
+                "selfheal_ref": os.path.basename(heal_ref) if heal_ref else "",
                 "load1_at_start": load_at_start,
                 "load5_at_start": load5_at_start,
                 "load1_after_settle": settled_load,
@@ -377,6 +534,9 @@ def main() -> None:
                 "load5": settled_load5,
                 "contended": contended,
                 "reasons": reasons,
+                "cpu_total": round(
+                    sum(v for v in timings_cpu.values() if v is not None), 2
+                ),
                 "vflags": len(vflags),
                 "healed": len(selfheal),
                 "q_median": round(statistics.median(vals), 3) if vals else None,

@@ -70,6 +70,21 @@ class TestContentionReasons:
             "warm_pass_slower_than_warmup"
         ]
 
+    def test_warm_pass_noise_within_margin_is_clean(self):
+        # r16 advice: millisecond/noise-scale excess over the warmup
+        # total must not stamp contended — the margin is >2% AND >1s
+        for totals in ([200.0, 200.5, 150.0], [200.0, 203.9, 150.0],
+                       [40.0, 40.8, 39.0]):
+            args = dict(self.QUIET, pass_totals=totals)
+            assert bench.contention_reasons(**args) == [], totals
+
+    def test_warm_pass_clear_excess_still_flagged(self):
+        # both margins exceeded on a small-total run: 11.5 > 10.2 and > 11
+        args = dict(self.QUIET, pass_totals=[10.0, 11.5, 9.0])
+        assert bench.contention_reasons(**args) == [
+            "warm_pass_slower_than_warmup"
+        ]
+
     def test_self_load_steady_state_is_clean(self):
         # the bench's own local[n] executors push load5 to ~6 on a quiet
         # box — identical every pass, so a steady plateau is NOT flagged
@@ -126,6 +141,47 @@ class TestVarianceFlags:
 
     def test_single_sample_never_flagged(self):
         assert bench.variance_flags({"face": [5.0]}) == {}
+
+
+class TestProcTreeCpu:
+    def test_returns_positive_on_linux(self):
+        c = bench._proc_tree_cpu()
+        assert c > 0  # this test process has burned SOME cpu by now
+
+    def test_monotonic_and_counts_own_work(self):
+        # the counter must grow by roughly the CPU a busy loop burns —
+        # load-immunity matters only if self-work IS counted
+        import time as _time
+
+        c0 = bench._proc_tree_cpu()
+        t0 = _time.process_time()
+        x = 0
+        while _time.process_time() - t0 < 0.3:
+            x += 1
+        c1 = bench._proc_tree_cpu()
+        assert c1 >= c0 + 0.2
+
+
+class TestDefaultSelfhealRef:
+    def test_picks_newest_local_artifact_at_sf(self):
+        import os
+        import re
+
+        ref = bench._default_selfheal_ref(0.1)
+        base = os.path.basename(ref)
+        # newest round's local artifact, final preferred within a round
+        rounds = [
+            int(re.search(r"BENCH_r(\d+)", f).group(1))
+            for f in os.listdir(os.path.dirname(bench.__file__))
+            if re.match(r"BENCH_r\d+_local", f)
+        ]
+        assert base.startswith(f"BENCH_r{max(rounds):02d}_local") or base.startswith(
+            f"BENCH_r{max(rounds)}_local"
+        )
+        assert base.endswith(".json")
+
+    def test_unknown_sf_returns_empty(self):
+        assert bench._default_selfheal_ref(123.456) == ""
 
 
 class TestSelfhealCandidates:
