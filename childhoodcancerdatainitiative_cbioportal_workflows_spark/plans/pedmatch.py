@@ -84,10 +84,17 @@ def fusion_prep(vcf: DataFrame) -> DataFrame:
     """fusion_file_prep (pedmatch:90-153): SVTYPE=Fusion rows, INFO regex
     extracts, 2-at-a-time breakend pairing per (sample, FUSION_ID) in file
     order. Emits the 18-column cBio SV shape. (The reference's loop would
-    IndexError on an odd trailing breakend; unpaired rows are dropped here.)"""
+    IndexError on an odd trailing breakend; unpaired rows are dropped here.)
+
+    Exact-duplicate breakend records collapse before pairing (the
+    ``norm -d exact`` convention, r17 — same adversarial find as the SNV
+    merge: duplicated records would re-pair across copies, turning one
+    fusion into two and an odd-dropping third breakend into a pair).
+    Fusion tables are SV-sized (orders of magnitude below the SNV
+    stream), so the distinct's exchange is noise."""
     f = vcf.filter(
         F.coalesce(F.col("INFO").contains("SVTYPE=Fusion"), F.lit(False))
-    ).select(
+    ).dropDuplicates().select(
         "sample_id",
         "CHROM",
         "POS",
@@ -246,7 +253,19 @@ def snv_merge_sides(
     """The tumor/normal sides of the variant merge (pedmatch:311-410):
     multiallelics split, each side scoped to its cohort role via a
     broadcast of the (tiny) pairs table, projected to the merge key +
-    its per-side FILTER/FORMAT payload."""
+    its per-side FILTER/FORMAT payload.
+
+    Variant-identity uniqueness is ENFORCED per side (r17 adversarial
+    find: duplicate records sharing a merge key fan the full-outer join
+    out m x n — 16 survivors from 4 duplicated rows — where the
+    reference's bcftools chain would have collapsed them under
+    ``norm -d exact`` before ``merge -m id``). The collapse is a
+    keep-first window over the merge keys with a TOTAL payload sort
+    (equal to -d exact on identical records; deterministic-min on
+    malformed payload-divergent duplicates, which bcftools leaves
+    undefined). Keying the window on exactly the join keys lets the
+    merge reuse the window's exchange — the dedup is shuffle-free
+    relative to the join it precedes."""
     # split multiallelics BEFORE the merge join so allele-level identity
     # aligns (bcftools norm after merge; equivalent since the join key
     # includes ALT and split rows re-join per allele)
@@ -255,6 +274,8 @@ def snv_merge_sides(
     pair_t = pairs.select(
         F.col("tumor_sample_id"), F.col("normal_sample_id")
     )
+    from ..operators.dedup import keep_first
+
     t = v.join(
         F.broadcast(pair_t),
         v["sample_id"] == pair_t["tumor_sample_id"],
@@ -265,6 +286,13 @@ def snv_merge_sides(
         F.col("FILTER").alias("tumor_FILTER"),
         F.col("SAMPLE_FMT").alias("tumor_fmt"),
     )
+    t = keep_first(
+        t,
+        SNV_MERGE_KEYS,
+        [F.col(c).asc_nulls_first() for c in
+         ("tumor_FILTER", "tumor_fmt", "QUAL", "INFO", "FORMAT",
+          "tumor_sample_id")],
+    )
     n = v.join(
         F.broadcast(pairs.select("normal_sample_id")),
         v["sample_id"] == F.col("normal_sample_id"),
@@ -274,6 +302,11 @@ def snv_merge_sides(
         "CHROM", "POS", "ID", "REF", "ALT",
         F.col("FILTER").alias("normal_FILTER"),
         F.col("SAMPLE_FMT").alias("normal_fmt"),
+    )
+    n = keep_first(
+        n,
+        SNV_MERGE_KEYS,
+        [F.col(c).asc_nulls_first() for c in ("normal_FILTER", "normal_fmt")],
     )
     return t, n
 

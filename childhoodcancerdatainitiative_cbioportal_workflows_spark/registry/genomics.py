@@ -273,12 +273,18 @@ def q_somatic_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SOMATIC_CALLS = """
-WITH snv AS (
-  SELECT o_custkey % 20 AS p,
+WITH o AS (
+  -- norm -d exact (r17 pin): duplicate (orderkey, participant) rows mint
+  -- bit-identical variant records, which both engines collapse before
+  -- the merge/pairing (plans/pedmatch.py keep_first over the merge keys;
+  -- dropDuplicates before breakend pairing)
+  SELECT DISTINCT o_orderkey, o_custkey % 20 AS p FROM orders
+), snv AS (
+  SELECT p,
          CAST(COUNT(*) AS BIGINT) AS n_somatic,
          CAST(SUM((o_orderkey * 37) % 1000000) AS BIGINT) AS sum_pos
-  FROM orders
-  WHERE o_custkey % 20 <> 0        -- participant 0: pairing guard
+  FROM o
+  WHERE p <> 0                     -- participant 0: pairing guard
     AND o_orderkey % 3 = 0         -- paired normal exists (ALT aligns)
     AND o_orderkey % 40 >= 10      -- t_depth = 10 + k%40 >= 20
     AND o_orderkey % 20 >= 5       -- tumor_af = 0.(k%20) >= 0.05
@@ -290,11 +296,11 @@ WITH snv AS (
     AND o_orderkey % 2 = 0         -- normal_gt 0/0 <> tumor_gt 0/1
   GROUP BY 1
 ), fus AS (
-  SELECT o_custkey % 20 AS p,
+  SELECT p,
          CAST(COUNT(*) AS BIGINT) AS n_fusions,
          CAST(MAX((o_orderkey + 2) % 97) AS INT) AS max_read_count
-  FROM orders
-  WHERE o_custkey % 20 <> 0        -- pairing guard again
+  FROM o
+  WHERE p <> 0                     -- pairing guard again
     AND o_orderkey % 13 = 0        -- has a fusion (breakends 1,2 pair;
                                    -- the k%39 third breakend drops)
     AND o_orderkey % 26 <> 0       -- normal twin subtracts these
