@@ -39,13 +39,32 @@ def assign_clusters(
 
     One fold evaluates all K centroids per row and keeps the running
     argmax — the cosine must ride the fold's accumulator struct, because
-    re-deriving it after the fold would double the vector math."""
-    cent_list = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    re-deriving it after the fold would double the vector math.
+
+    Zero-norm vectors are excluded (cosine to any centroid undefined;
+    ANSI DIVIDE_BY_ZERO otherwise — the r17 ANN adversarial sweep), as
+    are zero-norm centroids (an untrained/degenerate quantizer entry
+    would crash every row); oracle nv/nc CTEs carry the matching
+    nrm > 0 / cnrm > 0 predicates."""
+    cent_list = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(centroids)
+        if any(float(x) != 0.0 for x in c)
+    ]
+    if not cent_list:
+        # no usable centroids: nothing can be assigned (an empty array
+        # literal types as VOID and would break the fold)
+        id_t = df.select(F.col(id_col).alias("id")).dtypes[0][1]
+        return df.sparkSession.createDataFrame(
+            [], f"id {id_t}, cluster_id bigint, cos4 bigint"
+        )
     cents = _cents_lit(sorted(cent_list, key=lambda t: int(t[0])))
     v = spread(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    staged = v.withColumn("_vnorm", _norm(F.col("vec")))
+    staged = v.withColumn("_vnorm", _norm(F.col("vec"))).filter(
+        F.col("_vnorm") > 0
+    )
 
     def _dot(a, b):
         return F.aggregate(

@@ -45,18 +45,25 @@ def cosine_topk(
     """Exact top-k neighbours by cosine for each query vector.
 
     ``queries`` is broadcast — it must be the small side (typical ANN
-    serving shape). Result: (q_id, c_id, cos_sim, rank)."""
+    serving shape). Result: (q_id, c_id, cos_sim, rank).
+
+    Zero-norm vectors are EXCLUDED from both sides (cosine undefined;
+    under ANSI mode — the driver's default — the division raises
+    DIVIDE_BY_ZERO, the same crash class as the r16 embedding-dups
+    find, resurfaced by the r17 ANN adversarial sweep). Norms are
+    staged per ROW, which also stops the per-PAIR norm fold the old
+    expression paid."""
     c = spread(candidates).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
-    )
+    ).withColumn("_cnrm", _norm(F.col("c_vec"))).filter(F.col("_cnrm") > 0)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
+    ).withColumn("_qnrm", _norm(F.col("q_vec"))).filter(F.col("_qnrm") > 0)
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+        F.col("_qnrm") * F.col("_cnrm")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
@@ -224,7 +231,29 @@ def _ivf_topk_core(
     the quantizer source (corpus sample vs trained k-means) is the only
     thing the public faces differ on. Candidate-side list assignment is a
     narrow per-row fold (no shuffle, no n x K row expansion); only the
-    small query side pays a crossJoin + window to rank its nprobe lists."""
+    small query side pays a crossJoin + window to rank its nprobe lists.
+
+    Zero-norm rows (cosine undefined; ANSI DIVIDE_BY_ZERO otherwise —
+    the r17 ANN adversarial sweep) are excluded from candidates, queries
+    AND the quantizer itself; oracle nv/nc CTEs carry the matching
+    nrm > 0 / cnrm > 0 predicates."""
+    cent_list = [
+        (cid, vec) for cid, vec in cent_list if any(x != 0.0 for x in vec)
+    ]
+    if not cent_list:
+        # empty quantizer (no usable centroids in this corpus): no lists
+        # exist to probe, so the result is empty — an empty array literal
+        # types as VOID and would break the assignment fold
+        id_t = dict(v.dtypes)["id"]
+        return v.sparkSession.createDataFrame(
+            [], f"q_id {id_t}, c_id {id_t}, cos_sim double, rank int"
+        )
+    v = v.withColumn("_nrm0", _norm(F.col("vec"))).filter(
+        F.col("_nrm0") > 0
+    ).drop("_nrm0")
+    qd = qd.withColumn("_nrm0", _norm(F.col("vec"))).filter(
+        F.col("_nrm0") > 0
+    ).drop("_nrm0")
     cand_lists = v.withColumn("_vnorm", _norm(F.col("vec"))).select(
         "id",
         _nearest_centroid(
@@ -355,10 +384,25 @@ def lsh_ann_topk(
     this replaces the O(n*q) cross product with bucket-local work.
 
     Recall is tunable: more tables / fewer planes -> higher recall, bigger
-    buckets."""
+    buckets.
+
+    Zero-norm vectors are excluded from both sides before bucketing
+    (cosine undefined; ANSI DIVIDE_BY_ZERO at scoring otherwise — the
+    r17 ANN adversarial sweep; a zero vector buckets as all-ones since
+    sign(0) >= 0, so it WOULD collide and reach the scorer)."""
     if dim is None:
         first = candidates.select(F.size(vec_col).alias("d")).first()
         dim = first["d"]
+    nonzero = (
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        > 0
+    )
+    candidates = candidates.filter(nonzero)
+    queries = queries.filter(nonzero)
 
     # all tables' hyperplanes as ONE nested literal (T x P x D); a single
     # transform emits the (table, bucket) pairs — one expression tree per

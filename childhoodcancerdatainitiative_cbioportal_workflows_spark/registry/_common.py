@@ -196,7 +196,11 @@ def _sql_ann_lsh(
         for t in range(num_tables)
     )
     return f"""
-WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
+           -- zero-norm vectors excluded on both engines (cosine undefined;
+           -- the Spark operator filters norm > 0 — r17 ANN sweep)
+           WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
+                             (a,b) -> a+b) > 0),
 cb AS (
   {arms}
 ),
@@ -274,9 +278,12 @@ def _sql_ivf_body(nc_cte: str, k: int, nprobe: int, q_bound: int) -> str:
     )
     return f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-nv AS (SELECT id, vec,
-       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
-nc AS ({nc_cte}),
+nv AS (SELECT * FROM (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
+       -- zero-norm rows excluded on both engines (cosine undefined;
+       -- Spark filters candidates/queries/quantizer — r17 ANN sweep)
+       WHERE nrm > 0),
+nc AS (SELECT * FROM ({nc_cte}) WHERE cnrm > 0),
 assign AS (
   SELECT nv.id, nc.cid,
          row_number() OVER (PARTITION BY nv.id ORDER BY {acos} DESC, nc.cid) AS rn
@@ -396,13 +403,16 @@ def _sql_kmeans_clusters() -> str:
     )
     return f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-nv AS (SELECT id, vec,
-       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
-nc AS (
+nv AS (SELECT * FROM (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
+       -- zero-norm rows excluded on both engines (cosine undefined;
+       -- Spark's assign_clusters filters _vnorm > 0 — r17 ANN sweep)
+       WHERE nrm > 0),
+nc AS (SELECT * FROM (
   SELECT cid, cvec,
          sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm
   FROM (VALUES
-  {cent_rows}) AS c(cid, cvec)
+  {cent_rows}) AS c(cid, cvec)) WHERE cnrm > 0
 ), assign AS (
   SELECT nv.id, nc.cid, {acos} AS cos
   FROM nv CROSS JOIN nc
@@ -438,13 +448,16 @@ def _sql_semantic_dedup(threshold: float) -> str:
     )
     return f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-nv AS (SELECT id, vec,
-       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v),
-nc AS (
+nv AS (SELECT * FROM (SELECT id, vec,
+       sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
+       -- zero-norm rows excluded on both engines (cosine undefined;
+       -- Spark's assign_clusters filters _vnorm > 0 — r17 ANN sweep)
+       WHERE nrm > 0),
+nc AS (SELECT * FROM (
   SELECT cid, cvec,
          sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm
   FROM (VALUES
-  {cent_rows}) AS c(cid, cvec)
+  {cent_rows}) AS c(cid, cvec)) WHERE cnrm > 0
 ), assign AS (
   SELECT nv.id, nc.cid, {acos} AS cos
   FROM nv CROSS JOIN nc

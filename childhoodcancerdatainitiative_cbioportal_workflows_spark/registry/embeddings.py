@@ -34,23 +34,33 @@ from ._common import (  # noqa: F401
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search (north star): for the first
     10 vectors, the 5 nearest neighbours by cosine. Dot products computed as
-    sequential double folds in BOTH engines for bit-identical results."""
+    sequential double folds in BOTH engines for bit-identical results.
+    Zero-norm vectors excluded on both engines (cosine undefined; ANSI
+    DIVIDE_BY_ZERO otherwise — r17 ANN adversarial sweep)."""
     emb = load_table(spark, sf_dir, "embeddings")
     as_double = F.col("embedding").cast("array<double>")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), as_double.alias("q_emb")
-    )
-    c = emb.select(F.col("vec_id").alias("c_id"), as_double.alias("c_emb"))
 
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
+    nrm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("q_id"), as_double.alias("q_emb"))
+        .withColumn("_qnrm", nrm(F.col("q_emb")))
+        .filter(F.col("_qnrm") > 0)
+    )
+    c = (
+        emb.select(F.col("vec_id").alias("c_id"), as_double.alias("c_emb"))
+        .withColumn("_cnrm", nrm(F.col("c_emb")))
+        .filter(F.col("_cnrm") > 0)
+    )
+
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("q_id") != F.col("c_id"))
     cos = dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
-        * F.sqrt(dot(F.col("c_emb"), F.col("c_emb")))
+        F.col("_qnrm") * F.col("_cnrm")
     )
     from pyspark.sql import Window
 
@@ -65,15 +75,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COSINE_TOPK = """
 WITH q AS (
-  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 10
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS qnrm
+  FROM embeddings WHERE vec_id < 10
 ), c AS (
-  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS cnrm
+  FROM embeddings
 ), pairs AS (
   SELECT q_id, c_id,
     list_reduce(list_transform(list_zip(q_emb, c_emb), x -> x[1] * x[2]), (a, b) -> a + b)
-      / (sqrt(list_reduce(list_transform(q_emb, x -> x * x), (a, b) -> a + b))
-         * sqrt(list_reduce(list_transform(c_emb, x -> x * x), (a, b) -> a + b))) AS cos_sim
-  FROM c, q WHERE q_id <> c_id
+      / (qnrm * cnrm) AS cos_sim
+  -- zero-norm vectors excluded on both engines (cosine undefined)
+  FROM c, q WHERE q_id <> c_id AND qnrm > 0 AND cnrm > 0
 )
 SELECT q_id, c_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (
   SELECT q_id, c_id, cos_sim,
@@ -267,16 +283,21 @@ def _sql_exact_topk(k: int, q_bound: int) -> str:
     query-id bound (the SQL_COSINE_TOPK shape)."""
     return f"""
 WITH q AS (
-  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings
-  WHERE vec_id < {q_bound}
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS qnrm
+  FROM embeddings WHERE vec_id < {q_bound}
 ), c AS (
-  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb,
+         sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                          (a, b) -> a + b)) AS cnrm
+  FROM embeddings
 ), pairs AS (
   SELECT q_id, c_id,
     list_reduce(list_transform(list_zip(q_emb, c_emb), x -> x[1] * x[2]), (a, b) -> a + b)
-      / (sqrt(list_reduce(list_transform(q_emb, x -> x * x), (a, b) -> a + b))
-         * sqrt(list_reduce(list_transform(c_emb, x -> x * x), (a, b) -> a + b))) AS cos_sim
-  FROM c, q WHERE q_id <> c_id
+      / (qnrm * cnrm) AS cos_sim
+  -- zero-norm vectors excluded on both engines (cosine undefined)
+  FROM c, q WHERE q_id <> c_id AND qnrm > 0 AND cnrm > 0
 )
 SELECT q_id, c_id FROM (
   SELECT q_id, c_id,

@@ -208,6 +208,50 @@ def test_adversarial_bloom_prefilter_matches_oracle(spark, rows, n_parts):
 
 
 # ---------------------------------------------------------------------------
+# ANN / clustering family over adversarial embeddings: ZERO vectors
+# (undefined cosine — the r16 embedding-dups crash class), exact
+# DUPLICATE vectors (cosine 1.0 top-k ties, cut by the c_id tie-break on
+# both engines), sign-flipped pairs (cosine exactly -1), and equidistant
+# points (nearest-centroid / nearest-neighbour ties).
+# ---------------------------------------------------------------------------
+
+from test_adversarial_parity import _write_embeddings, _emb_row  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "face", ["cosine_topk", "ann_lsh", "ann_ivf", "kmeans_clusters",
+             "random_projection", "semantic_dedup"]
+)
+@given(rows=st.lists(_emb_row, min_size=1, max_size=6))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_ann_face_matches_oracle(spark, face, rows):
+    d = _write_embeddings(rows)
+    try:
+        _assert_face_matches(spark, face, d, ["embeddings"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_adversarial_ann_zero_duplicate_opposite_vectors(spark):
+    """Deterministic worst case: an all-zero vector, three exact
+    duplicates (tied cosine 1.0), and a sign-flipped copy (cosine
+    exactly -1)."""
+    rows = [[0], [3], [3], [3], [4], [1, 2]]
+    d = _write_embeddings(rows)
+    try:
+        for face in ("cosine_topk", "ann_lsh", "ann_ivf",
+                     "kmeans_clusters", "random_projection",
+                     "semantic_dedup"):
+            _assert_face_matches(spark, face, d, ["embeddings"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # composed flows: interval_join / cnv_matrix over ENGINEERED loci. The
 # faces derive g_start = (p_partkey*37) % 100000 and s_start =
 # (o_orderkey*13) % 100000, so partkeys/orderkeys are chosen as the
