@@ -52,36 +52,24 @@ settle gate let the run start at load1 5.98 yet stamp contended:false):
   very end and both numbers are recorded — a box-drift event becomes a
   same-run footnote instead of a next-round adjudication.
 
-r17 hardening (three driver rounds in a row produced contaminated
-wall-clock headlines; the r16 stamps detect contention, this round makes
-the artifact still COMPARABLE under it):
-- load-immune secondary statistic: per-face CPU seconds of the whole
-  process tree (Python driver + the live Spark JVM via /proc/[pid]/stat
-  jiffies, + getrusage(RUSAGE_CHILDREN) for reaped children) recorded in
-  `queries_cpu`/`value_cpu` alongside wall time. External load inflates
-  wall but never this counter, so per-face cross-round ratios stay
-  meaningful on a loaded box — BENCH_NOTES.md states the headline rule
-  (wall when clean, CPU ratios when `contended: true`);
-- the mid-pass budget bail margin is sized from the slowest face
-  observed so far (1.25x, floor 10 s) instead of a fixed 10 s, so a
-  >10 s face starting just under the threshold can no longer overrun
-  the budget (r16 advice);
-- warm_pass_slower_than_warmup requires a real margin (>2% AND >1 s over
-  the warmup total) so millisecond noise can't stamp contended:true
-  (r16 advice);
-- self-heal is DEFAULT-ON (r16 verdict task 7): with no env override it
-  references the newest committed BENCH_r*_local*.json at the same sf;
-  $SPARK_GRAFT_BENCH_SELFHEAL=<path> overrides, =off disables.
+r17 hardening (BENCH_NOTES.md "Round 17" carries the full rules):
+- load-immune secondary statistic `queries_cpu`/`value_cpu`: per-face
+  process-tree CPU seconds (live Spark JVM via /proc jiffies +
+  getrusage children). Headline rule: wall when clean, CPU ratios when
+  `contended: true`;
+- mid-pass bail margin sized from the slowest observed face (1.25x,
+  floor 10 s); warm_pass_slower_than_warmup needs >2% AND >1 s over the
+  warmup total (both r16 advice);
+- self-heal DEFAULT-ON: references the newest committed local artifact
+  at the same sf; env path overrides, =off disables.
 
 Methodology note: r14 switched medians from all-pass to warm-only; r15
 switched warm-median to warm-min; r16 extends min to all passes when
 n_warm == 1. Artifacts are comparable only within the same `stat` value —
 BENCH_NOTES.md restates the tracked baselines under the current statistic.
-Sample-slice note (r16 advice): `spread` is computed over the SAME slice
-as the per-face statistic (all passes incl. warmup when n_warm == 1,
-warm-only otherwise — `spread_slice` names it), while `variance_flags`
-needs >= 2 warm samples and is therefore empty by construction when
-n_warm <= 1; the two diagnostics agree on slice whenever both exist.
+`spread` shares the statistic's sample slice (`spread_slice` names it);
+`variance_flags` needs >= 2 warm samples, so the two diagnostics agree on
+slice whenever both exist (r16 advice).
 """
 
 from __future__ import annotations
@@ -223,20 +211,12 @@ _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 def _proc_tree_cpu() -> float:
     """Cumulative CPU seconds (utime+stime) of this process and every
-    LIVE descendant — the Python driver plus the Spark JVM it spawned
-    (local-mode executors are threads INSIDE that JVM, so one /proc stat
-    row carries all executor compute). Reaped children are added via
-    getrusage(RUSAGE_CHILDREN) — getrusage alone would MISS the live JVM,
-    which only folds into RUSAGE_CHILDREN after wait(), i.e. never
-    mid-bench; that is why this walks /proc instead (r16 verdict task 3).
-
-    Load-immune by construction: other processes' work never increments
-    this counter, so per-face deltas stay comparable across rounds even
-    when wall-clock is contaminated. Returns -1.0 when /proc is
-    unavailable (callers drop the sample).
-
-    Cost: one /proc scan (~hundreds of stat reads, <5 ms) per call — two
-    calls per face, noise against multi-second faces."""
+    LIVE descendant — the Spark JVM holds all executor compute in local
+    mode, and getrusage alone never sees it (a child folds into
+    RUSAGE_CHILDREN only after wait()), hence the /proc walk (r16
+    verdict task 3). Load-immune: other processes never increment it.
+    Returns -1.0 when /proc is unavailable (callers drop the sample).
+    Cost ~5 ms per call, noise against multi-second faces."""
     try:
         kids: dict[int, list[int]] = {}
         cpu: dict[int, float] = {}
@@ -400,12 +380,9 @@ def main() -> None:
     n_warm = max(0, len(pass_totals) - 1)
     timed = {name: (ts[1:] if len(ts) > 2 else ts) for name, ts in samples.items()}
     timings = {name: round(face_statistic(ts), 3) for name, ts in samples.items()}
-    # spread intentionally shares face_statistic's slice (all passes incl.
-    # warmup when n_warm == 1, warm-only otherwise) — `spread_slice` in
-    # the artifact names it, and variance_flags (which needs >= 2 WARM
-    # samples) is empty by construction whenever the slices could differ
-    # (r16 advice: the two diagnostics previously disagreed silently on
-    # 2-pass runs).
+    # spread shares face_statistic's slice (`spread_slice` names it);
+    # variance_flags needs >= 2 warm samples so it is empty whenever the
+    # slices could differ (r16 advice).
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)]
         for name, ts in timed.items()
@@ -427,11 +404,9 @@ def main() -> None:
         {name: ts[1:] for name, ts in samples.items() if len(ts) > 2}
     )
 
-    # Outlier self-heal — DEFAULT-ON since r17 (r16 verdict task 7): one
-    # extra run for any face reading >3x its value in the reference
-    # artifact, both numbers recorded. Reference resolution: env path if
-    # set, 'off'/'0'/'none' disables, otherwise the newest committed
-    # local artifact at this sf.
+    # Outlier self-heal, DEFAULT-ON since r17: one extra run for any face
+    # >3x its reference value, both numbers recorded. Reference: env path
+    # if set, 'off'/'0'/'none' disables, else newest local artifact.
     selfheal: dict[str, dict[str, float]] = {}
     heal_ref = os.environ.get("SPARK_GRAFT_BENCH_SELFHEAL", "")
     if heal_ref.lower() in ("off", "0", "none"):

@@ -41,11 +41,9 @@ def assign_clusters(
     argmax — the cosine must ride the fold's accumulator struct, because
     re-deriving it after the fold would double the vector math.
 
-    Zero-norm vectors are excluded (cosine to any centroid undefined;
-    ANSI DIVIDE_BY_ZERO otherwise — the r17 ANN adversarial sweep), as
-    are zero-norm centroids (an untrained/degenerate quantizer entry
-    would crash every row); oracle nv/nc CTEs carry the matching
-    nrm > 0 / cnrm > 0 predicates."""
+    Zero-norm vectors and centroids are excluded (cosine undefined;
+    ANSI DIVIDE_BY_ZERO otherwise — r17 sweep); oracle nv/nc CTEs carry
+    matching nrm/cnrm > 0 predicates."""
     cent_list = [
         (i, [float(x) for x in c])
         for i, c in enumerate(centroids)

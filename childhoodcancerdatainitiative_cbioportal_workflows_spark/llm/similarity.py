@@ -48,11 +48,8 @@ def cosine_topk(
     serving shape). Result: (q_id, c_id, cos_sim, rank).
 
     Zero-norm vectors are EXCLUDED from both sides (cosine undefined;
-    under ANSI mode — the driver's default — the division raises
-    DIVIDE_BY_ZERO, the same crash class as the r16 embedding-dups
-    find, resurfaced by the r17 ANN adversarial sweep). Norms are
-    staged per ROW, which also stops the per-PAIR norm fold the old
-    expression paid."""
+    ANSI DIVIDE_BY_ZERO otherwise — r17 ANN adversarial sweep). Norms
+    staged per ROW, which also stops the old per-PAIR norm folds."""
     c = spread(candidates).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
     ).withColumn("_cnrm", _norm(F.col("c_vec"))).filter(F.col("_cnrm") > 0)
@@ -233,10 +230,9 @@ def _ivf_topk_core(
     narrow per-row fold (no shuffle, no n x K row expansion); only the
     small query side pays a crossJoin + window to rank its nprobe lists.
 
-    Zero-norm rows (cosine undefined; ANSI DIVIDE_BY_ZERO otherwise —
-    the r17 ANN adversarial sweep) are excluded from candidates, queries
-    AND the quantizer itself; oracle nv/nc CTEs carry the matching
-    nrm > 0 / cnrm > 0 predicates."""
+    Zero-norm rows are excluded from candidates, queries AND the
+    quantizer (cosine undefined; ANSI DIVIDE_BY_ZERO otherwise — r17
+    sweep); oracle nv/nc CTEs carry matching nrm/cnrm > 0 predicates."""
     cent_list = [
         (cid, vec) for cid, vec in cent_list if any(x != 0.0 for x in vec)
     ]
@@ -386,10 +382,9 @@ def lsh_ann_topk(
     Recall is tunable: more tables / fewer planes -> higher recall, bigger
     buckets.
 
-    Zero-norm vectors are excluded from both sides before bucketing
-    (cosine undefined; ANSI DIVIDE_BY_ZERO at scoring otherwise — the
-    r17 ANN adversarial sweep; a zero vector buckets as all-ones since
-    sign(0) >= 0, so it WOULD collide and reach the scorer)."""
+    Zero-norm vectors are excluded before bucketing (a zero vector
+    buckets as all-ones since sign(0) >= 0, so it WOULD reach the
+    scorer and raise ANSI DIVIDE_BY_ZERO — r17 sweep)."""
     if dim is None:
         first = candidates.select(F.size(vec_col).alias("d")).first()
         dim = first["d"]

@@ -282,11 +282,9 @@ def exact_quantiles(
     from pyspark.sql import Window
 
     v = F.round(F.col(value_col) * grid).cast("long")
-    # Lattice validation is FUSED into the staging pass (r16 verdict
-    # task 5: validate-as-pre-scan re-read the source column — a second
-    # full pass at 100 TB; folding the deviation into the n/lo/hi
-    # aggregate the operator already runs makes the contract check free
-    # modulo one extra persisted double per row, validate=True only).
+    # Lattice validation is FUSED into the staging aggregate (r16 verdict
+    # task 5: a separate pre-scan re-read the source column — a second
+    # full pass at 100 TB); costs one persisted double/row, validate only.
     cols = [v.alias("_v")]
     agg_exprs = [
         F.count(F.lit(1)).alias("n"),

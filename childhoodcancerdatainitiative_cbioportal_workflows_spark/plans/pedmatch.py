@@ -85,13 +85,9 @@ def fusion_prep(vcf: DataFrame) -> DataFrame:
     extracts, 2-at-a-time breakend pairing per (sample, FUSION_ID) in file
     order. Emits the 18-column cBio SV shape. (The reference's loop would
     IndexError on an odd trailing breakend; unpaired rows are dropped here.)
-
-    Exact-duplicate breakend records collapse before pairing (the
-    ``norm -d exact`` convention, r17 — same adversarial find as the SNV
-    merge: duplicated records would re-pair across copies, turning one
-    fusion into two and an odd-dropping third breakend into a pair).
-    Fusion tables are SV-sized (orders of magnitude below the SNV
-    stream), so the distinct's exchange is noise."""
+    Exact-duplicate breakend records collapse before pairing (norm -d
+    exact, r17 find: duplicates re-pair across copies); fusion tables
+    are SV-sized, so the distinct's exchange is noise."""
     f = vcf.filter(
         F.coalesce(F.col("INFO").contains("SVTYPE=Fusion"), F.lit(False))
     ).dropDuplicates().select(
@@ -257,15 +253,11 @@ def snv_merge_sides(
 
     Variant-identity uniqueness is ENFORCED per side (r17 adversarial
     find: duplicate records sharing a merge key fan the full-outer join
-    out m x n — 16 survivors from 4 duplicated rows — where the
-    reference's bcftools chain would have collapsed them under
-    ``norm -d exact`` before ``merge -m id``). The collapse is a
-    keep-first window over the merge keys with a TOTAL payload sort
-    (equal to -d exact on identical records; deterministic-min on
-    malformed payload-divergent duplicates, which bcftools leaves
-    undefined). Keying the window on exactly the join keys lets the
-    merge reuse the window's exchange — the dedup is shuffle-free
-    relative to the join it precedes."""
+    out m x n, where bcftools would collapse them under ``norm -d
+    exact`` before ``merge -m id``): a keep-first window over the merge
+    keys with a total payload sort, keyed on exactly the join keys so
+    the merge reuses the window's exchange — shuffle-free relative to
+    the join it precedes."""
     # split multiallelics BEFORE the merge join so allele-level identity
     # aligns (bcftools norm after merge; equivalent since the join key
     # includes ALT and split rows re-join per allele)

@@ -197,8 +197,7 @@ def _sql_ann_lsh(
     )
     return f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings
-           -- zero-norm vectors excluded on both engines (cosine undefined;
-           -- the Spark operator filters norm > 0 — r17 ANN sweep)
+           -- zero-norm excluded on both engines (r17 ANN sweep)
            WHERE list_reduce(list_transform(embedding::DOUBLE[], x -> x*x),
                              (a,b) -> a+b) > 0),
 cb AS (
@@ -280,9 +279,7 @@ def _sql_ivf_body(nc_cte: str, k: int, nprobe: int, q_bound: int) -> str:
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
 nv AS (SELECT * FROM (SELECT id, vec,
        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
-       -- zero-norm rows excluded on both engines (cosine undefined;
-       -- Spark filters candidates/queries/quantizer — r17 ANN sweep)
-       WHERE nrm > 0),
+       WHERE nrm > 0),  -- zero-norm excluded on both engines (r17 sweep)
 nc AS (SELECT * FROM ({nc_cte}) WHERE cnrm > 0),
 assign AS (
   SELECT nv.id, nc.cid,
@@ -405,9 +402,7 @@ def _sql_kmeans_clusters() -> str:
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
 nv AS (SELECT * FROM (SELECT id, vec,
        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
-       -- zero-norm rows excluded on both engines (cosine undefined;
-       -- Spark's assign_clusters filters _vnorm > 0 — r17 ANN sweep)
-       WHERE nrm > 0),
+       WHERE nrm > 0),  -- zero-norm excluded on both engines (r17 sweep)
 nc AS (SELECT * FROM (
   SELECT cid, cvec,
          sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm
@@ -450,9 +445,7 @@ def _sql_semantic_dedup(threshold: float) -> str:
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
 nv AS (SELECT * FROM (SELECT id, vec,
        sqrt(list_reduce(list_transform(vec, x -> x*x), (a,b) -> a+b)) AS nrm FROM v)
-       -- zero-norm rows excluded on both engines (cosine undefined;
-       -- Spark's assign_clusters filters _vnorm > 0 — r17 ANN sweep)
-       WHERE nrm > 0),
+       WHERE nrm > 0),  -- zero-norm excluded on both engines (r17 sweep)
 nc AS (SELECT * FROM (
   SELECT cid, cvec,
          sqrt(list_reduce(list_transform(cvec, x -> x*x), (a,b) -> a+b)) AS cnrm

@@ -41,12 +41,11 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² cross product.
 
     Contract pin (r17): the face compares SINGLE-BYTE text only
-    (``octet_length = length``, a no-op on the shipped ASCII names)
-    because Spark's ``levenshtein`` counts codepoints while DuckDB's
-    counts UTF-8 bytes — on 'café'→'cafe' they disagree (1 vs 2), so
-    the cross-engine oracle is only well-defined where byte == codepoint.
-    The operator itself keeps codepoint semantics, certified against a
-    pure-Python model in tests/test_properties.py."""
+    (``octet_length = length``, a no-op on the shipped ASCII names) —
+    Spark's levenshtein counts codepoints, DuckDB's counts UTF-8 bytes
+    ('café'→'cafe': 1 vs 2), so the cross-engine oracle is only defined
+    where byte == codepoint. The operator keeps codepoint semantics,
+    certified against a pure-Python model (test_resample_projection)."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         fuzzy_self_join,
     )
@@ -195,10 +194,7 @@ def q_fuzzy_join_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     force, so the union of both strata is certified exact.
 
     Contract pin (r17): single-byte guard on both engines (see
-    q_fuzzy_join) — Spark levenshtein is codepoint-level, DuckDB's is
-    byte-level; the face is defined where they agree. No-op on the
-    shipped ASCII nation names; codepoint semantics of the operator are
-    covered by the pure-Python model property test."""
+    q_fuzzy_join); no-op on the shipped ASCII nation names."""
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators import (
         fuzzy_self_join,
     )
