@@ -159,6 +159,37 @@ def test_adversarial_orders_sketch_single_value_and_all_distinct(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+# text-dedup family over the adversarial documents fixture (hash/
+# integer-exact outputs: md5 minhash, simhash bits, shingle counts,
+# canonical-rep ids — none float-accumulating). Empty/whitespace/CJK/
+# duplicate texts stress the shingle and normalization conventions the
+# shipped corpus never does.
+@pytest.mark.parametrize(
+    "face",
+    [
+        "minhash_lsh", "minhash_lsh_md5", "simhash_pairs", "ngram_jaccard",
+        "ngram_jaccard_prefix", "ngram_jaccard_stoplist", "containment_dedup",
+        "substring_dedup", "dedup_canonical", "decontaminate",
+        "incremental_dedup", "dedup_weights", "rolling_fingerprint",
+        "sorted_neighborhood",
+    ],
+)
+@given(rows=st.lists(st.tuples(
+    st.integers(0, 13), st.integers(0, 2), st.integers(0, 2)
+), min_size=1, max_size=10))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_adversarial_text_dedup_face_matches_oracle(spark, face, rows):
+    d = _write_documents(rows)
+    try:
+        _assert_face_matches(spark, face, d, ["documents"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _SKETCH_DOC_ROWS = [
     # single-value corpus: one token repeated — heavy hitter at 100% mass
     [(3, 0, 0)] * 8,
