@@ -232,7 +232,9 @@ def _ivf_topk_core(
 
     Zero-norm rows are excluded from candidates, queries AND the
     quantizer (cosine undefined; ANSI DIVIDE_BY_ZERO otherwise — r17
-    sweep); oracle nv/nc CTEs carry matching nrm/cnrm > 0 predicates."""
+    sweep); oracle nv/nc CTEs carry matching nrm/cnrm > 0 predicates.
+    The guard rides the norm column each side already stages — one fold
+    per row, no extra pass."""
     cent_list = [
         (cid, vec) for cid, vec in cent_list if any(x != 0.0 for x in vec)
     ]
@@ -244,13 +246,9 @@ def _ivf_topk_core(
         return v.sparkSession.createDataFrame(
             [], f"q_id {id_t}, c_id {id_t}, cos_sim double, rank int"
         )
-    v = v.withColumn("_nrm0", _norm(F.col("vec"))).filter(
-        F.col("_nrm0") > 0
-    ).drop("_nrm0")
-    qd = qd.withColumn("_nrm0", _norm(F.col("vec"))).filter(
-        F.col("_nrm0") > 0
-    ).drop("_nrm0")
-    cand_lists = v.withColumn("_vnorm", _norm(F.col("vec"))).select(
+    v = v.withColumn("_vnorm", _norm(F.col("vec"))).filter(F.col("_vnorm") > 0)
+    qd = qd.withColumn("_qnorm", _norm(F.col("vec"))).filter(F.col("_qnorm") > 0)
+    cand_lists = v.select(
         "id",
         _nearest_centroid(
             F.col("vec"), cent_list, vnorm=F.col("_vnorm")
@@ -261,7 +259,7 @@ def _ivf_topk_core(
         "cid bigint, cvec array<double>",
     )
     ccos = _dot(F.col("vec"), F.col("cvec")) / (
-        _norm(F.col("vec")) * _norm(F.col("cvec"))
+        F.col("_qnorm") * _norm(F.col("cvec"))
     )
     w_assign = Window.partitionBy("id").orderBy(F.col("_ccos").desc(), F.col("cid").asc())
     qprobe = (
@@ -278,12 +276,11 @@ def _ivf_topk_core(
     )
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
-    # norms staged per ROW before the pair join: _norm inside the pair
-    # expression would re-run the fold+sqrt per scored pair per side
-    # (same lesson as the staged _vnorm above); the value — and the
-    # oracle hash — is bit-identical
-    cv = v.toDF("c_id", "c_vec").withColumn("_cnrm", _norm(F.col("c_vec")))
-    qv = qd.toDF("q_id", "q_vec").withColumn("_qnrm", _norm(F.col("q_vec")))
+    # norms staged per ROW before the pair join (never per scored pair);
+    # the guard's staged columns double as the scoring norms — the value,
+    # and the oracle hash, is bit-identical
+    cv = v.toDF("c_id", "c_vec", "_cnrm")
+    qv = qd.toDF("q_id", "q_vec", "_qnrm")
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
         F.col("_qnrm") * F.col("_cnrm")
     )
@@ -382,22 +379,15 @@ def lsh_ann_topk(
     Recall is tunable: more tables / fewer planes -> higher recall, bigger
     buckets.
 
-    Zero-norm vectors are excluded before bucketing (a zero vector
-    buckets as all-ones since sign(0) >= 0, so it WOULD reach the
-    scorer and raise ANSI DIVIDE_BY_ZERO — r17 sweep)."""
+    Zero-norm vectors are excluded at the scoring join (cosine
+    undefined; ANSI DIVIDE_BY_ZERO otherwise — r17 sweep). A zero
+    vector buckets as all-ones (sign(0) >= 0) but its pairs die on the
+    inner join with the norm-filtered vector tables, so the result
+    matches the oracle's filtered-v formulation; the guard rides the
+    per-row scoring norms the plan stages anyway — zero extra folds."""
     if dim is None:
         first = candidates.select(F.size(vec_col).alias("d")).first()
         dim = first["d"]
-    nonzero = (
-        F.aggregate(
-            F.col(vec_col).cast("array<double>"),
-            F.lit(0.0),
-            lambda a, x: a + x * x,
-        )
-        > 0
-    )
-    candidates = candidates.filter(nonzero)
-    queries = queries.filter(nonzero)
 
     # all tables' hyperplanes as ONE nested literal (T x P x D); a single
     # transform emits the (table, bucket) pairs — one expression tree per
@@ -449,13 +439,13 @@ def lsh_ann_topk(
         id_pairs = id_pairs.filter(F.col("q_id") != F.col("c_id"))
     c_vecs = candidates.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
-    )
+    ).withColumn("_cnrm", _norm(F.col("c_vec"))).filter(F.col("_cnrm") > 0)
     q_vecs = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
+    ).withColumn("_qnrm", _norm(F.col("q_vec"))).filter(F.col("_qnrm") > 0)
     pairs = id_pairs.join(c_vecs, "c_id").join(F.broadcast(q_vecs), "q_id")
     cos = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        _norm(F.col("q_vec")) * _norm(F.col("c_vec"))
+        F.col("_qnrm") * F.col("_cnrm")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
     return (
