@@ -417,15 +417,19 @@ def grouped_quantiles(
     rank-th smallest value (1-indexed) on the 1/``grid`` lattice, with
     n = the group's row count (or total weight).
 
-    ``validate=True`` enforces the lattice precondition up front
-    (operators/lattice.validate_lattice — one map-side agg): continuous
-    inputs raise :class:`~.lattice.LatticeViolation` instead of
-    returning plausible-but-quantized ranks.
+    ``validate=True`` enforces the lattice precondition by FUSING the
+    round-trip deviation fold into the compaction aggregate and per-key
+    window the operator already runs (r17 verdict task 2: the eager
+    ``validate_lattice`` pre-scan was a second full read of the value
+    column at 100 TB). The plan stays single-scan, zero-collect, and
+    fully declarative; a violation surfaces at ACTION time as Spark's
+    USER_RAISED_EXCEPTION carrying the
+    :class:`~.lattice.LatticeViolation` message contract (per-key
+    measured off-lattice count and worst deviation — every key emits at
+    least one output row, so no violating key escapes the guard). The
+    eager call-time check remains available as
+    ``operators.lattice.validate_lattice`` for callers that prefer it.
     """
-    if validate:
-        from .lattice import validate_lattice
-
-        validate_lattice(df, value_col, grid)
     p_bps = sorted({int(round(p * 10000)) for p in ps})
     v = F.round(F.col(value_col) * grid).cast("long")
     # NULL values are excluded up front: a NULL lattice point would ride
@@ -435,7 +439,7 @@ def grouped_quantiles(
     if weight_col is None:
         mass = F.count(F.lit(1))
         cols = [F.col(key_col).alias("k"), v.alias("_v")]
-        staged = df.select(*cols).filter(F.col("_v").isNotNull())
+        keep = F.col("_v").isNotNull()
     else:
         mass = F.sum("_w")
         cols = [
@@ -443,23 +447,43 @@ def grouped_quantiles(
             v.alias("_v"),
             F.col(weight_col).cast("long").alias("_w"),
         ]
-        staged = df.select(*cols).filter(
-            F.col("_v").isNotNull() & F.col("_w").isNotNull()
-        )
-    counts = staged.groupBy("k", "_v").agg(mass.alias("c"))
+        keep = F.col("_v").isNotNull() & F.col("_w").isNotNull()
+    cell_aggs = [mass.alias("c")]
+    if validate:
+        # round-trip deviation per row (lattice_deviation's expression),
+        # folded through the cell aggregate the operator already runs
+        dev = F.abs(F.col(value_col) - F.round(F.col(value_col) * grid) / grid)
+        cols.append(dev.alias("_dev"))
+        cell_aggs += [
+            F.coalesce(
+                F.sum((F.col("_dev") > 0).cast("long")), F.lit(0)
+            ).alias("_off"),
+            F.coalesce(F.max("_dev"), F.lit(0.0)).alias("_mdev"),
+            F.count(F.lit(1)).alias("_nr"),
+        ]
+    staged = df.select(*cols).filter(keep)
+    counts = staged.groupBy("k", "_v").agg(*cell_aggs)
     w_cum = (
         Window.partitionBy("k")
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_all = Window.partitionBy("k")
-    cum = counts.select(
-        "k",
-        "_v",
-        "c",
+    cum_cols = [
+        F.col("k"),
+        F.col("_v"),
+        F.col("c"),
         F.sum("c").over(w_cum).alias("cum"),
         F.sum("c").over(w_all).alias("n"),
-    )
+    ]
+    if validate:
+        # the guard rides the w_all window the plan already exchanges on
+        cum_cols += [
+            F.sum("_off").over(w_all).alias("_offk"),
+            F.max("_mdev").over(w_all).alias("_mdevk"),
+            F.sum("_nr").over(w_all).alias("_nrk"),
+        ]
+    cum = counts.select(*cum_cols)
     probed = cum.withColumn(
         "p_bp", F.explode(F.array(*[F.lit(b) for b in p_bps]))
     ).withColumn(
@@ -469,6 +493,26 @@ def grouped_quantiles(
         "rank",
         F.greatest(F.expr("(p_bp * n + 9999) div 10000"), F.lit(1)),
     )
+    n_out = F.col("n")
+    if validate:
+        # LatticeViolation's message contract, raised in-plan: the rank
+        # filter keeps >= 1 row per (key, p) — rank is clamped >= 1 and
+        # every staged key has a cell with cum >= 1 — so a violating key
+        # always evaluates its guard before emitting a quantized value
+        msg = F.format_string(
+            f"column {value_col!r} is not on the 1/{grid} lattice: "
+            "%s/%s values off-lattice (key %s), "
+            f"max |v - round(v*{grid})/{grid}| = %s "
+            "— exact order statistics would silently quantize; pass data "
+            "already aligned to the grid (or widen the grid)",
+            F.col("_offk"),
+            F.col("_nrk"),
+            F.col("k").cast("string"),
+            F.col("_mdevk"),
+        )
+        n_out = F.when(F.col("_offk") > 0, F.raise_error(msg)).otherwise(
+            F.col("n")
+        )
     return (
         probed.filter(
             (F.col("cum") >= F.col("rank"))
@@ -479,7 +523,7 @@ def grouped_quantiles(
             (F.col("p_bp") / F.lit(10000.0)).alias("p"),
             (F.col("_v") / F.lit(float(grid))).alias("value"),
             "rank",
-            "n",
+            n_out.alias("n"),
         )
     )
 

@@ -354,6 +354,25 @@ def test_exact_quantiles_face_fails_fast_off_lattice(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_grouped_quantiles_face_fails_fast_off_lattice(spark):
+    """The grouped sibling of the r16 find, now with the r18 FUSED guard
+    (no pre-scan — the deviation folds ride the compaction aggregate):
+    an off-lattice l_extendedprice must raise the in-plan
+    USER_RAISED_EXCEPTION at action time instead of silently quantizing
+    into disagreement with the lattice-replay oracle."""
+    from pyspark.errors import SparkRuntimeException
+
+    d = _write_lineitem([(1, 0, 0, 0, 0, 0, 1, 1), (1, 1, 1, 1, 1, 1, 2, 2)])
+    try:
+        pdf = pd.read_parquet(os.path.join(d, "lineitem.parquet"))
+        pdf.loc[0, "l_extendedprice"] = 10.005  # half a cent off
+        pdf.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+        with pytest.raises(SparkRuntimeException, match="off-lattice"):
+            QUERIES["grouped_quantiles"](spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # lineitem family: duplicate-key ties in top-1 selection, cube/rollup null
 # groups, weighted rank walks with ZERO weights, DECIMAL sums over heavy

@@ -255,9 +255,25 @@ def test_validate_lattice_guard(spark):
     )
     with pytest.raises(LatticeViolation, match="1/2 values off-lattice"):
         validate_lattice(cont, "v", 100)
-    # wired into BOTH quantile operators under the flag
-    with pytest.raises(LatticeViolation):
-        grouped_quantiles(cont, "k", "v", [0.5], validate=True)
+    # wired into BOTH quantile operators under the flag. The grouped
+    # guard is FUSED into the compaction aggregate (r17 verdict task 2:
+    # no separate pre-scan), so the violation surfaces at ACTION time as
+    # USER_RAISED_EXCEPTION carrying the LatticeViolation message.
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="off-lattice"):
+        grouped_quantiles(cont, "k", "v", [0.5], validate=True).collect()
+    # on-lattice data passes through the fused guard untouched
+    ok = grouped_quantiles(cents, "k", "v", [0.5], validate=True).collect()
+    assert {(r["k"], r["value"]) for r in ok} == {("a", 0.01), ("b", 317.40)}
+    # weighted path carries the same fused guard
+    from pyspark.sql import functions as F
+
+    wcont = cont.withColumn("w", F.lit(2))
+    with pytest.raises(SparkRuntimeException, match="off-lattice"):
+        grouped_quantiles(
+            wcont, "k", "v", [0.5], weight_col="w", validate=True
+        ).collect()
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
         exact_quantiles,
     )
@@ -286,6 +302,16 @@ def test_grouped_quantiles_plan_is_two_exchanges_no_collect(spark):
     )
     assert "Cartesian" not in plan
     assert plan.count("Exchange") <= 2
+    # validate=True fuses the lattice guard into the same plan: the
+    # deviation folds ride the existing cell aggregate and w_all window —
+    # same exchange count, still one scan, still zero driver collects
+    vplan = (
+        grouped_quantiles(df, "k", "value", [0.5], validate=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in vplan
+    assert vplan.count("Exchange") <= 2
+    assert vplan.count("Scan ExistingRDD") <= plan.count("Scan ExistingRDD")
 
 
 def test_simpson_diversity_exact_rational_and_degenerate_groups(spark):
