@@ -33,6 +33,33 @@ def keep_first(
     )
 
 
+def keep_first_per_run(
+    df: DataFrame,
+    subset: Sequence[str],
+    run_col: str,
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """``keep_first(df, [*subset, run_col], order_by)`` with the window
+    EXCHANGE keyed on ``subset`` alone: rows sort by (run_col, order_by)
+    inside each ``subset`` partition and only the first row of each
+    run_col run survives — one row per (subset, run_col) group, chosen
+    by ``order_by``. Use when a downstream join/aggregate hashes on
+    ``subset``: the straightforward superset-key window would partition
+    on (subset, run_col) and force a SECOND shuffle for the join, while
+    this shape lets the join reuse the window's exchange.
+    ``run_col`` must be non-NULL (a NULL run would merge into the
+    partition head under lag's NULL)."""
+    w = Window.partitionBy(*subset).orderBy(F.col(run_col).asc(), *order_by)
+    return (
+        df.withColumn("_prev_run", F.lag(run_col).over(w))
+        .filter(
+            F.col("_prev_run").isNull()
+            | (F.col("_prev_run") != F.col(run_col))
+        )
+        .drop("_prev_run")
+    )
+
+
 def keep_topk(
     df: DataFrame,
     subset: Sequence[str],

@@ -254,10 +254,18 @@ def snv_merge_sides(
     Variant-identity uniqueness is ENFORCED per side (r17 adversarial
     find: duplicate records sharing a merge key fan the full-outer join
     out m x n, where bcftools would collapse them under ``norm -d
-    exact`` before ``merge -m id``): a keep-first window over the merge
-    keys with a total payload sort, keyed on exactly the join keys so
+    exact`` before ``merge -m id``). The pin is INTENTIONALLY STRONGER
+    than ``norm -d exact`` (r17 advice, documented): norm collapses only
+    bit-identical records, while this keep-first collapses to ONE
+    canonical record per variant identity even when payloads differ,
+    chosen by a total payload sort — same-key/different-payload records
+    are caller data-quality errors and a deterministic winner beats an
+    m x n fan-out either way. The tumor side keys on the merge keys PLUS
+    ``tumor_sample_id`` (two tumors paired to one normal must BOTH
+    survive — r17 advice), via a run-boundary window still partitioned
+    on exactly the join keys (operators/dedup.keep_first_per_run), so
     the merge reuses the window's exchange — shuffle-free relative to
-    the join it precedes."""
+    the join it precedes on both sides."""
     # split multiallelics BEFORE the merge join so allele-level identity
     # aligns (bcftools norm after merge; equivalent since the join key
     # includes ALT and split rows re-join per allele)
@@ -266,7 +274,7 @@ def snv_merge_sides(
     pair_t = pairs.select(
         F.col("tumor_sample_id"), F.col("normal_sample_id")
     )
-    from ..operators.dedup import keep_first
+    from ..operators.dedup import keep_first, keep_first_per_run
 
     t = v.join(
         F.broadcast(pair_t),
@@ -278,12 +286,12 @@ def snv_merge_sides(
         F.col("FILTER").alias("tumor_FILTER"),
         F.col("SAMPLE_FMT").alias("tumor_fmt"),
     )
-    t = keep_first(
+    t = keep_first_per_run(
         t,
         SNV_MERGE_KEYS,
+        "tumor_sample_id",
         [F.col(c).asc_nulls_first() for c in
-         ("tumor_FILTER", "tumor_fmt", "QUAL", "INFO", "FORMAT",
-          "tumor_sample_id")],
+         ("tumor_FILTER", "tumor_fmt", "QUAL", "INFO", "FORMAT")],
     )
     n = v.join(
         F.broadcast(pairs.select("normal_sample_id")),

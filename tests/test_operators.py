@@ -82,6 +82,87 @@ def test_keep_first_deterministic_under_repartition(spark):
         assert list(out.tag) == ["b", "e"]
 
 
+def test_keep_first_per_run_matches_superset_keep_first(spark):
+    """keep_first_per_run(subset, run_col) ≡ keep_first(subset+[run_col])
+    value-for-value, while its window partitions on subset alone (one
+    exchange a downstream join on subset can reuse — the r18 pedmatch
+    tumor-side shape). Deterministic under any repartition."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.dedup import (
+        keep_first_per_run,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "run": ["t1", "t1", "t2", "t2", "t1", "t1"],
+            "v": [3, 1, 2, 4, 9, 8],
+            "tag": list("abcdef"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for nparts in (1, 5):
+        got = (
+            keep_first_per_run(
+                df.repartition(nparts), ["k"], "run", [F.col("v").asc()]
+            )
+            .toPandas()
+            .sort_values(["k", "run"])
+        )
+        want = (
+            keep_first(
+                df.repartition(nparts), ["k", "run"], [F.col("v").asc()]
+            )
+            .toPandas()
+            .sort_values(["k", "run"])
+        )
+        assert list(got.tag) == list(want.tag) == ["b", "c", "f"]
+    plan = (
+        keep_first_per_run(df, ["k"], "run", [F.col("v").asc()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the exchange hashes on the subset alone, never the run column
+    import re
+
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts and all(p.startswith("k#") and "run" not in p for p in parts)
+
+
+def test_snv_merge_multi_tumor_pairs_both_survive(spark):
+    """Two tumor samples paired to ONE normal at the same variant must
+    BOTH survive the tumor-side dedup (r17 advice: the merge-key-only
+    keep_first silently dropped one tumor). pair tables from
+    pair_patients can't mint this shape (1-tissue/1-blood guard) but
+    snv_merge_sides accepts arbitrary pairs — the operator must not
+    lose data on them."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.plans.pedmatch import (
+        snv_merge_sides,
+    )
+
+    fmt = "GT:GQ:DP:MDP:MAF:FRO:QUAL2:FAO:AF:OTHER"
+    rows = [
+        # two tumors, same variant identity, different payloads + one
+        # bit-duplicate of tumor A (must collapse within its run)
+        ("tA", "chr1", 100, "v1", "A", "T", "50", "PASS", "DP=30", fmt, "0/1:99:30:0:0:30:50:20:0.40:x"),
+        ("tA", "chr1", 100, "v1", "A", "T", "50", "PASS", "DP=30", fmt, "0/1:99:30:0:0:30:50:20:0.40:x"),
+        ("tB", "chr1", 100, "v1", "A", "T", "60", "PASS", "DP=40", fmt, "0/1:99:40:0:0:35:50:25:0.50:x"),
+        ("nrm", "chr1", 100, "v1", "A", "T", "50", "PASS", "DP=30", fmt, "0/0:99:30:0:0:30:50:0:0.01:x"),
+    ]
+    vcf = spark.createDataFrame(
+        rows,
+        "sample_id string, CHROM string, POS long, ID string, REF string, "
+        "ALT string, QUAL string, FILTER string, INFO string, FORMAT string, "
+        "SAMPLE_FMT string",
+    )
+    pairs = spark.createDataFrame(
+        [("tA", "nrm"), ("tB", "nrm")],
+        "tumor_sample_id string, normal_sample_id string",
+    )
+    t, n = snv_merge_sides(vcf, pairs)
+    tp = t.toPandas().sort_values("tumor_sample_id")
+    assert list(tp.tumor_sample_id) == ["tA", "tB"], "both tumors survive"
+    assert n.count() == 1
+
+
 def test_dedup_with_preference(spark):
     pdf = pd.DataFrame(
         {
