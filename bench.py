@@ -220,6 +220,7 @@ def _proc_tree_cpu() -> float:
     try:
         kids: dict[int, list[int]] = {}
         cpu: dict[int, float] = {}
+        ccpu: dict[int, float] = {}
         for entry in os.listdir("/proc"):
             if not entry.isdigit():
                 continue
@@ -235,10 +236,21 @@ def _proc_tree_cpu() -> float:
             jiffies = int(rest[11]) + int(rest[12])  # utime+stime (14,15)
             kids.setdefault(ppid, []).append(int(entry))
             cpu[int(entry)] = jiffies / _CLK_TCK
-        total, stack = 0.0, [os.getpid()]
+            # cutime+cstime (16,17): CPU of the process's REAPED children
+            # — counted for descendants only (r17 advice: a short-lived
+            # process the JVM spawned and waited on folds in here and is
+            # in no live /proc entry). Reaped processes left /proc, so
+            # this never double-counts a live descendant.
+            ccpu[int(entry)] = (int(rest[13]) + int(rest[14])) / _CLK_TCK
+        me = os.getpid()
+        total, stack = 0.0, [me]
         while stack:
             p = stack.pop()
             total += cpu.get(p, 0.0)
+            if p != me:
+                # the root's own reaped children are already covered by
+                # RUSAGE_CHILDREN below — adding cutime would double-count
+                total += ccpu.get(p, 0.0)
             stack.extend(kids.get(p, []))
         import resource
 
@@ -248,19 +260,32 @@ def _proc_tree_cpu() -> float:
         return -1.0
 
 
+# self-heal references must share the current statistic family (r17
+# advice): artifacts through r13 record per-face MEDIANS (stat absent),
+# which systematically inflate the baseline vs today's warm-min and can
+# mask a genuine 3x regression. min-family = warm-min and the honest
+# contended single pass (a degenerate min over one sample).
+_MIN_FAMILY_STATS = {"min_warm", "min_all_single_warm", "single_pass"}
+
+
 def _default_selfheal_ref(sf: float | None) -> str:
     """Newest committed LOCAL bench artifact at the same sf — the
     default self-heal reference (r16 verdict task 7: default-on). Local
     artifacts are the engine-true ones; driver BENCH_rNN.json files are
     the very measurements contention contaminates, so healing against
-    them would under-fire. Highest round wins; lexicographic tie-break
-    prefers *_local_final over *_local within a round."""
+    them would under-fire. Median-stat artifacts (pre-r15, no 'stat'
+    field) are skipped — cross-stat healing compares unlike numbers
+    (r17 advice). Highest round wins; within a round an explicit suffix
+    priority prefers *_local_final > *_local > *_local_midround (the
+    midround file can be a discarded first attempt — r12 lesson; plain
+    lexicographic ordering would pick it, 'm' > 'f')."""
     import glob as _glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_key = "", (-1, "")
+    best, best_key = "", (-1, -1, "")
     for path in _glob.glob(os.path.join(here, "BENCH_r*_local*.json")):
-        m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+        name = os.path.basename(path)
+        m = re.search(r"BENCH_r(\d+)", name)
         if not m:
             continue
         try:
@@ -270,7 +295,13 @@ def _default_selfheal_ref(sf: float | None) -> str:
             continue
         if art.get("sf") != sf or not art.get("queries"):
             continue
-        key = (int(m.group(1)), os.path.basename(path))
+        if art.get("stat") not in _MIN_FAMILY_STATS:
+            continue
+        suffix_rank = (
+            2 if name.endswith("_local_final.json")
+            else 1 if name.endswith("_local.json") else 0
+        )
+        key = (int(m.group(1)), suffix_rank, name)
         if key > best_key:
             best, best_key = path, key
     return best
@@ -413,10 +444,15 @@ def main() -> None:
         heal_ref = ""
     elif not heal_ref:
         heal_ref = _default_selfheal_ref(sf)
+    heal_ref_stat = ""
     if heal_ref:
         try:
             with open(heal_ref) as f:
-                reference = json.load(f).get("queries", {})
+                _ref_art = json.load(f)
+            reference = _ref_art.get("queries", {})
+            # recorded so cross-stat healing stays auditable (r17 advice;
+            # an env-forced reference may carry any statistic)
+            heal_ref_stat = str(_ref_art.get("stat") or "median_era")
         except (OSError, ValueError):
             reference = {}
         for name in selfheal_candidates(timings, reference):
@@ -471,6 +507,7 @@ def main() -> None:
                 "variance_flags": vflags,
                 "selfheal": selfheal,
                 "selfheal_ref": os.path.basename(heal_ref) if heal_ref else "",
+                "selfheal_ref_stat": heal_ref_stat,
                 "load1_at_start": load_at_start,
                 "load5_at_start": load5_at_start,
                 "load1_after_settle": settled_load,

@@ -183,6 +183,30 @@ class TestDefaultSelfhealRef:
     def test_unknown_sf_returns_empty(self):
         assert bench._default_selfheal_ref(123.456) == ""
 
+    def test_suffix_priority_final_beats_midround(self, tmp_path, monkeypatch):
+        # r17 advice: plain lexicographic tie-break preferred
+        # *_local_midround ('m' > 'f') — the explicit suffix rank must
+        # pick final > plain > midround within a round, and median-era
+        # artifacts (no 'stat') must be skipped entirely
+        import json as _json
+        import os
+
+        art = {"sf": 0.1, "queries": {"q": 1.0}, "stat": "min_warm"}
+        names = [
+            "BENCH_r20_local_midround.json",
+            "BENCH_r20_local.json",
+            "BENCH_r20_local_final.json",
+        ]
+        for n in names:
+            (tmp_path / n).write_text(_json.dumps(art))
+        # a NEWER round whose artifact is median-era must lose to r20
+        (tmp_path / "BENCH_r21_local.json").write_text(
+            _json.dumps({"sf": 0.1, "queries": {"q": 0.5}})
+        )
+        monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+        got = os.path.basename(bench._default_selfheal_ref(0.1))
+        assert got == "BENCH_r20_local_final.json"
+
 
 class TestSelfhealCandidates:
     REF = {"a": 2.0, "b": 1.0, "c": 0.0}
