@@ -103,8 +103,15 @@ def train_bpe_merges(
     words)."""
     from .dedup import _with_caches
 
+    # Job economy (r18): each round's argmax job is ALSO the job that
+    # materializes the current vocab's cache (persist is lazy), so the
+    # old eager `count()` per generation was a whole extra pass over the
+    # cached vocabulary — 7 of the face's 13 jobs. The previous
+    # generation is released one round LATE (after the argmax job that
+    # read it through the new generation's lineage), holding at most two
+    # vocabulary-sized caches at once.
     vocab = _initial_vocab(df, text_col).persist()
-    vocab.count()
+    prev: DataFrame | None = None
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -113,6 +120,9 @@ def train_bpe_merges(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top or top[0]["cnt"] < min_pair_count:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
@@ -120,10 +130,10 @@ def train_bpe_merges(
         nxt = vocab.select(
             "word", "n", _apply_merge(F.col("syms"), a, b).alias("syms")
         ).persist()
-        nxt.count()
-        vocab.unpersist()
+        prev = vocab
         vocab = nxt
-    return merges, _with_caches(vocab, [vocab])
+    caches = [vocab] if prev is None else [vocab, prev]
+    return merges, _with_caches(vocab, caches)
 
 
 def segment_words(

@@ -726,6 +726,16 @@ def ngram_jaccard_pairs(
     straggler owning ('the of the')^2."""
     import logging
 
+    # r18 optimization note: a "carry size(array) through the explode"
+    # rewrite (drop the per-doc `sizes` aggregation + both size-attach
+    # joins) was built and MEASURED SLOWER (~2x at bench scale): naming
+    # the shingle array as a column lets InferFiltersFromGenerate push
+    # size(_sh) > 0 / isnotnull(_sh) below the spread() exchange, so the
+    # whole word_shingles chain runs (twice) inside the single
+    # pre-spread scan task — serializing exactly the stage spread()
+    # exists to parallelize. The explode-of-expression shape keeps the
+    # heavy compute above the exchange; the sizes branches reuse the
+    # shingle subtree's exchange and are cheap relative to that hazard.
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n=n))).alias("shingle"),

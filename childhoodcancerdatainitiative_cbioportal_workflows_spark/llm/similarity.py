@@ -558,13 +558,22 @@ def ann_recall(
     map-side combinable. Emits no row when exact is empty (recall over
     nothing is undefined — the ks_drift discipline, not an ANSI
     divide-by-zero)."""
-    hits = exact.select("q_id", "c_id").join(
-        approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    # One left join + one aggregation (r18): the old semi-join + two
+    # separate count aggs referenced `exact` twice, re-running the
+    # brute-force cosine derivation per reference. Both rank frames are
+    # (q_id, c_id)-unique, so a left join preserves exactly one row per
+    # exact pair and the hit indicator sums to |approx ∩ exact|.
+    joined = exact.select("q_id", "c_id").join(
+        approx.select("q_id", "c_id", F.lit(1).alias("_h")),
+        ["q_id", "c_id"],
+        "left",
     )
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_hits"),
+    )
     return (
-        ne.crossJoin(F.broadcast(nh))
+        agg
         .filter(F.col("n_exact") > 0)
         .select(
             F.lit(k).alias("k"),

@@ -54,12 +54,21 @@ def pagerank_fixed(
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n_df = deg.agg(F.count(F.lit(1)).alias("n"))
     nodes = deg.crossJoin(F.broadcast(n_df))
+    from ..llm.dedup import _CheckpointHandle, _with_caches
+
+    # rank-state lineage is truncated per round (the bfs/kcore
+    # discipline): each round references r twice (contrib join + the
+    # rank update), so an un-checkpointed chain doubles the analyzed
+    # plan per iteration — measured 2,870 plan lines / 258 Exchange
+    # nodes at iters=3 vs ~60 lines checkpointed, with ~2 s of pure
+    # driver analysis time per build. r is one small row per node.
     r = nodes.select(
         F.col("s").alias("id"),
         "deg",
         "n",
         F.floor(F.lit(float(unit)) / F.col("n")).cast("long").alias("r"),
-    )
+    ).localCheckpoint(eager=True)
+    r_handle = _CheckpointHandle(r)
     teleport = F.floor(
         F.lit(float((100 - damp_pct) * unit)) / (F.lit(100.0) * F.col("n"))
     ).cast("long")
@@ -91,10 +100,11 @@ def pagerank_fixed(
                     ).cast("long")
                 ).alias("r"),
             )
-        )
-    from ..llm.dedup import _with_caches
+        ).localCheckpoint(eager=True)
+        r_handle.unpersist()
+        r_handle = _CheckpointHandle(r)
 
-    return _with_caches(r.select("id", F.col("r").alias("rank_fp")), [e])
+    return _with_caches(r.select("id", F.col("r").alias("rank_fp")), [e, r_handle])
 
 
 def kcore_peel(

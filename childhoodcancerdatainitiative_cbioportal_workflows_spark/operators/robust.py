@@ -46,11 +46,20 @@ def grouped_low_median(
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = counts.withColumn("_cum", F.sum("_c").over(w))
-    tot = counts.groupBy("_k").agg(F.sum("_c").alias("_n"))
+    # per-key total as a full-partition window over the SAME _k exchange
+    # the cumulative window already established (guide §2.4: window after
+    # window on one key needs one shuffle) — the old separate
+    # groupBy(_k) total + join back re-read `counts` and added two more
+    # exchanges per median pass.
+    w_all = Window.partitionBy("_k")
+    cum = counts.select(
+        "_k",
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
     return (
-        cum.join(tot, "_k")
-        .filter(F.expr("_cum >= (_n + 1) div 2"))
+        cum.filter(F.expr("_cum >= (_n + 1) div 2"))
         .groupBy("_k")
         .agg(F.min("_v").alias(out_col))
         .select(F.col("_k").alias(key_col), out_col)
@@ -96,7 +105,14 @@ def mad_anomalies(
                 F.col("_k").alias(key_col), "med_fp", "mad_fp", "n", "n_anomalies"
             )
         )
-        # group-count-sized result; eager so the cache may be released
-        return out.localCheckpoint(eager=True)
-    finally:
+        # Lazy with caller-released cache (r18): the eager localCheckpoint
+        # materialized the whole plan at build time and the caller's
+        # action then re-read the checkpoint — one extra job and a
+        # barrier for a group-count-sized result. The cache handle rides
+        # the standard _with_caches contract instead.
+        from ..llm.dedup import _with_caches
+
+        return _with_caches(out, [v])
+    except Exception:
         v.unpersist()
+        raise

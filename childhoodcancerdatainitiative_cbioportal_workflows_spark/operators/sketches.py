@@ -53,26 +53,42 @@ def _cms_bucket(col, row: int, w: int):
 
 
 def countmin_sketch(
-    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of ``df[col]``'s frequency distribution:
-    ``depth`` independent hash rows × ``width`` counters, built with ONE
-    map-side-combinable aggregation per row over the exploded items
-    (union'd, so still one shuffle of ≤ depth·width result rows). The
+    ``depth`` independent hash rows × ``width`` counters, built in ONE
+    pass — each item explodes into its ``depth`` (row, bucket) cells and
+    a single map-side-combinable aggregation sums them (r18; the old
+    union of one aggregation per hash row scanned the items ``depth``
+    times and ran the md5 bucket hash per scan). ``weight_col`` counts
+    each item that many times — pass pre-aggregated (item, count) pairs
+    so the hashes run once per DISTINCT item instead of once per
+    occurrence (the counters are sums, so weighted-by-count over
+    distinct items is bit-identical to counting occurrences). The
     sketch is (row, bucket, c) — linear, hence MERGEABLE: sketches of
     disjoint corpus shards sum counter-wise into the corpus sketch
     (pinned by test), which is what makes it a 100 TB structure: each
     partition ships depth·width longs, never its items."""
-    from functools import reduce
-
-    parts = [
-        df.select(_cms_bucket(F.col(col), r, width).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(F.lit(r).alias("row"), "bucket", "c")
-        for r in range(depth)
-    ]
-    return reduce(DataFrame.unionByName, parts)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_rb"),
+        w.alias("_w"),
+    )
+    return (
+        cells.groupBy(F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
+        .agg(F.sum("_w").cast("long").alias("c"))
+    )
 
 
 def countmin_estimate(

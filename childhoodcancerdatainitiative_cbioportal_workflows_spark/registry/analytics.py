@@ -512,15 +512,26 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # Both pair sets are (id_a, id_b)-unique by construction, so ONE
+    # full-outer join carries all three counts in a single aggregation —
+    # the old join + three separate count aggs referenced each derivation
+    # twice (truth in hits + n_truth, cand in hits + n_candidates),
+    # re-executing the shingle-join and signature stages per reference
+    # (r18: two full derivation passes dropped from the executed plan).
     cand = minhash_dedup_pairs_universal(
         d, threshold=0.5, num_hashes=64, bands=16, seed=29
-    ).select("id_a", "id_b")
-    truth = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
-    hits = truth.join(cand, ["id_a", "id_b"])
-    agg = (
-        truth.agg(F.count(F.lit(1)).alias("n_truth"))
-        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
+    truth = ngram_jaccard_pairs(d, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    both = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    agg = both.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)),
+            F.lit(0),
+        ).cast("long").alias("n_hits"),
     )
     return agg.select(
         "n_truth",

@@ -178,7 +178,14 @@ def q_somatic_calls_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         somatic_summary,
     )
 
-    pairs = pair_patients(pedmatch_manifest(spark, sf_dir))
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    # Same persist rationale as q_somatic_calls: pairs feeds both
+    # bucketed side-writes plus the fusion branch, fusions is read twice
+    # by the germline subtract — one derivation each instead of per-use.
+    pairs = pair_patients(pedmatch_manifest(spark, sf_dir)).persist()
     write_snv_sides_bucketed(
         pedmatch_snv_vcf(spark, sf_dir),
         pairs,
@@ -189,10 +196,9 @@ def q_somatic_calls_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         normal_path=_bucket_path(spark, "sg_snv_normal_bkt"),
     )
     somatic = snv_somatic_bucketed(spark, "sg_snv_tumor_bkt", "sg_snv_normal_bkt")
-    kept = fusion_germline_subtract(
-        fusion_prep(pedmatch_fusion_vcf(spark, sf_dir)), pairs
-    )
-    return somatic_summary(somatic, kept)
+    fusions = fusion_prep(pedmatch_fusion_vcf(spark, sf_dir)).persist()
+    kept = fusion_germline_subtract(fusions, pairs)
+    return _with_caches(somatic_summary(somatic, kept), [pairs, fusions])
 
 
 def q_clinical_merge_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -264,12 +264,22 @@ def q_somatic_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
         somatic_summary,
     )
 
-    pairs = pair_patients(pedmatch_manifest(spark, sf_dir))
-    somatic = snv_somatic(pedmatch_snv_vcf(spark, sf_dir), pairs)
-    kept = fusion_germline_subtract(
-        fusion_prep(pedmatch_fusion_vcf(spark, sf_dir)), pairs
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
     )
-    return somatic_summary(somatic, kept)
+
+    # pairs is consumed FOUR times (tumor broadcast, normal broadcast,
+    # fusion scope, germline subtract) and its manifest lineage fans a
+    # distinct-over-customer subtree out ~9x per reference; fusions is
+    # consumed twice (tumor join + normal projection). Persisting both
+    # tiny frames collapses the analyzed plan from ~1,900 lines / 84
+    # Exchange nodes to the single derivation per frame (r18, guide
+    # §2.4) — at 100 TB each re-derivation is a full manifest/SV pass.
+    pairs = pair_patients(pedmatch_manifest(spark, sf_dir)).persist()
+    somatic = snv_somatic(pedmatch_snv_vcf(spark, sf_dir), pairs)
+    fusions = fusion_prep(pedmatch_fusion_vcf(spark, sf_dir)).persist()
+    kept = fusion_germline_subtract(fusions, pairs)
+    return _with_caches(somatic_summary(somatic, kept), [pairs, fusions])
 
 
 SQL_SOMATIC_CALLS = """

@@ -728,21 +728,25 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(d).select(
         F.explode(ws_tokens(F.lower(F.col("text")))).alias("token")
     )
-    toks = toks.persist()
-    exact = (
+    # One token-frequency aggregation feeds BOTH the exact top-20 and
+    # the sketch (r18): the sketch hashes each DISTINCT token once,
+    # weighted by its count — identical counters, md5 work divided by
+    # the mean token frequency, and the cached frame shrinks from every
+    # token instance to the vocabulary.
+    freq = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
-        .limit(20)
+        .persist()
     )
-    sketch = countmin_sketch(toks, "token")
+    exact = freq.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(20)
+    sketch = countmin_sketch(freq, "token", weight_col="exact_n")
     est = countmin_estimate(sketch, exact.select("token"), "token")
     out = exact.join(est, "token").select("token", "exact_n", "est_n")
     from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
         _with_caches,
     )
 
-    return _with_caches(out, [toks])
+    return _with_caches(out, [freq])
 
 
 _CMS_FOLD = (
