@@ -301,36 +301,22 @@ def minhash_dedup_pairs_md5(
 MERSENNE31 = 2147483647  # 2^31 - 1; universal-hash modulus
 
 
-def _hex_nibble(ch):
-    """Value of one lowercase hex digit. ascii() keeps it integer-only and
-    engine-portable (strpos/locate argument orders differ across engines)."""
-    a = F.ascii(ch)
-    return F.when(a >= 97, a - 87).otherwise(a - 48)
-
-
-def _md5_nibbles(h, start: int, count: int):
-    """array<bigint> of hex-digit values h[start..start+count-1] (1-based)."""
-    return F.transform(
-        F.sequence(F.lit(start), F.lit(start + count - 1)),
-        lambda i: _hex_nibble(F.substr(h, i, F.lit(1))).cast("bigint"),
-    )
-
-
-def _nibble_fold(nibs):
-    """Pack a nibble array into one bigint: ((n1*16+n2)*16+n3)... — the same
-    left fold DuckDB's list_reduce performs on integers."""
-    return F.aggregate(nibs, F.lit(0).cast("bigint"), lambda acc, x: acc * 16 + x)
-
-
 def simhash_bits_md5(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 2
 ) -> DataFrame:
     """(id, bits array<int> of length 64) — SimHash whose shingle hashes are
     the first 16 md5 hex digits packed into two 32-bit halves. Integer-only,
-    so a DuckDB oracle reproduces every bit. Each derivation step lives in
-    its own projection: HOF arguments are inlined and re-evaluated, so
-    folding 64 votes over an un-staged md5 expression would re-hash every
-    shingle 64x."""
+    so a DuckDB oracle reproduces every bit.
+
+    r18 shape: explode the shingles and take the 64 per-bit votes as ONE
+    codegen'd hash aggregation (64 literal-shift sums + a count) instead of
+    64 interpreted HOF folds over a per-row array — guide §4.1 (built-in
+    aggregations run in whole-stage codegen; array lambdas never do) and
+    §2.3 (partial aggregation: spread() keeps each doc's shingles in one
+    partition, so the map-side combine collapses to one 66-long row per doc
+    before the exchange). bit_i = (2·c_i > n) is the same decision as the
+    old vote fold: Σ(2b−1) = 2c − n > 0. Hex packing is one ``conv`` per
+    half instead of an 8-nibble ascii fold — same integer bit-for-bit."""
     # cheap token-count guard (see minhash_dedup_pairs_md5): an _md5s-size
     # predicate pushes below the repartition and md5-hashes serially
     staged = (
@@ -338,33 +324,33 @@ def simhash_bits_md5(
         .filter(has_min_tokens(F.col(text_col), shingle_n))
         .select(
             F.col(id_col).alias("id"),
-            F.transform(
-                word_shingles(F.col(text_col), n=shingle_n), lambda s: F.md5(s)
-            ).alias("_md5s"),
+            F.explode(word_shingles(F.col(text_col), n=shingle_n)).alias("_sh"),
+        )
+        .select("id", F.md5("_sh").alias("_m"))
+        .select(
+            "id",
+            F.conv(F.substring("_m", 1, 8), 16, 10).cast("bigint").alias("_lo"),
+            F.conv(F.substring("_m", 9, 8), 16, 10).cast("bigint").alias("_hi"),
         )
     )
-    packed = staged.select(
-        "id",
-        F.transform(F.col("_md5s"), lambda h: _nibble_fold(_md5_nibbles(h, 1, 8))).alias(
-            "_lo"
-        ),
-        F.transform(F.col("_md5s"), lambda h: _nibble_fold(_md5_nibbles(h, 9, 8))).alias(
-            "_hi"
-        ),
+    counts = staged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_lo"), i).bitwiseAND(F.lit(1))).alias(f"_c{i}")
+            for i in range(32)
+        ],
+        *[
+            F.sum(F.shiftright(F.col("_hi"), i).bitwiseAND(F.lit(1))).alias(
+                f"_c{i + 32}"
+            )
+            for i in range(32)
+        ],
     )
-
-    def _vote(col, shift):
-        return F.aggregate(
-            col,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, shift).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    bits = []
-    for i in range(64):
-        v = _vote(F.col("_lo"), i) if i < 32 else _vote(F.col("_hi"), i - 32)
-        bits.append(F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
-    return packed.select("id", F.array(*bits).alias("bits"))
+    bits = [
+        F.when(F.col(f"_c{i}") * 2 > F.col("_n"), F.lit(1)).otherwise(F.lit(0))
+        for i in range(64)
+    ]
+    return counts.select("id", F.array(*bits).alias("bits"))
 
 
 def _bit_fold(bits_slice):
@@ -535,7 +521,9 @@ def minhash_dedup_pairs_universal(
     based = staged.select(
         "id",
         F.transform(
-            F.col("_md5s"), lambda h: _nibble_fold(_md5_nibbles(h, 1, 8)) % p
+            # conv parses the 8 hex digits natively — bit-identical to the
+            # old 8-nibble ascii fold at ~1/40th the expression nodes (r18)
+            F.col("_md5s"), lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % p
         ).alias("_bp"),
     )
 
@@ -741,14 +729,23 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n=n))).alias("shingle"),
     )
     if max_doc_freq is not None:
+        # r18: persist the EXPLODED table (one shingle-compute pass) instead
+        # of the post-anti-join one — the old shape ran the tokenize/shingle
+        # explode twice (stoplist derivation + anti-join input) and cached
+        # the filtered rows. With sh0 cached, the stoplist groupBy stays
+        # map-side-combinable (skew-safe: hot keys combine before the
+        # shuffle, never concentrating on one reducer) and each downstream
+        # consumer re-applies only the broadcast anti-join probe — a
+        # near-free stream filter vs a full corpus-tokenize pass.
+        sh0 = sh.persist()
         hot = (
-            sh.groupBy("shingle")
+            sh0.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
             .persist()
         )
-        n_hot = hot.count()  # materializes the (small) stoplist for reuse
+        n_hot = hot.count()  # materializes sh0 + stoplist in one job
         logging.getLogger(__name__).info(
             "ngram_jaccard_pairs: stoplist dropped %d shingles with doc-freq > %d",
             n_hot,
@@ -756,13 +753,15 @@ def ngram_jaccard_pairs(
         )
         # re-select: the USING join moves the key column first, and the
         # pair-join below renames positionally
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").select("id", "shingle")
-        # the filtered shingle table feeds THREE consumers (sizes + both
-        # join sides); un-persisted, each re-runs the explode AND the
-        # anti-join — measured ~4x the no-stoplist query at bench scale.
-        # O(corpus-tokens) cache, but it replaces three corpus passes.
+        sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").select("id", "shingle")
+        caches = [hot, sh0]
+    else:
+        # r18: the shingle table feeds THREE consumers (sizes + both join
+        # sides) — un-persisted, each re-ran the tokenize/shingle explode;
+        # one O(corpus-tokens) cache replaces two full compute passes in
+        # every derivation (this builder backs ~10 registered faces).
         sh = sh.persist()
-        sh.count()  # eager (see SCALE_NOTES: unmaterialized caches race)
+        caches = [sh]
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")
@@ -789,7 +788,7 @@ def ngram_jaccard_pairs(
     result = out.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
-    return _with_caches(result, [hot, sh]) if max_doc_freq is not None else result
+    return _with_caches(result, caches)
 
 
 def containment_pairs(
@@ -814,20 +813,25 @@ def containment_pairs(
             "shingle"
         ),
     )
-    caches: list[DataFrame] = []
     if max_doc_freq is not None:
+        # r18: cache the exploded table, not the filtered one — one
+        # shingle-compute pass; consumers re-apply only the broadcast
+        # anti-join probe (see ngram_jaccard_pairs)
+        sh0 = sh.persist()
         hot = (
-            sh.groupBy("shingle")
+            sh0.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_doc_freq)
             .select("shingle")
             .persist()
         )
         hot.count()
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").select("id", "shingle")
+        sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").select("id", "shingle")
+        caches = [hot, sh0]
+    else:
+        # same three-consumer shape as ngram_jaccard_pairs — cache once
         sh = sh.persist()
-        sh.count()
-        caches = [hot, sh]
+        caches = [sh]
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")
@@ -849,7 +853,7 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
-    return _with_caches(out, caches) if caches else out
+    return _with_caches(out, caches)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -1140,10 +1144,13 @@ def dedup_components(
     # One counted cache pass feeds whichever path runs.
     edges_dir = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
     n_edges = edges_dir.count()
+    # propagate the INPUT's cache handles (e.g. the jaccard builder's
+    # shingle cache, r18) so releasing the component frame frees them too
+    upstream = getattr(pairs, "_spark_graft_caches", [])
     if n_edges <= small_graph_threshold:
         rows = [(r.src, r.dst) for r in edges_dir.collect()]
         out = _driver_union_find(rows, pairs.sparkSession)
-        return _with_caches(out, [edges_dir])
+        return _with_caches(out, [edges_dir, *upstream])
     labels, _ = star_contraction(edges_dir, max_iter=max_iter)
     # star_contraction drops self-loops, so a node appearing ONLY in
     # self-pairs (id_a == id_b) would vanish from this branch while the
@@ -1161,7 +1168,7 @@ def dedup_components(
         .agg(F.min("component").alias("component"))
     )
     inner = getattr(labels, "_spark_graft_caches", [])
-    return _with_caches(out, [edges_dir, *inner])
+    return _with_caches(out, [edges_dir, *inner, *upstream])
 
 
 def embedding_dup_pairs_lsh(
@@ -1235,11 +1242,13 @@ def embedding_dup_pairs_lsh(
         F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda acc, x: acc + x * x)).alias(
             "norm"
         ),
-    ).filter(F.col("norm") > 0)
+    ).filter(F.col("norm") > 0).persist()
     # zero-norm vectors are EXCLUDED above: cosine is undefined for them,
     # and under ANSI mode (the driver's default) the cos_sim division
     # raises DIVIDE_BY_ZERO instead of producing the NaN the pre-ANSI
     # engine silently filtered (r16 adversarial embeddings sweep).
+    # persist v TOO (r18): it feeds the bucket projection AND both verify
+    # join sides — un-persisted, va/vb each re-ran the scan + norm fold.
     # persist: the T*P projection pass feeds both sides of the bucket join
     bucketed = (
         v.select("id", F.explode(tables).alias("tb"))
@@ -1247,6 +1256,7 @@ def embedding_dup_pairs_lsh(
         .persist()
     )
     bucketed.count()  # eager: both join sides consume the projection pass
+    # (computing `bucketed` populates v's cache en route — one job fills both)
     cands = (
         bucketed.toDF("id_a", "table", "bucket")
         .join(bucketed.toDF("id_b", "table", "bucket"), ["table", "bucket"])
@@ -1268,7 +1278,7 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
-    return _with_caches(out, [bucketed])
+    return _with_caches(out, [bucketed, v])
 
 
 def embedding_dup_pairs(
@@ -1514,6 +1524,13 @@ def exact_substring_spans(
             ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
         ).alias("pg"),
     ).select("_id", "n_tokens", "pg.pos", "pg.gram")
+    # persist: the posexploded gram table feeds BOTH the duplicated-gram
+    # derivation and the position-marking semi-join — un-persisted, the
+    # tokenize + per-position slice/join pass ran twice (r18). The cache is
+    # gram-table-sized (heavy: ~L x corpus bytes) but replaces an equally
+    # heavy recompute; storage-starved clusters can trade it back for the
+    # second pass. Caller releases via release_plan_caches.
+    staged = staged.persist()
     dup_grams = (
         staged.groupBy("gram")
         .agg(F.countDistinct("_id").alias("_nd"))
@@ -1540,7 +1557,7 @@ def exact_substring_spans(
         .groupBy("_id", "n_tokens", "island")
         .agg((F.max("pos") - F.min("pos") + L).alias("_covered"))
     )
-    return (
+    return _with_caches(
         islands.groupBy("_id", "n_tokens")
         .agg(
             F.count(F.lit(1)).alias("n_islands"),
@@ -1552,5 +1569,6 @@ def exact_substring_spans(
             "dup_tokens",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.expr(f"(dup_tokens * {unit}) div n_tokens").alias("dup_frac_fp"),
-        )
+        ),
+        [staged],
     )

@@ -17,19 +17,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import _md5_nibbles, _nibble_fold
-
 #: bucket space for split fractions; 1e-4 granularity is plenty for split
-#: weights. The pre-mod 8-nibble fold reaches 16^8-1 (~4.29e9, just past
-#: uint32) — bucketing relies on the BIGINT fold, never a 32-bit value
+#: weights. The pre-mod 8-hex-digit value reaches 16^8-1 (~4.29e9, just
+#: past uint32) — bucketing relies on the BIGINT parse, never a 32-bit value
 NUM_BUCKETS = 10_000
 
 
 def hash_bucket(key: Column, num_buckets: int = NUM_BUCKETS) -> Column:
     """Uniform pseudo-random bucket in [0, num_buckets) from the md5 of the
-    key's string form. First 8 hex nibbles folded base-16 — engine-portable
-    and stable forever (md5 of the same string never changes)."""
-    return _nibble_fold(_md5_nibbles(F.md5(key.cast("string")), 1, 8)) % num_buckets
+    key's string form. First 8 hex digits parsed base-16 (``conv`` — the
+    same bigint the old 8-nibble ascii fold produced, at a fraction of the
+    expression nodes; r18) — engine-portable and stable forever (md5 of the
+    same string never changes)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % num_buckets
+    )
 
 
 def dataset_split(

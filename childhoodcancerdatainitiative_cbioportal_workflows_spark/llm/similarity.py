@@ -246,7 +246,12 @@ def _ivf_topk_core(
         return v.sparkSession.createDataFrame(
             [], f"q_id {id_t}, c_id {id_t}, cos_sim double, rank int"
         )
-    v = v.withColumn("_vnorm", _norm(F.col("vec"))).filter(F.col("_vnorm") > 0)
+    # persist: the staged-norm candidate frame feeds BOTH the list
+    # assignment and the verify join side (cv) — un-persisted, each
+    # re-ran the scan + norm fold (r18). One job fills the cache; the
+    # caller releases it via release_plan_caches (bench contract).
+    v = v.withColumn("_vnorm", _norm(F.col("vec"))).filter(F.col("_vnorm") > 0).persist()
+    v.count()  # eager: concurrent stages race an unmaterialized cache
     qd = qd.withColumn("_qnorm", _norm(F.col("vec"))).filter(F.col("_qnorm") > 0)
     cand_lists = v.select(
         "id",
@@ -285,13 +290,16 @@ def _ivf_topk_core(
         F.col("_qnrm") * F.col("_cnrm")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
-    return (
+    from .dedup import _with_caches
+
+    return _with_caches(
         pairs.join(cv, "c_id")
         .join(F.broadcast(qv), "q_id")
         .withColumn("cos_sim", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+        .select("q_id", "c_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"),
+        [v],
     )
 
 
@@ -572,7 +580,16 @@ def ann_recall(
         F.count(F.lit(1)).alias("n_exact"),
         F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_hits"),
     )
-    return (
+    from .dedup import _with_caches
+
+    # propagate BOTH inputs' cache handles (the IVF side persists its
+    # staged-norm frame, r18) so release_plan_caches on the recall frame
+    # frees everything — the dedup_components composition discipline
+    inner = [
+        *getattr(exact, "_spark_graft_caches", []),
+        *getattr(approx, "_spark_graft_caches", []),
+    ]
+    out = (
         agg
         .filter(F.col("n_exact") > 0)
         .select(
@@ -585,3 +602,4 @@ def ann_recall(
             ),
         )
     )
+    return _with_caches(out, inner) if inner else out

@@ -84,8 +84,14 @@ def mad_anomalies(
         .filter(F.col("_v").isNotNull())
         .persist()
     )
+    med = None
     try:
-        med = grouped_low_median(v, "_k", "_v", out_col="_med")
+        # persist the per-key medians (group-count-sized, tiny): `dev` is
+        # referenced by BOTH the MAD selection and the final profile, so an
+        # un-persisted med re-runs its two-exchange window chain per branch
+        # (r18). Eager: the branches' broadcast builds race a lazy cache.
+        med = grouped_low_median(v, "_k", "_v", out_col="_med").persist()
+        med.count()
         dev = v.join(med, "_k").withColumn(
             "_dx", F.abs(F.col("_v") - F.col("_med"))
         )
@@ -112,7 +118,9 @@ def mad_anomalies(
         # the standard _with_caches contract instead.
         from ..llm.dedup import _with_caches
 
-        return _with_caches(out, [v])
+        return _with_caches(out, [v, med])
     except Exception:
         v.unpersist()
+        if med is not None:
+            med.unpersist()
         raise

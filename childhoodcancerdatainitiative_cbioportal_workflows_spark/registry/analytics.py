@@ -60,7 +60,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b").persist()
+    p0 = ngram_jaccard_pairs(d, threshold=0.5)
+    pairs = p0.select("id_a", "id_b").persist()
     seeds = (
         pairs.select(F.col("id_a").alias("node"))
         .union(pairs.select(F.col("id_b").alias("node")))
@@ -69,6 +70,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bfs_hops(pairs, seeds, max_hops=4, src="id_a", dst="id_b")
     pairs.unpersist()  # bfs_hops localCheckpoints eagerly, cache is spent
+    for c in getattr(p0, "_spark_graft_caches", []):
+        c.unpersist()  # the jaccard shingle cache is spent too (r18)
     return out
 
 
@@ -360,9 +363,9 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    p0 = ngram_jaccard_pairs(d, threshold=0.5)
     pairs = (
-        ngram_jaccard_pairs(d, threshold=0.5)
-        .select(
+        p0.select(
             "id_a",
             "id_b",
             ((F.col("id_a") + F.col("id_b")) % 7 + 1).alias("wt"),
@@ -377,6 +380,8 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sssp_hops(pairs, seeds, max_hops=3, src="id_a", dst="id_b", weight="wt")
     pairs.unpersist()  # sssp_hops localCheckpoints eagerly, cache is spent
+    for c in getattr(p0, "_spark_graft_caches", []):
+        c.unpersist()  # the jaccard shingle cache is spent too (r18)
     return out
 
 
@@ -518,12 +523,12 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice (truth in hits + n_truth, cand in hits + n_candidates),
     # re-executing the shingle-join and signature stages per reference
     # (r18: two full derivation passes dropped from the executed plan).
-    cand = minhash_dedup_pairs_universal(
+    cand0 = minhash_dedup_pairs_universal(
         d, threshold=0.5, num_hashes=64, bands=16, seed=29
-    ).select("id_a", "id_b", F.lit(1).alias("_c"))
-    truth = ngram_jaccard_pairs(d, threshold=0.5).select(
-        "id_a", "id_b", F.lit(1).alias("_t")
     )
+    cand = cand0.select("id_a", "id_b", F.lit(1).alias("_c"))
+    truth0 = ngram_jaccard_pairs(d, threshold=0.5)
+    truth = truth0.select("id_a", "id_b", F.lit(1).alias("_t"))
     both = truth.join(cand, ["id_a", "id_b"], "full_outer")
     agg = both.agg(
         F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
@@ -533,11 +538,25 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("n_hits"),
     )
-    return agg.select(
+    out = agg.select(
         "n_truth",
         "n_candidates",
         "n_hits",
         F.expr("(n_hits * 10000) div GREATEST(n_truth, 1)").alias("recall_bp"),
+    )
+    # propagate the minhash signature cache handle: .select() above drops
+    # the attribute, so without this the bench's release_plan_caches leaks
+    # one sigs cache per rep (r18 fix)
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    return _with_caches(
+        out,
+        [
+            *getattr(cand0, "_spark_graft_caches", []),
+            *getattr(truth0, "_spark_graft_caches", []),
+        ],
     )
 
 

@@ -88,13 +88,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    e = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b").persist()
+    p0 = ngram_jaccard_pairs(d, threshold=0.5)
+    e = p0.select("id_a", "id_b").persist()
     e1 = e.toDF("a", "b")
     e2 = e.toDF("b", "c")
     e3 = e.toDF("a", "c")
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
     return _with_caches(
-        tri.agg(F.count(F.lit(1)).alias("n_triangles")), [e]
+        tri.agg(F.count(F.lit(1)).alias("n_triangles")),
+        [e, *getattr(p0, "_spark_graft_caches", [])],
     )
 
 
@@ -146,8 +148,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
-    return pagerank_fixed(pairs, iters=3)
+    p0 = ngram_jaccard_pairs(d, threshold=0.5)
+    out = pagerank_fixed(p0.select("id_a", "id_b"), iters=3)
+    # .select() drops the builder's cache attribute — re-attach the shingle
+    # cache so release_plan_caches frees it (r18)
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    return _with_caches(
+        out,
+        [
+            *getattr(out, "_spark_graft_caches", []),
+            *getattr(p0, "_spark_graft_caches", []),
+        ],
+    )
 
 
 SQL_PAGERANK = _sql_pagerank()
@@ -169,8 +184,20 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("id_a", "id_b")
-    return kcore_peel(pairs, k=2, iters=3)
+    p0 = ngram_jaccard_pairs(d, threshold=0.5)
+    out = kcore_peel(p0.select("id_a", "id_b"), k=2, iters=3)
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    # re-attach the jaccard builder's shingle cache past the .select (r18)
+    return _with_caches(
+        out,
+        [
+            *getattr(out, "_spark_graft_caches", []),
+            *getattr(p0, "_spark_graft_caches", []),
+        ],
+    )
 
 
 def _sql_kcore() -> str:
