@@ -43,6 +43,8 @@ def bfs_hops(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
+    from ..llm.dedup import _CheckpointHandle, _with_caches
+
     und = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
@@ -55,6 +57,13 @@ def bfs_hops(
         .withColumn("hops", F.lit(0).cast("int"))
         .localCheckpoint(eager=True)
     )
+    # release superseded round snapshots as soon as the next round is
+    # materialized (the k-core discipline, r18): un-released, a 4-hop run
+    # left 9 eager checkpoint RDDs behind for async GC — measured as
+    # pass-over-pass GC pressure in the bench loop. The final visited
+    # handle rides the returned plan's cache list.
+    v_handle = _CheckpointHandle(visited)
+    f_handle = None
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (
@@ -65,10 +74,17 @@ def bfs_hops(
             .withColumn("hops", F.lit(h).cast("int"))
             .localCheckpoint(eager=True)
         )
+        if f_handle is not None:
+            f_handle.unpersist()
+        f_handle = _CheckpointHandle(nxt)
         visited = visited.union(nxt).localCheckpoint(eager=True)
+        v_handle.unpersist()
+        v_handle = _CheckpointHandle(visited)
         frontier = nxt
     und.unpersist()
-    return visited
+    if f_handle is not None:
+        f_handle.unpersist()  # the final visited checkpoint is independent
+    return _with_caches(visited, [v_handle])
 
 
 def sssp_hops(
@@ -92,6 +108,8 @@ def sssp_hops(
     path costs for engines to disagree over)."""
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
+    from ..llm.dedup import _CheckpointHandle, _with_caches
+
     und = (
         edges.select(
             F.col(src).alias("_s"), F.col(dst).alias("_d"),
@@ -112,6 +130,9 @@ def sssp_hops(
         .withColumn("dist", F.lit(0).cast("bigint"))
         .localCheckpoint(eager=True)
     )
+    # per-round snapshot release — see bfs_hops above (r18)
+    d_handle = _CheckpointHandle(dist)
+    f_handle = None
     # frontier relaxation: any path that improves a label must extend a
     # label that itself improved last round, so relaxing ONLY from the
     # improved set is equivalent for hop-bounded Bellman-Ford and keeps
@@ -129,9 +150,16 @@ def sssp_hops(
             .localCheckpoint(eager=True)
         )
         # improved = labels that are new or strictly better this round
-        frontier = merged.join(dist, ["node", "dist"], "left_anti").localCheckpoint(
+        new_frontier = merged.join(dist, ["node", "dist"], "left_anti").localCheckpoint(
             eager=True
         )
-        dist = merged
+        if f_handle is not None:
+            f_handle.unpersist()
+        f_handle = _CheckpointHandle(new_frontier)
+        d_handle.unpersist()
+        d_handle = _CheckpointHandle(merged)
+        frontier, dist = new_frontier, merged
     und.unpersist()
-    return dist
+    if f_handle is not None:
+        f_handle.unpersist()  # the returned dist checkpoint is independent
+    return _with_caches(dist, [d_handle])

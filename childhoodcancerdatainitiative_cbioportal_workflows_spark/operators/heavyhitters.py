@@ -114,7 +114,13 @@ def heavy_hitters(
         )
         # materialize before unpersist: the recount re-reads the staged
         # cache, so the cache must outlive the action. localCheckpoint is
-        # eager and truncates the lineage back to the cached scan.
-        return out.localCheckpoint(eager=True)
+        # eager and truncates the lineage back to the cached scan. The
+        # checkpoint's blocks ride the returned plan's cache list so
+        # release_plan_caches frees them deterministically (r18: un-handled,
+        # every call leaked one RDD to async GC).
+        from ..llm.dedup import _CheckpointHandle, _with_caches
+
+        ck = out.localCheckpoint(eager=True)
+        return _with_caches(ck, [_CheckpointHandle(ck)])
     finally:
         staged.unpersist()

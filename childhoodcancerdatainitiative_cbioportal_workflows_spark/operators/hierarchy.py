@@ -51,6 +51,8 @@ def tree_roots(
     contract violation cannot silently amplify rows here."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
+    from ..llm.dedup import _CheckpointHandle, _with_caches
+
     raw = nodes.select(
         F.col(id_col).alias("node"), F.col(parent_col).alias("anc")
     )
@@ -62,6 +64,11 @@ def tree_roots(
         )
         .localCheckpoint(eager=True)
     )
+    # release each round's blocks once the next round is materialized (the
+    # k-core discipline, r18): un-released, every call left rounds+1 eager
+    # checkpoint snapshots for async GC to find. The final round's handle
+    # rides the returned plan's cache list for release_plan_caches.
+    handle = _CheckpointHandle(anc)
     for _ in range(rounds):
         jump = anc.select(F.col("node").alias("_n2"), F.col("anc").alias("_a2"))
         anc = (
@@ -69,7 +76,9 @@ def tree_roots(
             .select("node", F.col("_a2").alias("anc"))
             .localCheckpoint(eager=True)
         )
-    return anc.select("node", F.col("anc").alias("root"))
+        handle.unpersist()
+        handle = _CheckpointHandle(anc)
+    return _with_caches(anc.select("node", F.col("anc").alias("root")), [handle])
 
 
 def hierarchy_rollup(
@@ -82,15 +91,18 @@ def hierarchy_rollup(
     """Per-tree aggregate: (root, n_nodes, total) where ``total`` sums
     the integer ``value_col`` over every node of the tree (root
     included). One doubling pass + one keyed aggregation."""
+    from ..llm.dedup import _with_caches
+
     roots = tree_roots(nodes, id_col, parent_col, rounds)
     vals = nodes.select(
         F.col(id_col).alias("node"), F.col(value_col).alias("_v")
     )
-    return (
+    return _with_caches(
         roots.join(vals, "node")
         .groupBy("root")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.sum(F.col("_v").cast("decimal(38,0)")).cast("bigint").alias("total"),
-        )
+        ),
+        getattr(roots, "_spark_graft_caches", []),
     )

@@ -131,7 +131,7 @@ def jaccard_estimate_pairs(
     b = sig.select(
         F.col("g").alias("g_b"), "j", F.col("h").alias("h_b")
     )
-    return (
+    out = (
         a.join(b, "j")
         .filter(F.col("g_a") < F.col("g_b"))
         .groupBy("g_a", "g_b")
@@ -142,3 +142,11 @@ def jaccard_estimate_pairs(
             F.count(F.lit(1)).alias("k"),
         )
     )
+    if max_groups is not None:
+        # ride the standard cache-list contract so release_plan_caches
+        # frees the signature cache (r18: the "callers may unpersist"
+        # convention leaked one cache per call in the bench loop)
+        from ..llm.dedup import _with_caches
+
+        return _with_caches(out, [sig])
+    return out

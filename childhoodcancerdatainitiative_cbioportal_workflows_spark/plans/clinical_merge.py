@@ -234,6 +234,13 @@ def merge_clinical_variants_to_maf(
         F.sum("_clin_n").alias("clin_rows"),
         F.count(F.lit(1)).alias("dedup_rows"),
     ).first()
+    # deterministic release of the checkpoint blocks (r18): the handle
+    # rides the returned plan's cache list so release_plan_caches frees
+    # them instead of waiting on async GC — release is terminal (the
+    # checkpointed frame cannot recompute), the standard handle contract.
+    from ..llm.dedup import _CheckpointHandle, _with_caches
+
+    ck_handle = _CheckpointHandle(kept)
     stats = {
         "raw_maf_rows": totals["maf_rows"],
         "merged_rows": totals["dedup_rows"],
@@ -241,5 +248,7 @@ def merge_clinical_variants_to_maf(
         - (totals["dedup_rows"] - totals["maf_rows"]),
         "clin_added_uniquely": totals["dedup_rows"] - totals["maf_rows"],
     }
-    deduped = _finalize_dedup(kept.drop("_maf_n", "_clin_n", "_src"))
+    deduped = _with_caches(
+        _finalize_dedup(kept.drop("_maf_n", "_clin_n", "_src")), [ck_handle]
+    )
     return deduped, stats

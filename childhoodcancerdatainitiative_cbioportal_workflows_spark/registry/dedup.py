@@ -529,14 +529,21 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id", F.struct(F.col("n_chars"), (-F.col("id")).alias("neg_id"))
         ).alias("canonical_id")
     )
-    return (
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    # propagate the component/shingle cache handles past the joins (r18:
+    # the composition dropped them — two caches leaked per bench rep)
+    return _with_caches(
         m.join(canon, on="component")
         .select(
             "id",
             "component",
             "canonical_id",
             (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
-        )
+        ),
+        getattr(comp, "_spark_graft_caches", []),
     )
 
 

@@ -146,7 +146,13 @@ def q_clinical_merge_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("raw_maf_rows", "merged_rows", "clin_deduped",
                  "clin_added_uniquely"):
         out = out.withColumn(name, F.lit(stats[name]).cast("bigint"))
-    return out
+    # propagate the merge's checkpoint handle past the summary agg (r18:
+    # the wrap dropped it — one checkpoint RDD leaked per bench rep)
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    return _with_caches(out, getattr(deduped, "_spark_graft_caches", []))
 
 
 SQL_CLINICAL_MERGE_FLOW = """

@@ -127,10 +127,14 @@ def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist: the distinct (lang, token) table feeds FOUR consumers (the
+    # signature build, sizes, and both exact-intersection join sides) —
+    # un-persisted, each re-ran the tokenize+explode+distinct pass (r18).
+    # Vocabulary-sized cache, released via the plan's cache list.
     toks = docs.select(
         F.col("lang").alias("g"),
         F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
-    ).distinct()
+    ).distinct().persist()
     est = jaccard_estimate_pairs(
         minhash_group_signature(toks, "g", "tok", num_hashes=64, seed=7)
     )
@@ -145,7 +149,13 @@ def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("g").alias("g_a"), F.col("n").alias("_na"))
     sb = sizes.select(F.col("g").alias("g_b"), F.col("n").alias("_nb"))
-    return (
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        _with_caches,
+    )
+
+    # propagate the signature cache past the joins and attach toks (r18:
+    # the wrap dropped the handle — one cache leaked per bench rep)
+    return _with_caches(
         est.join(inter, ["g_a", "g_b"], "left")
         .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
         .join(sa, "g_a")
@@ -157,7 +167,8 @@ def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "n_inter",
             (F.col("_na") + F.col("_nb") - F.col("n_inter")).alias("n_union"),
-        )
+        ),
+        [toks, *getattr(est, "_spark_graft_caches", [])],
     )
 
 
