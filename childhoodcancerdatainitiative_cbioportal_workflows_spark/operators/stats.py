@@ -390,6 +390,7 @@ def grouped_quantiles(
     grid: int = 100,
     weight_col: str | None = None,
     validate: bool = False,
+    n_buckets: int = 1,
 ) -> DataFrame:
     """EXACT per-group quantiles with ZERO driver collects — the grouped
     sibling of ``exact_quantiles`` and strictly better scale shape: where
@@ -405,8 +406,19 @@ def grouped_quantiles(
     data to the distinct-value lattice, then ONE window over ``key``
     accumulates counts in value order — the partition is bounded by the
     group's distinct-value cardinality (the 1/``grid`` fixed-point
-    lattice), never its row count, so a billion-row group with
-    2-decimal prices costs the same window as a thousand-row one. The
+    lattice), never its row count. ``n_buckets > 1`` (r18) switches to a
+    TWO-PHASE distributed prefix sum (the ks_drift bucketing, per key):
+    the lattice is range-bucketed by per-key ``percentile_approx``
+    boundaries, cumulative counts run as ~``n_buckets`` bucket-local
+    windows plus one tiny per-key offset window, so no single task ever
+    sorts a whole key's lattice — the production setting when the
+    per-key lattice is huge and keys are few (the single window caps
+    parallelism at the group count). Boundaries only affect WHERE the
+    prefix sum splits, never its value — ``cum`` is bit-identical either
+    way, so the result is ``n_buckets``-independent. The default stays 1:
+    at bench scale the extra stages cost more than the 3-task window they
+    parallelize, and with MANY keys the bucketed form's broadcast tables
+    (keys x n_buckets rows) would outgrow an executor. The
     requested ps ride in as an exploded literal array (no join, no
     broadcast). Rank is computed in pure integer math: p is snapped to
     basis points (p_bp = round(p·10⁴)) and
@@ -473,28 +485,108 @@ def grouped_quantiles(
             F.count(F.lit(1)).alias("_nr"),
         ]
     staged = df.select(*cols).filter(keep)
-    counts = staged.groupBy("k", "_v").agg(*cell_aggs)
-    w_cum = (
-        Window.partitionBy("k")
-        .orderBy("_v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("k")
-    cum_cols = [
-        F.col("k"),
-        F.col("_v"),
-        F.col("c"),
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    ]
-    if validate:
-        # the guard rides the w_all window the plan already exchanges on
-        cum_cols += [
-            F.sum("_off").over(w_all).alias("_offk"),
-            F.max("_mdev").over(w_all).alias("_mdevk"),
-            F.sum("_nr").over(w_all).alias("_nrk"),
+    caches: list[DataFrame] = []
+    if n_buckets < 2:
+        # single-window form (parallelism = key count): the right plan when
+        # keys are numerous — the (keys x n_buckets) broadcast tables of the
+        # bucketed form would outgrow an executor broadcast, and many keys
+        # already parallelize the window. Results identical either way.
+        counts = staged.groupBy("k", "_v").agg(*cell_aggs)
+        w_cum = (
+            Window.partitionBy("k")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy("k")
+        cum_cols = [
+            F.col("k"),
+            F.col("_v"),
+            F.col("c"),
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_all).alias("n"),
         ]
-    cum = counts.select(*cum_cols)
+        if validate:
+            cum_cols += [
+                F.sum("_off").over(w_all).alias("_offk"),
+                F.max("_mdev").over(w_all).alias("_mdevk"),
+                F.sum("_nr").over(w_all).alias("_nrk"),
+            ]
+        cum = counts.select(*cum_cols)
+    else:
+        # r18: two-phase distributed prefix sum (the ks_drift bucketing
+        # trick, per key). The single window PARTITION BY key serializes
+        # each key's whole distinct-value lattice into one task —
+        # parallelism capped at the number of groups (3 for l_returnflag;
+        # one giant task per key at 100 TB). Range-bucketing the lattice
+        # by per-key percentile_approx boundaries splits every key into
+        # ~n_buckets bucket-local windows plus one tiny per-key offset
+        # window (<= n_buckets rows per key). Boundaries only affect WHERE
+        # the prefix sum splits, never its value (bucket id = count of
+        # boundaries < _v is monotone in _v and ties share a bucket), so
+        # `cum` is bit-equal to the single-window form and the sketch's
+        # rank error is irrelevant — accuracy rides at the cheap floor.
+        # Both attach joins BROADCAST their (keys x n_buckets)-row sides
+        # explicitly: the sides are aggregates of a cached frame, whose
+        # static size estimates are useless, and the measured fallback was
+        # three SortMergeJoins re-sorting the cell table. Callers with
+        # very high key cardinality pass n_buckets=1 (the branch above).
+        counts = staged.groupBy("k", "_v").agg(*cell_aggs).persist()
+        counts.count()  # eager: broadcast-build jobs race a lazy cache
+        caches = [counts]
+        fracs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = counts.groupBy("k").agg(
+            F.percentile_approx("_v", fracs, max(100, 4 * n_buckets)).alias("_bs")
+        )
+        bucketed = (
+            counts.join(F.broadcast(bounds), "k")
+            .withColumn(
+                "_bkt", F.size(F.filter("_bs", lambda x: x < F.col("_v")))
+            )
+            .drop("_bs")
+        )
+        pb_aggs = [F.sum("c").alias("_bc")]
+        if validate:
+            pb_aggs += [
+                F.sum("_off").alias("_offb"),
+                F.max("_mdev").alias("_mdevb"),
+                F.sum("_nr").alias("_nrb"),
+            ]
+        per_bucket = bucketed.groupBy("k", "_bkt").agg(*pb_aggs)
+        owin = (
+            Window.partitionBy("k")
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        kwin = Window.partitionBy("k")
+        off_cols = [
+            F.col("k"),
+            F.col("_bkt"),
+            F.coalesce(F.sum("_bc").over(owin), F.lit(0)).alias("_offcum"),
+            F.sum("_bc").over(kwin).alias("n"),
+        ]
+        if validate:
+            # the guard rides the per-key offset window (tiny)
+            off_cols += [
+                F.sum("_offb").over(kwin).alias("_offk"),
+                F.max("_mdevb").over(kwin).alias("_mdevk"),
+                F.sum("_nrb").over(kwin).alias("_nrk"),
+            ]
+        offsets = per_bucket.select(*off_cols)
+        w_cum = (
+            Window.partitionBy("k", "_bkt")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum_cols = [
+            F.col("k"),
+            F.col("_v"),
+            F.col("c"),
+            (F.col("_offcum") + F.sum("c").over(w_cum)).alias("cum"),
+            F.col("n"),
+        ]
+        if validate:
+            cum_cols += [F.col("_offk"), F.col("_mdevk"), F.col("_nrk")]
+        cum = bucketed.join(F.broadcast(offsets), ["k", "_bkt"]).select(*cum_cols)
     probed = cum.withColumn(
         "p_bp", F.explode(F.array(*[F.lit(b) for b in p_bps]))
     ).withColumn(
@@ -524,7 +616,9 @@ def grouped_quantiles(
         n_out = F.when(F.col("_offk") > 0, F.raise_error(msg)).otherwise(
             F.col("n")
         )
-    return (
+    from ..llm.dedup import _with_caches
+
+    return _with_caches(
         probed.filter(
             (F.col("cum") >= F.col("rank"))
             & ((F.col("cum") - F.col("c")) < F.col("rank"))
@@ -535,7 +629,8 @@ def grouped_quantiles(
             (F.col("_v") / F.lit(float(grid))).alias("value"),
             "rank",
             n_out.alias("n"),
-        )
+        ),
+        caches,
     )
 
 

@@ -314,6 +314,53 @@ def test_grouped_quantiles_plan_is_two_exchanges_no_collect(spark):
     assert vplan.count("Scan ExistingRDD") <= plan.count("Scan ExistingRDD")
 
 
+def test_grouped_quantiles_bucketed_prefix_sum_is_nbuckets_independent(spark):
+    """r18: n_buckets > 1 switches to the two-phase bucketed prefix sum
+    (bucket-local windows + per-key offsets). Bucket boundaries only move
+    WHERE the cumulative sum splits, never its value, so the result must
+    be identical to the single-window default for every n_buckets —
+    plain, weighted, and the fused lattice guard alike."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm import (
+        release_plan_caches,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.lattice import (
+        LatticeViolation,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        grouped_quantiles,
+    )
+
+    rows = [
+        ("a", float((i * 7) % 41) / 4 * 0.04, (i % 5) + 1) for i in range(500)
+    ] + [("b", float(i % 3), 2) for i in range(40)] + [("c", 9.25, 1)]
+    df = spark.createDataFrame(rows, "k string, value double, w long")
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+
+    def run(**kw):
+        out = grouped_quantiles(df, "k", "value", ps, **kw)
+        got = sorted(map(tuple, out.collect()))
+        release_plan_caches(out)
+        return got
+
+    base = run()
+    base_w = run(weight_col="w")
+    for nb in (2, 4, 64):
+        assert run(n_buckets=nb) == base
+        assert run(n_buckets=nb, weight_col="w") == base_w
+    # the fused guard still raises on off-lattice data through the
+    # bucketed path (the offsets window carries the per-key deviation)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    cont = spark.createDataFrame(
+        [("a", 0.005), ("a", 1.0)], "k string, value double"
+    )
+    with pytest.raises((LatticeViolation, Py4JJavaError, Exception)) as ei:
+        out = grouped_quantiles(cont, "k", "value", [0.5], validate=True, n_buckets=4)
+        out.collect()
+    assert "lattice" in str(ei.value).lower()
+
+
 def test_simpson_diversity_exact_rational_and_degenerate_groups(spark):
     """Hand-computed Gini–Simpson: group 'x' = [a,a,b] -> num = 2·1 = 2,
     den = 3·2 = 6, D = 1 - 2/6; uniform pair -> D = 1; a single-row
