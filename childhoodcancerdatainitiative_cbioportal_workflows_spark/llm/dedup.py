@@ -761,6 +761,9 @@ def ngram_jaccard_pairs(
         # one O(corpus-tokens) cache replaces two full compute passes in
         # every derivation (this builder backs ~10 registered faces).
         sh = sh.persist()
+        sh.count()  # eager: the three consumers are INDEPENDENT stages of
+        # one job and race a lazy cache — measured as the explode running
+        # 2-3x anyway PLUS triple cache writes (CPU doubled)
         caches = [sh]
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.toDF("id_a", "shingle")

@@ -54,18 +54,19 @@ def ks_drift(
         .unionByName(b.select(F.col(value_col).alias("val"), F.lit(0).alias("_ga")))
         .filter(F.col("val").isNotNull())
     )
-    # persist: the distinct-value table feeds FIVE consumers (the bucket-
-    # boundary sketch, both bucketed branches, per-bucket subtotals and the
-    # totals agg) — un-persisted, each re-runs the union scan + groupBy
-    # (r18: the executed plan re-derived it 6x, 20 scans / 24 exchanges for
-    # one face). The cache is distinct-value-sized (the lattice bound), not
-    # row-sized. Caller releases via release_plan_caches (bench contract).
+    # The distinct-value table is referenced ~6x (bounds sketch, both
+    # bucketed branches, subtotals, totals). A persist was tried here (r18)
+    # and MEASURED SLOWER on both wall and CPU (1.75 s/4.7 CPU-s
+    # re-deriving vs 2.2 s/13 CPU-s cached): each re-derivation is a
+    # column-PRUNED partial aggregation over one scan — cheaper than the
+    # eager-count job + cache write + 5 InMemoryTableScan reads it was
+    # replaced with. At 100 TB the balance flips (each re-derivation is a
+    # full corpus scan); a cluster caller should persist `a`/`b`-derived
+    # vals outside this operator where the scan actually dominates.
     vals = tagged.groupBy("val").agg(
         F.sum("_ga").cast("long").alias("ca"),
         F.sum(F.lit(1) - F.col("_ga")).cast("long").alias("cb"),
-    ).persist()
-    vals.count()  # eager: the broadcast-side jobs run concurrently and an
-    # unmaterialized cache is recomputed per racing branch (SCALE_NOTES)
+    )
     # range-bucket boundaries from a mergeable sketch; correctness does
     # not depend on their accuracy (see module docstring)
     if n_buckets < 2:  # degenerate: single bucket, no boundary sketch
@@ -103,9 +104,7 @@ def ks_drift(
     totals = vals.agg(
         F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
     )
-    from ..llm.dedup import _with_caches
-
-    return _with_caches(
+    return (
         cum.crossJoin(F.broadcast(totals))
         .agg(
             F.first("n_a").alias("n_a"),
@@ -134,8 +133,7 @@ def ks_drift(
                 f"CAST((CAST(d_cross AS DECIMAL(38,0)) * {unit})"
                 " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
             ).alias("d_fp"),
-        ),
-        [vals],
+        )
     )
 
 

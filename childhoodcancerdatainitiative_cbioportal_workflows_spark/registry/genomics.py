@@ -276,8 +276,11 @@ def q_somatic_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchange nodes to the single derivation per frame (r18, guide
     # §2.4) — at 100 TB each re-derivation is a full manifest/SV pass.
     pairs = pair_patients(pedmatch_manifest(spark, sf_dir)).persist()
+    pairs.count()  # eager: four consumers' broadcast builds race a lazy
+    # cache, each recomputing the manifest subtree it exists to share (r18)
     somatic = snv_somatic(pedmatch_snv_vcf(spark, sf_dir), pairs)
     fusions = fusion_prep(pedmatch_fusion_vcf(spark, sf_dir)).persist()
+    fusions.count()
     kept = fusion_germline_subtract(fusions, pairs)
     return _with_caches(somatic_summary(somatic, kept), [pairs, fusions])
 

@@ -135,6 +135,8 @@ def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("g"),
         F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
     ).distinct().persist()
+    toks.count()  # eager: the four consumers are independent stages and
+    # race a lazy cache, recomputing the distinct it exists to share
     est = jaccard_estimate_pairs(
         minhash_group_signature(toks, "g", "tok", num_hashes=64, seed=7)
     )
