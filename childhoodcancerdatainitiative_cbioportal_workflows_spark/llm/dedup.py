@@ -695,6 +695,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -755,16 +756,21 @@ def ngram_jaccard_pairs(
         # pair-join below renames positionally
         sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").select("id", "shingle")
         caches = [hot, sh0]
-    else:
+    elif cache:
         # r18: the shingle table feeds THREE consumers (sizes + both join
         # sides) — un-persisted, each re-ran the tokenize/shingle explode;
         # one O(corpus-tokens) cache replaces two full compute passes in
         # every derivation (this builder backs ~10 registered faces).
+        # ``cache=False`` opts out for callers whose downstream work is so
+        # light that the columnar cache-encode outweighs two fused
+        # re-derivations (measured: soft_dedup_weights).
         sh = sh.persist()
         sh.count()  # eager: the three consumers are INDEPENDENT stages of
         # one job and race a lazy cache — measured as the explode running
         # 2-3x anyway PLUS triple cache writes (CPU doubled)
         caches = [sh]
+    else:
+        caches = []
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")

@@ -706,7 +706,12 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    return soft_dedup_weights(d, ngram_jaccard_pairs(d, threshold=0.5))
+    # cache=False (r18): this face's downstream work (driver union-find +
+    # two tiny joins) is light enough that the shingle cache's columnar
+    # encode cost exceeded the two fused re-derivations it saves — the one
+    # face of the jaccard family where the cache measured net-negative
+    # (wall 0.99 -> ~2.2 s, CPU 12.8 -> ~26 across three replicates)
+    return soft_dedup_weights(d, ngram_jaccard_pairs(d, threshold=0.5, cache=False))
 
 
 SQL_DEDUP_WEIGHTS = SQL_DEDUP_COMPONENTS.replace(

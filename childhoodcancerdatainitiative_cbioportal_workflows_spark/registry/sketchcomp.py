@@ -127,16 +127,15 @@ def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the distinct (lang, token) table feeds FOUR consumers (the
-    # signature build, sizes, and both exact-intersection join sides) —
-    # un-persisted, each re-ran the tokenize+explode+distinct pass (r18).
-    # Vocabulary-sized cache, released via the plan's cache list.
+    # NOTE (r18): a persist of this 4x-consumed distinct was tried and
+    # measured net-SLOWER across three replicates (CPU 3.8 -> ~11): the
+    # re-derivations are fused, column-pruned aggregation pipelines,
+    # cheaper than the columnar cache encode + eager fill they were
+    # replaced with. Reverted; the ks_drift lesson applies verbatim.
     toks = docs.select(
         F.col("lang").alias("g"),
         F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok"),
-    ).distinct().persist()
-    toks.count()  # eager: the four consumers are independent stages and
-    # race a lazy cache, recomputing the distinct it exists to share
+    ).distinct()
     est = jaccard_estimate_pairs(
         minhash_group_signature(toks, "g", "tok", num_hashes=64, seed=7)
     )
@@ -170,7 +169,7 @@ def q_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inter",
             (F.col("_na") + F.col("_nb") - F.col("n_inter")).alias("n_union"),
         ),
-        [toks, *getattr(est, "_spark_graft_caches", [])],
+        getattr(est, "_spark_graft_caches", []),
     )
 
 
