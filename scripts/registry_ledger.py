@@ -245,22 +245,80 @@ def face_fingerprint(fn, sql: str | None) -> str:
     return h.hexdigest()
 
 
-def optimization_round_waiver(rounds_seen: list[int], root: str | None = None) -> int | None:
-    """Return the current (not-yet-certified) round number when it is a
-    declared OPTIMIZATION round, else None. Detection: the round after the
-    last recorded driver round has an `OPTIMIZATION_r<NN>.md` design log in
-    the repo root. In an optimization round the driver re-runs EVERY
-    registered query against its oracle (not the first-50 sample), so the
-    regate policy's goal — driver re-certification of changed faces within
-    the round — is met for all faces regardless of gate position, while
-    the 50-slot mandate itself can be unsatisfiable (r18: one edit to
-    llm/dedup.py flips ~50 direct-reference fingerprints at once). The
-    waiver self-expires: once the round's certifications are recorded,
-    rounds_seen advances and the next build round re-arms enforcement."""
+REGATE_WAIVER_FILE = "REGATE_WAIVER.json"
+
+
+def regate_waiver(
+    rounds_seen: list[int],
+    offenders: list[str],
+    changed: set[str],
+    order: list[str],
+    current: dict[str, str],
+    gate: int = GATE,
+    root: str | None = None,
+) -> tuple[bool, str]:
+    """Machine-verified overflow waiver for the 50-slot regate mandate.
+
+    The r18 waiver's premise was FALSE (it claimed the driver re-certifies
+    the full registry in optimization rounds; CORRECTNESS_r18 holds exactly
+    the first-50 sample) and it fired on the mere existence of the round's
+    OPTIMIZATION_r<NN>.md (r18 ADVICE: committing next round's design log at
+    round start would disarm enforcement for the whole round). This
+    replacement waives NOTHING on assertion — every condition is checked
+    against the tree:
+
+    1. ``REGATE_WAIVER.json`` exists and its ``round`` is the current
+       not-yet-certified round (stale waivers don't carry forward);
+    2. the changed-since-cert set STRICTLY exceeds the gate — front-loading
+       every changed face is arithmetically impossible, the only situation
+       that can excuse anything;
+    3. the gate is maximally packed: all ``gate`` leading registry slots
+       hold changed faces, so nothing is waived that could have been gated;
+    4. every offender is listed in the file WITH its current fingerprint —
+       an edit made after the waiver was written invalidates it.
+
+    Returns (fired, reason). The waived faces still carry no driver row for
+    the round; their certification evidence is the full-registry value-exact
+    oracle-parity suite, and they lead the next rotation's mandatory slots.
+    """
     nxt = (max(rounds_seen) + 1) if rounds_seen else 1
-    marker = os.path.join(root or ROOT, f"OPTIMIZATION_r{nxt:02d}.md")
-    alt = os.path.join(root or ROOT, f"OPTIMIZATION_r{nxt}.md")
-    return nxt if (os.path.exists(marker) or os.path.exists(alt)) else None
+    path = os.path.join(root or ROOT, REGATE_WAIVER_FILE)
+    if not os.path.exists(path):
+        return False, f"no {REGATE_WAIVER_FILE}"
+    try:
+        waiver = json.load(open(path))
+    except Exception as e:  # unreadable waiver excuses nothing
+        return False, f"unreadable {REGATE_WAIVER_FILE}: {e}"
+    if waiver.get("round") != nxt:
+        return False, (
+            f"waiver round {waiver.get('round')} != current uncertified "
+            f"round {nxt}"
+        )
+    if len(changed) <= gate:
+        return False, (
+            f"changed-since-cert count {len(changed)} fits the {gate}-slot "
+            "gate — front-load instead of waiving"
+        )
+    not_changed_in_gate = [n for n in order[:gate] if n not in changed]
+    if not_changed_in_gate:
+        return False, (
+            "gate not maximally packed — these gate slots hold unchanged "
+            f"faces while changed faces overflow: {not_changed_in_gate}"
+        )
+    listed: dict[str, str] = waiver.get("faces", {})
+    for name in offenders:
+        if listed.get(name) != current.get(name):
+            return False, (
+                f"offender '{name}' missing from the waiver or listed with "
+                "a stale fingerprint — regenerate REGATE_WAIVER.json on the "
+                "final tree"
+            )
+    return True, (
+        f"overflow waiver r{nxt}: {len(changed)} changed faces exceed the "
+        f"{gate}-slot gate; the gate is fully packed with changed faces and "
+        f"all {len(offenders)} overflow offenders are listed with current "
+        "fingerprints"
+    )
 
 
 def regate_offenders(
@@ -668,22 +726,21 @@ def main() -> int:
         f"{len(changed)} changed-since-cert"
     )
     if offenders:
-        opt_round = optimization_round_waiver(rounds_seen)
-        if opt_round is not None:
+        fired, reason = regate_waiver(
+            rounds_seen, offenders, changed, order, current
+        )
+        if fired:
             print(
-                f"regate waived for optimization round r{opt_round}: the "
-                "driver re-certifies the FULL registry this round, so the "
-                f"{len(offenders)} changed-since-cert face(s) outside the "
-                f"first-{GATE} gate are re-certified regardless of gate "
-                "position (all value-exact locally via "
-                "tests/test_oracle_parity.py): "
-                + ", ".join(offenders),
+                f"regate waived ({reason}); waived faces carry NO driver row "
+                "this round — their evidence is the full-registry "
+                "value-exact oracle-parity suite, and they lead the next "
+                "rotation: " + ", ".join(offenders),
                 file=sys.stderr,
             )
         else:
             print(
                 "REGATE VIOLATION: changed since certification but NOT in the "
-                f"first-{GATE} gate: {', '.join(offenders)}",
+                f"first-{GATE} gate ({reason}): {', '.join(offenders)}",
                 file=sys.stderr,
             )
             return 1

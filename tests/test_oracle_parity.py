@@ -163,15 +163,38 @@ def test_regate_policy_holds_on_this_repo():
         for name, (fn, sql) in _REGISTRY.items()
     }
     offenders = led.regate_offenders(order, stored, current)
-    # Optimization rounds waive the 50-slot mandate: the driver re-runs the
-    # FULL registry against the oracles (not the first-50 sample), so every
-    # changed face is re-certified regardless of gate position — and a
-    # single operator-module edit can flip more fingerprints than the gate
-    # holds (see registry_ledger.optimization_round_waiver).
-    rounds_seen = sorted({r for h in led.load_history().values() for r in h})
-    if offenders and led.optimization_round_waiver(rounds_seen) is not None:
-        return
-    assert offenders == [], (
-        "changed since certification but not in the driver gate "
-        f"(front-load these and rerun scripts/registry_ledger.py): {offenders}"
-    )
+    # Overflow waiver (r19, replaces the r18 optimization-round waiver whose
+    # full-registry-recertification premise was false): offenders are
+    # excused ONLY when regate_waiver verifies, against the tree, that the
+    # changed set exceeds the gate, the gate is maximally packed with
+    # changed faces, and every offender is listed in REGATE_WAIVER.json
+    # with its CURRENT fingerprint. Every waived face must still be
+    # covered by this suite's full-registry value-exact parity run — that
+    # is the waiver's certification evidence.
+    if offenders:
+        rounds_seen = sorted(
+            {r for h in led.load_history().values() for r in h}
+        )
+        changed = {
+            n for n in order
+            if n not in stored or stored[n].get("fpr") != current[n]
+        }
+        fired, reason = led.regate_waiver(
+            rounds_seen, offenders, changed, order, current
+        )
+        if fired:
+            from childhoodcancerdatainitiative_cbioportal_workflows_spark.registry import (  # noqa: E501
+                _REGISTRY,
+            )
+
+            missing = [n for n in offenders if n not in _REGISTRY]
+            assert missing == [], (
+                "waived offenders missing from the registry (so outside the "
+                f"full-registry parity suite): {missing}"
+            )
+            return
+        assert offenders == [], (
+            "changed since certification but not in the driver gate "
+            f"(waiver did not fire: {reason}) — front-load these and rerun "
+            f"scripts/registry_ledger.py: {offenders}"
+        )

@@ -13,7 +13,62 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
 )
 
-from registry_ledger import plan_rotation, regate_offenders  # noqa: E402
+from registry_ledger import (  # noqa: E402
+    plan_rotation,
+    regate_offenders,
+    regate_waiver,
+)
+
+
+def test_regate_waiver_requires_verified_overflow(tmp_path):
+    """The overflow waiver (r19) fires only on machine-checked evidence:
+    current-round waiver file, changed set > gate, gate fully packed with
+    changed faces, every offender listed with its CURRENT fingerprint.
+    Each condition failing alone must keep enforcement armed — the r18
+    waiver fired on the mere existence of a design-log file."""
+    import json
+
+    order = ["a", "b", "c"]
+    current = {"a": "FA", "b": "FB", "c": "FC"}
+    changed = {"a", "b", "c"}          # 3 changed > gate of 2
+    offenders = ["c"]                   # the overflow face
+    rounds = [18]
+
+    def write(payload):
+        (tmp_path / "REGATE_WAIVER.json").write_text(json.dumps(payload))
+
+    # no file -> armed
+    fired, why = regate_waiver(
+        rounds, offenders, changed, order, current, gate=2, root=str(tmp_path)
+    )
+    assert not fired and "no REGATE_WAIVER" in why
+    # correct file -> fires
+    write({"round": 19, "faces": {"c": "FC"}})
+    fired, why = regate_waiver(
+        rounds, offenders, changed, order, current, gate=2, root=str(tmp_path)
+    )
+    assert fired and "overflow waiver r19" in why
+    # stale round -> armed
+    write({"round": 18, "faces": {"c": "FC"}})
+    assert not regate_waiver(
+        rounds, offenders, changed, order, current, gate=2, root=str(tmp_path)
+    )[0]
+    # stale fingerprint (face edited after the waiver was written) -> armed
+    write({"round": 19, "faces": {"c": "OLD"}})
+    assert not regate_waiver(
+        rounds, offenders, changed, order, current, gate=2, root=str(tmp_path)
+    )[0]
+    # changed set fits the gate -> front-load instead of waiving
+    write({"round": 19, "faces": {"c": "FC"}})
+    assert not regate_waiver(
+        rounds, offenders, {"c"}, order, current, gate=2, root=str(tmp_path)
+    )[0]
+    # gate slot wasted on an unchanged face -> armed
+    fired, why = regate_waiver(
+        rounds, offenders, {"a", "c", "x"}, order, current, gate=2,
+        root=str(tmp_path),
+    )
+    assert not fired and "not maximally packed" in why
 
 
 def test_regate_offenders_policy():
