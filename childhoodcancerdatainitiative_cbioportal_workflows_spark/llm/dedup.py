@@ -316,7 +316,13 @@ def simhash_bits_md5(
     partition, so the map-side combine collapses to one 66-long row per doc
     before the exchange). bit_i = (2·c_i > n) is the same decision as the
     old vote fold: Σ(2b−1) = 2c − n > 0. Hex packing is one ``conv`` per
-    half instead of an 8-nibble ascii fold — same integer bit-for-bit."""
+    half instead of an 8-nibble ascii fold — same integer bit-for-bit.
+
+    Precondition (dedup-family contract): ``id_col`` values must be
+    UNIQUE. The groupBy("id") vote aggregation merges all shingles that
+    share an id into ONE combined simhash row, where the pre-r18 per-row
+    array fold emitted one simhash per input row — feeding non-unique
+    ids silently changes both the row count and the signatures."""
     # cheap token-count guard (see minhash_dedup_pairs_md5): an _md5s-size
     # predicate pushes below the repartition and md5-hashes serially
     staged = (
@@ -1539,6 +1545,19 @@ def exact_substring_spans(
     # gram-table-sized (heavy: ~L x corpus bytes) but replaces an equally
     # heavy recompute; storage-starved clusters can trade it back for the
     # second pass. Caller releases via release_plan_caches.
+    #
+    # Lazy fill is RACE-FREE here, unlike the eager-count sites (r18
+    # batch 5): dup_grams is the semi-join's BROADCAST build side (the
+    # executed plan is BroadcastHashJoin LeftSemi BuildRight — see
+    # plans/r18/substring_dedup_after.txt), and Spark runs the broadcast-
+    # exchange job to completion BEFORE the probe stage starts, so the
+    # build pass fills the cache and the probe reads InMemoryTableScan.
+    # The stages are serialized by the broadcast dependency; an eager
+    # count() would add one more job for the same single compute pass.
+    # Caveat: if the dup-gram vocabulary ever outgrows the broadcast
+    # threshold and the planner falls back to a shuffled join, the two
+    # sides become independent stages of one job and the race returns —
+    # flip to persist()+count() then (the grouped_quantiles discipline).
     staged = staged.persist()
     dup_grams = (
         staged.groupBy("gram")

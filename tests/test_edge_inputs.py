@@ -355,9 +355,24 @@ def test_grouped_quantiles_bucketed_prefix_sum_is_nbuckets_independent(spark):
     cont = spark.createDataFrame(
         [("a", 0.005), ("a", 1.0)], "k string, value double"
     )
-    with pytest.raises((LatticeViolation, Py4JJavaError, Exception)) as ei:
-        out = grouped_quantiles(cont, "k", "value", [0.5], validate=True, n_buckets=4)
-        out.collect()
+    # r19 (ADVICE): the raises tuple must not include bare Exception —
+    # the in-plan raise_error surfaces as SparkRuntimeException
+    # (USER_RAISED_EXCEPTION, PySpark converts the Py4JJavaError), the
+    # eager path as LatticeViolation; a bare Exception would let any
+    # error whose message mentions 'lattice' pass. The failing collect
+    # also releases the n_buckets>1 persisted counts cache.
+    from pyspark.errors import SparkRuntimeException
+
+    out = grouped_quantiles(
+        cont, "k", "value", [0.5], validate=True, n_buckets=4
+    )
+    try:
+        with pytest.raises(
+            (LatticeViolation, SparkRuntimeException, Py4JJavaError)
+        ) as ei:
+            out.collect()
+    finally:
+        release_plan_caches(out)
     assert "lattice" in str(ei.value).lower()
 
 
