@@ -174,6 +174,63 @@ def test_mad_anomalies_model(spark):
     assert row["n_anomalies"] == 2
 
 
+def test_median_and_ks_bucketed_prefix_sum_is_n_buckets_independent(spark):
+    """r19 (VERDICT r18 task 5): the bucketed two-phase prefix sum ported
+    to grouped_low_median / mad_anomalies / ks_drift_by_key must be
+    bit-identical to the single-window default for every n_buckets —
+    bucket boundaries only move WHERE the running counts split, never
+    their values. Duplicated lattice points sit on the boundary ties on
+    purpose; a released cache handle rides every bucketed result."""
+    import random
+
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.llm.dedup import (
+        release_plan_caches,
+    )
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.operators.stats import (
+        ks_drift_by_key,
+    )
+
+    rng = random.Random(19)
+    rows = [
+        (f"k{rng.randrange(3)}", rng.randrange(-20, 20)) for _ in range(400)
+    ] + [("solo", 7)]
+    df = spark.createDataFrame(rows, "k string, x bigint")
+
+    def med(**kw):
+        out = grouped_low_median(df, "k", "x", **kw)
+        got = sorted(map(tuple, out.collect()))
+        release_plan_caches(out)
+        return got
+
+    def madp(**kw):
+        out = mad_anomalies(df, "k", "x", mult=3, **kw)
+        got = sorted(map(tuple, out.collect()))
+        release_plan_caches(out)
+        return got
+
+    base_med, base_mad = med(), madp()
+    for nb in (2, 4, 64):
+        assert med(n_buckets=nb) == base_med
+        assert madp(n_buckets=nb) == base_mad
+
+    a_rows = [("x", float(rng.randrange(0, 40)) / 2) for _ in range(120)]
+    b_rows = [("x", float(rng.randrange(10, 50)) / 2) for _ in range(90)]
+    a_rows += [("y", 1.5), ("y", 2.0), ("y", 2.0)]
+    b_rows += [("y", 2.0), ("y", 3.5)]
+    a = spark.createDataFrame(a_rows, "k string, value double")
+    b = spark.createDataFrame(b_rows, "k string, value double")
+
+    def ks(**kw):
+        out = ks_drift_by_key(a, b, "k", "value", **kw)
+        got = sorted(map(tuple, out.collect()))
+        release_plan_caches(out)
+        return got
+
+    base_ks = ks()
+    for nb in (2, 4, 64):
+        assert ks(n_buckets=nb) == base_ks
+
+
 # --------------------------------------------------------- sorted neighborhood
 def test_sorted_neighborhood_model(spark):
     docs = [
