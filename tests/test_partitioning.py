@@ -665,3 +665,39 @@ def test_stale_sweep_pidfile_trust_window(tmp_path, monkeypatch):
     bf._sweep_stale_bucket_dirs(keep=str(tmp_path / "none"))
     assert not recycled.exists()
     assert fresh_live.exists()
+
+
+def test_spread_memo_matches_direct_probe(spark, tmp_path):
+    """r19 (guide §1.2): spread() memoizes the partition-count probe per
+    session keyed on the analyzed plan's semanticHash + dtypes. The memo
+    must never change a decision: a narrow single-file scan repartitions
+    exactly as the direct probe would (the single-row-group testdata
+    behavior the helper exists for), a RE-READ of the same parquet hits
+    the memo (the bench re-runs every face 4x), and a post-shuffle frame
+    with >= target partitions stays untouched (no extra Exchange)."""
+    from childhoodcancerdatainitiative_cbioportal_workflows_spark.core.session import (
+        spread,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "narrow.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(100)], "x int"
+    ).coalesce(1).write.parquet(path)
+    spark._spread_npart_cache = {}
+    narrow = spark.read.parquet(path)
+    assert narrow.rdd.getNumPartitions() == 1  # single row group, one split
+    out1 = spread(narrow)
+    assert out1.rdd.getNumPartitions() == target
+    n_entries = len(spark._spread_npart_cache)
+    assert n_entries == 1
+    # a fresh scan of the same file is semantically identical -> memo hit
+    spread(spark.read.parquet(path))
+    assert len(spark._spread_npart_cache) == n_entries
+    # an already-wide frame (post-shuffle partitioning == target) is a
+    # no-op: spread must return it unchanged, not stack a repartition
+    wide = spark.read.parquet(path).repartition(target)
+    out3 = spread(wide)
+    assert out3 is wide
+    # and its (different) plan got its own memo slot, not a collision
+    assert len(spark._spread_npart_cache) == n_entries + 1
