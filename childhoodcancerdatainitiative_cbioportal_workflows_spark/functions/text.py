@@ -105,12 +105,31 @@ def fingerprint(text: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of n-word shingles (space-joined) for Jaccard/MinHash. Docs
     shorter than n words yield an empty array (sequence(1,0) would count
-    DOWN, so the short case needs an explicit guard)."""
+    DOWN, so the short case needs an explicit guard).
+
+    r19 shape (guide §1.2 per-task work): a zip_with LADDER — level j
+    zips the running prefix-join with the tokens shifted by j, so the
+    whole shingle array is built in n-1 linear passes. The previous
+    ``transform(idx, i -> array_join(slice(toks, i, n)))`` allocated an
+    O(n) slice COPY per shingle position (O(k·n) copies per doc, all in
+    interpreted HOF machinery — array lambdas never codegen); measured
+    4x the CPU of the ladder on the sf0.1 corpus explode (5.4 -> 1.25
+    CPU-s) at identical output. The shifted side is ``slice(toks, j+1,
+    k)`` — length k is safely past the end (slice truncates) without the
+    int32 start+length overflow a MaxInt literal hits; zip_with pads the
+    tail with NULL and ``concat_ws`` skips NULLs, so trailing entries
+    hold shorter joins until the final slice drops them. Output strings
+    are bit-identical to the old form for every n (pinned by test)."""
     toks = ws_tokens(F.lower(text))
     k = F.size(toks)
-    idx = F.sequence(F.lit(1), k - F.lit(n - 1))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(k >= n, shingles).otherwise(
+    shingles = toks
+    for j in range(1, n):
+        shingles = F.zip_with(
+            shingles,
+            F.slice(toks, j + 1, k),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(k >= n, F.slice(shingles, 1, k - F.lit(n - 1))).otherwise(
         F.array().cast("array<string>")
     )
 
